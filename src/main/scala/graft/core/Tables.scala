@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided star schema (see /root/repo/TESTDATA.md).
+  *
+  * Every loader is a plain parquet scan: Catalyst handles column pruning and
+  * predicate pushdown from whatever the caller selects/filters downstream,
+  * so these stay unfiltered and unprojected on purpose. At cluster scale the
+  * same code reads a partitioned table directory; nothing here assumes
+  * single-file layout.
+  */
+object Tables {
+  private def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def region(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame   = s.read.parquet(path(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame   = s.read.parquet(path(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame       = s.read.parquet(path(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame   = s.read.parquet(path(dir, "lineitem"))
+  def events(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "events"))
+  def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(path(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))
+}
