@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Embeddings, Events, Geometry, Relational, Text}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2 plus the
+  * training-data-pipeline operators); `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible query. Keys without an oracle entry
+  * (FFT, MinHash internals, SimHash, fingerprints, ANN) get the driver's
+  * rows-only check — they are deterministic but not expressible in ANSI SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Geometry.queries ++ Text.queries ++
+      Embeddings.queries ++ Events.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Geometry.oracles ++ Text.oracles ++
+      Embeddings.oracles ++ Events.oracles
 }

@@ -20,7 +20,17 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = s.read.parquet(path(dir, "part"))
   def orders(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "orders"))
   def lineitem(s: SparkSession, dir: String): DataFrame   = s.read.parquet(path(dir, "lineitem"))
-  def events(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "events"))
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as a long (legacy conf) and normalize to a µs
+    * TimestampType column so downstream operators see a standard timestamp.
+    * ns→µs truncation matches DuckDB's ns→ms truncation on the positive
+    * axis, so epoch-ms comparisons agree across engines. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, not `/`: epoch-ns (~1.7e18) exceeds double precision
+    s.read.parquet(path(dir, "events"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(path(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * - Brute-force cosine top-k: the correctness baseline. Declarative
+  *   (crossJoin pruned by a broadcast of the small query side + window
+  *   top-k), all math in codegen'd array expressions — no UDFs.
+  * - LSH (random hyperplane) bucketed ANN: the 100 TB path — candidates come
+  *   from a bucket equi-join instead of the full cross product.
+  * - Label centroids via exact decimal sums (order-independent → identical
+  *   across partitionings and engines).
+  *
+  * Dot products run in double after an explicit element cast: zip_with
+  * multiplies exactly, aggregate folds left-to-right — deterministic
+  * regardless of Spark's physical plan because the fold is per-row.
+  */
+object Embeddings {
+
+  private def dotExpr(aCol: String, bCol: String): Column =
+    expr(s"aggregate(zip_with($aCol, $bCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def normExpr(aCol: String): Column =
+    sqrt(expr(s"aggregate(transform($aCol, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  /** Brute-force cosine top-k neighbors for a bounded query set.
+    * The query side is tiny → broadcast; ranking ties broken by vec_id. */
+  def bruteForceKnn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val scored = broadcast(q).join(cand, col("qid") =!= col("nid"))
+      .withColumn("sim",
+        round(dotExpr("qv", "nv") / (normExpr("qv") * normExpr("nv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
+  /** All-pairs cosine near-duplicates above a threshold (baseline; the LSH
+    * variant replaces the cross product at scale). */
+  def cosineNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("sim", round(dotExpr("v1", "v2") / (normExpr("v1") * normExpr("v2")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded driver RNG, broadcast as
+    * literals): 16 sign bits → LSH bucket id. */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
+    val bucketBits = (0 until nPlanes).map { p =>
+      val planeArr = s"array(${planes(p).map(v => s"CAST($v AS DOUBLE)").mkString(",")})"
+      val dot = s"aggregate(zip_with(embedding, $planeArr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      expr(s"CASE WHEN $dot >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    }
+    emb.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** ANN top-k via LSH buckets: candidates share a bucket (multi-probe with
+    * the full bucket only — recall traded for a bucket equi-join that scales;
+    * brute-force above is the exactness baseline). */
+  def annKnn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = lshBuckets(emb, nPlanes = 8)
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qb"))
+    val cand = bucketed.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket").as("nb"))
+    val scored = broadcast(q)
+      .join(cand, col("qb") === col("nb") && col("qid") =!= col("nid"))
+      .withColumn("sim", round(dotExpr("qv", "nv") / (normExpr("qv") * normExpr("nv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
+  /** Per-label centroid norm via exact decimal element sums (order-free). */
+  def qCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("col").cast(DoubleType), 6).cast(DecimalType(28, 10)))
+              .cast(DoubleType) / count(lit(1))).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("dim"),
+           round(sqrt(sum(round(col("mean_v") * col("mean_v"), 12).cast(DecimalType(28, 14)))
+             .cast(DoubleType)), 6).as("centroid_norm"))
+
+  def qKnn(s: SparkSession, dir: String): DataFrame =
+    bruteForceKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
+
+  def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    cosineNearDup(Tables.embeddings(s, dir), 0.4)
+
+  def qAnnKnn(s: SparkSession, dir: String): DataFrame =
+    annKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_knn_bruteforce" -> (qKnn _),
+    "q41_cosine_neardup" -> (qCosineNearDup _),
+    "q42_centroids"      -> (qCentroids _),
+    "q43_ann_lsh"        -> (qAnnKnn _),
+  )
+
+  private val CosSql =
+    """list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+       / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+        * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"""
+
+  val oracles: Map[String, String] = Map(
+    "q40_knn_bruteforce" ->
+      s"""WITH scored AS (
+            SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND a.vec_id <> b.vec_id)
+          SELECT qid, rk, nid, sim FROM (
+            SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+            FROM scored) t
+          WHERE rk <= 5""",
+    "q41_cosine_neardup" ->
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2, round($CosSql, 6) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round($CosSql, 6) >= 0.4""",
+    "q42_centroids" ->
+      """WITH el AS (
+           SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings),
+         mv AS (
+           SELECT label, pos,
+             CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean_v
+           FROM el GROUP BY label, pos)
+         SELECT label, count(*) AS dim,
+           round(sqrt(CAST(sum(CAST(round(mean_v * mean_v, 12) AS DECIMAL(28,14))) AS DOUBLE)), 6) AS centroid_norm
+         FROM mv GROUP BY label""",
+  )
+}

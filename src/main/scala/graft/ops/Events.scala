@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table — the batch analogues of
+  * the reference's streaming surface (`G016HW3.java`): exact frequent items
+  * with a phi·n threshold, time-windowed aggregation, and gap-based
+  * sessionization. The true streaming versions (Structured Streaming +
+  * foreachBatch driver sketches) live in graft.streaming; these batch forms
+  * share the same aggregation logic and are what the DuckDB oracle checks.
+  *
+  * Timestamps are compared in epoch milliseconds (unix_millis/epoch_ms):
+  * the parquet column is ns-precision, Spark reads µs — both truncate
+  * toward zero on the positive axis, so ms values agree across engines.
+  */
+object Events {
+
+  /** T3 analogue: items (user_id) with frequency >= phi·n (`G016HW3.java:148-172`). */
+  def qFrequentItems(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("freq"))
+    val total = ev.count()
+    val threshold = math.ceil(0.008 * total).toLong
+    counts.filter(col("freq") >= threshold)
+  }
+
+  /** Tumbling 1-day event-time windows per event type. */
+  def qTumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        year(col("ts")).as("yr"),
+        dayofyear(col("ts")).as("doy"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+
+  /** Gap-based sessionization (30-min inactivity) per user: session count
+    * and event count — a lag + running-sum window cascade, fully
+    * distributed (partitioned by user). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).cast(LongType).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+  }
+
+  /** Top event per user by value (argmax via window). */
+  def qArgmax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("top_event"), col("value").as("top_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_frequent_items" -> (qFrequentItems _),
+    "q51_tumbling_window"-> (qTumblingWindow _),
+    "q52_sessionize"     -> (qSessionize _),
+    "q53_argmax"         -> (qArgmax _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_frequent_items" ->
+      """SELECT user_id, count(*) AS freq FROM events GROUP BY user_id
+         HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""",
+    "q51_tumbling_window" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS yr, CAST(dayofyear(ts) AS INTEGER) AS doy, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1, 2, 3""",
+    "q52_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+           FROM events)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM t GROUP BY user_id""",
+    "q53_argmax" ->
+      """SELECT user_id, event_id AS top_event, value AS top_value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+           FROM events) t
+         WHERE rk = 1""",
+  )
+}

@@ -1,0 +1,277 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Geometric operators from the reference, Spark-first.
+  *
+  * Reference semantics (cited, not copied):
+  *  - (M,D)-outlier detection, exact O(N²) path: `G019HW1.java:119-143`
+  *    (count q with dist(p,q) <= D; outlier iff |B(p,D)| <= M counting p).
+  *  - Grid approximation: cell width Λ = D/(2√2), per-cell counts, N3/N7
+  *    neighborhood sums, sure/uncertain classification:
+  *    `G019HW1.java:177-284`, `G016HW2.java:232-307`.
+  *  - Farthest-First Traversal k-center + MR coreset:
+  *    `G016HW2.java:114-220`.
+  *
+  * Architecture differences (scale-first, NOT a port):
+  *  - The exact all-pairs neighbor count is a *grid-bucketed equi-join*:
+  *    each point is exploded to its 3×3 neighbor cells (cell width = D) and
+  *    joined on the cell key — a shuffle hash join that scales to a 1000-
+  *    executor cluster, instead of the reference's driver nested loop. The
+  *    prune is exact: dist <= D ⟹ per-axis diff <= D ⟹ Chebyshev cell
+  *    distance <= 1.
+  *  - The N3/N7 neighborhood sums are a 7×7-offset explode + equi-join +
+  *    conditional aggregation, not a collected driver map: the non-empty
+  *    cell table is small for dense data, but a 100 TB sparse dataset can
+  *    have billions of non-empty cells — the join formulation survives that;
+  *    a `collect()` does not.
+  *  - MRFFT keeps the reference's 3-round shape (it is optimal): R1
+  *    per-partition FFT coreset via mapPartitions, R2 driver FFT on ≤ K·L
+  *    points, R3 broadcast centers + max-reduce of min distances.
+  */
+object Geometry {
+
+  // -------------------------------------------------------------- grid cells
+
+  /** Cell ids at width `cell`: floor toward −∞ (Java Math.floor semantics —
+    * SURVEY §7.4 risk 1: a plain int cast truncates toward 0 and breaks on
+    * negative coordinates). */
+  def withCells(pts: DataFrame, cell: Double): DataFrame =
+    pts.withColumn("ci", floor(col("x") / cell).cast(LongType))
+       .withColumn("cj", floor(col("y") / cell).cast(LongType))
+
+  /** Non-empty cell histogram (reference Step A, `G019HW1.java:183-189`):
+    * one partial+final hash aggregation, no shuffle beyond the groupBy. */
+  def cellHistogram(pts: DataFrame, lambda: Double): DataFrame =
+    withCells(pts, lambda).groupBy(col("ci"), col("cj")).agg(count(lit(1)).as("sz"))
+
+  /** Literal array of (di,dj) offsets covering Chebyshev distance <= r. */
+  private def offsets(r: Int): Column =
+    array((for (a <- -r to r; b <- -r to r)
+      yield struct(lit(a.toLong).as("di"), lit(b.toLong).as("dj"))): _*)
+
+  /** N3/N7 per non-empty cell (reference Step B, `G019HW1.java:209-261`) as
+    * an offset-explode equi-join: each cell contributes its count to the 49
+    * cells whose 7×7 window contains it; conditional sum splits N3 from N7.
+    * Equi-join on (ci,cj) ⇒ shuffle/broadcast hash join, no cartesian. */
+  def cellNeighborhoods(cells: DataFrame): DataFrame = {
+    val contrib = cells
+      .withColumn("o", explode(offsets(3)))
+      .select((col("ci") + col("o.di")).as("ti"),
+              (col("cj") + col("o.dj")).as("tj"),
+              greatest(abs(col("o.di")), abs(col("o.dj"))).as("cheb"),
+              col("sz").as("src_sz"))
+    cells.join(contrib, col("ci") === col("ti") && col("cj") === col("tj"))
+      .groupBy(col("ci"), col("cj"))
+      .agg(
+        first(col("sz")).as("sz"),
+        sum(when(col("cheb") <= 1, col("src_sz")).otherwise(lit(0L))).as("n3"),
+        sum(col("src_sz")).as("n7"))
+  }
+
+  /** MRApproxOutliers (reference Q2): returns one row per class:
+    * sure (N7 <= M), uncertain (N3 <= M < N7), inlier. */
+  def approxOutliers(pts: DataFrame, d: Double, m: Long): DataFrame = {
+    val lambda = d / (2.0 * math.sqrt(2.0))
+    val nb = cellNeighborhoods(cellHistogram(pts, lambda))
+    nb.select(
+        when(col("n7") <= m, lit("sure"))
+          .when(col("n3") <= m, lit("uncertain"))
+          .otherwise(lit("inlier")).as("cls"),
+        col("sz"))
+      .groupBy(col("cls"))
+      .agg(sum(col("sz")).cast(LongType).as("n_points"), count(lit(1)).as("n_cells"))
+  }
+
+  /** Exact (M,D)-outliers as a grid-bucketed self-equi-join (cell width = D,
+    * so neighbors within D are in the 3×3 window — exact, no cartesian).
+    * Input needs a unique `id` column plus x, y. Output: outlier points with
+    * their |B(p,D)| neighbor count (self included, reference semantics). */
+  def exactOutliers(pts: DataFrame, d: Double, m: Long): DataFrame = {
+    val cells = withCells(pts, d)
+    val probe = cells
+      .withColumn("o", explode(offsets(1)))
+      .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"),
+              (col("ci") + col("o.di")).as("ti"),
+              (col("cj") + col("o.dj")).as("tj"))
+    probe.join(cells, col("ti") === col("ci") && col("tj") === col("cj"))
+      .filter((col("qx") - col("x")) * (col("qx") - col("x")) +
+              (col("qy") - col("y")) * (col("qy") - col("y")) <= d * d)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_neighbors"))
+      .filter(col("n_neighbors") <= m)
+  }
+
+  // ------------------------------------------------------------------- FFT
+
+  /** Gonzalez farthest-first traversal (reference `G016HW2.java:114-154`
+    * semantics: start from the first point, repeatedly add the point with
+    * max distance to its nearest center; incremental min-dist array, O(nk);
+    * first-index tiebreak for determinism). Driver-side by design: inputs
+    * are ≤ K·L coreset points. */
+  def sequentialFFT(pts: Array[(Double, Double)], k: Int): Array[(Double, Double)] = {
+    require(pts.nonEmpty, "FFT on empty point set")
+    val n = pts.length
+    val kk = math.min(k, n)
+    val centers = new Array[(Double, Double)](kk)
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    centers(0) = pts(0)
+    var c = 0
+    while (c < kk - 1) {
+      val (cx, cy) = centers(c)
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val dx = pts(i)._1 - cx; val dy = pts(i)._2 - cy
+        val d2 = dx * dx + dy * dy
+        if (d2 < minD2(i)) minD2(i) = d2
+        if (minD2(i) > bestD) { bestD = minD2(i); best = i }
+        i += 1
+      }
+      c += 1
+      centers(c) = pts(best)
+    }
+    centers
+  }
+
+  /** MRFFT (reference Q4, 3 rounds). `deterministic = true` partitions by
+    * range of `id` (stable results for the correctness harness); false keeps
+    * the round-robin `repartition(L)` of the reference CLI contract.
+    * Returns (radius, centers). */
+  def mrFFT(pts: DataFrame, k: Int, l: Int, deterministic: Boolean = true): (Double, Array[(Double, Double)]) = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val typed = (if (deterministic) pts.repartitionByRange(l, col("id")) else pts.repartition(l))
+      .select(col("x").cast(DoubleType), col("y").cast(DoubleType))
+      .as[(Double, Double)]
+    // R1: per-partition coreset (executors), ≤ K points each
+    val coreset = typed.mapPartitions { it =>
+      val arr = it.toArray
+      if (arr.isEmpty) Iterator.empty else sequentialFFT(arr, k).iterator
+    }.collect()
+    // R2: driver FFT on ≤ K·L points
+    val centers = sequentialFFT(coreset, k)
+    // R3: broadcast centers, per-point min dist², max-reduce, single sqrt
+    val bc = spark.sparkContext.broadcast(centers)
+    val maxMinD2 = typed.mapPartitions { it =>
+      val cs = bc.value
+      var m = 0.0
+      it.foreach { case (x, y) =>
+        var best = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val dx = x - cs(i)._1; val dy = y - cs(i)._2
+          val d2 = dx * dx + dy * dy
+          if (d2 < best) best = d2
+          i += 1
+        }
+        if (best > m) m = best
+      }
+      Iterator.single(m)
+    }.reduce(math.max)
+    (math.sqrt(maxMinD2), centers)
+  }
+
+  // --------------------------------------------------- queries for the gate
+
+  /** Deterministic 2-D point set derived from lineitem (x = price, y =
+    * scaled quantity) — the oracle recomputes the same derivation. */
+  private def lineitemPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_extendedprice").as("x"),
+      (col("l_quantity") * 100.0).as("y"))
+
+  /** Smaller point set (customer) for the exact-outlier oracle join. */
+  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      col("c_acctbal").as("x"),
+      (col("c_custkey") % 100).cast(DoubleType).as("y"))
+
+  private val D1 = 500.0       // cell width for the histogram/approx queries
+  private val D2 = 60.0        // exact-outlier radius on customer points
+  private val M1 = 40L
+  private val M2 = 6L
+
+  def qCellHistogram(s: SparkSession, dir: String): DataFrame =
+    cellHistogram(lineitemPoints(s, dir), D1 / (2.0 * math.sqrt(2.0)))
+
+  def qCellNeighborhood(s: SparkSession, dir: String): DataFrame =
+    cellNeighborhoods(cellHistogram(lineitemPoints(s, dir), D1 / (2.0 * math.sqrt(2.0))))
+
+  def qApproxOutliers(s: SparkSession, dir: String): DataFrame =
+    approxOutliers(lineitemPoints(s, dir), D1, M1)
+
+  def qExactOutliers(s: SparkSession, dir: String): DataFrame =
+    exactOutliers(customerPoints(s, dir), D2, M2)
+
+  /** FFT centers (deterministic path) — not SQL-expressible; rows-only check. */
+  def qFftCenters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (radius, centers) = mrFFT(
+      customerPoints(s, dir), k = 16, l = 8, deterministic = true)
+    centers.zipWithIndex
+      .map { case ((x, y), i) => (i, x, y, radius) }.toSeq
+      .toDF("center_idx", "x", "y", "radius")
+  }
+
+  private val LambdaSql = "(500.0 / (2.0 * sqrt(2.0)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_cell_histogram"   -> (qCellHistogram _),
+    "q22_cell_neighborhood"-> (qCellNeighborhood _),
+    "q23_approx_outliers"  -> (qApproxOutliers _),
+    "q24_exact_outliers"   -> (qExactOutliers _),
+    "q25_fft_centers"      -> (qFftCenters _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_cell_histogram" ->
+      s"""WITH pts AS (SELECT l_extendedprice AS x, l_quantity * 100.0 AS y FROM lineitem)
+          SELECT CAST(floor(x / $LambdaSql) AS BIGINT) AS ci,
+                 CAST(floor(y / $LambdaSql) AS BIGINT) AS cj,
+                 count(*) AS sz
+          FROM pts GROUP BY 1, 2""",
+    "q22_cell_neighborhood" ->
+      s"""WITH pts AS (SELECT l_extendedprice AS x, l_quantity * 100.0 AS y FROM lineitem),
+          cells AS (
+            SELECT CAST(floor(x / $LambdaSql) AS BIGINT) AS ci,
+                   CAST(floor(y / $LambdaSql) AS BIGINT) AS cj,
+                   count(*) AS sz
+            FROM pts GROUP BY 1, 2)
+          SELECT a.ci, a.cj, a.sz,
+                 CAST(sum(CASE WHEN greatest(abs(a.ci - b.ci), abs(a.cj - b.cj)) <= 1 THEN b.sz ELSE 0 END) AS BIGINT) AS n3,
+                 CAST(sum(b.sz) AS BIGINT) AS n7
+          FROM cells a JOIN cells b
+            ON abs(a.ci - b.ci) <= 3 AND abs(a.cj - b.cj) <= 3
+          GROUP BY a.ci, a.cj, a.sz""",
+    "q23_approx_outliers" ->
+      s"""WITH pts AS (SELECT l_extendedprice AS x, l_quantity * 100.0 AS y FROM lineitem),
+          cells AS (
+            SELECT CAST(floor(x / $LambdaSql) AS BIGINT) AS ci,
+                   CAST(floor(y / $LambdaSql) AS BIGINT) AS cj,
+                   count(*) AS sz
+            FROM pts GROUP BY 1, 2),
+          nb AS (
+            SELECT a.ci, a.cj, a.sz,
+                   sum(CASE WHEN greatest(abs(a.ci - b.ci), abs(a.cj - b.cj)) <= 1 THEN b.sz ELSE 0 END) AS n3,
+                   sum(b.sz) AS n7
+            FROM cells a JOIN cells b
+              ON abs(a.ci - b.ci) <= 3 AND abs(a.cj - b.cj) <= 3
+            GROUP BY a.ci, a.cj, a.sz)
+          SELECT CASE WHEN n7 <= 40 THEN 'sure' WHEN n3 <= 40 THEN 'uncertain' ELSE 'inlier' END AS cls,
+                 CAST(sum(sz) AS BIGINT) AS n_points, count(*) AS n_cells
+          FROM nb GROUP BY 1""",
+    "q24_exact_outliers" ->
+      """WITH pts AS (SELECT c_custkey AS id, c_acctbal AS x,
+                        CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer)
+         SELECT a.id AS qid, count(*) AS n_neighbors
+         FROM pts a JOIN pts b
+           ON abs(a.x - b.x) <= 60.0 AND abs(a.y - b.y) <= 60.0
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600.0
+         GROUP BY a.id HAVING count(*) <= 6""",
+  )
+}

@@ -1,0 +1,350 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Relational operator surface (SURVEY.md §2.1-2.6): scans, projections,
+  * filters, hash aggregation, broadcast/shuffle/semi/anti joins, sorts,
+  * limits, windows, set ops, scalar/string/date/JSON functions.
+  *
+  * Every query is written DataFrame-first so Catalyst plans it (predicate
+  * pushdown, column pruning, partial aggregation, AQE). Numeric outputs are
+  * made engine-portable for the DuckDB oracle:
+  *   - money sums run over exact decimals (order-independent), then cast to
+  *     double once — bit-identical across engines regardless of partitioning;
+  *   - counts stay BIGINT;
+  *   - averages are exact-decimal-sum / count in double (single IEEE divide).
+  *
+  * Reference anchor: the hash-agg / sort / top-K / broadcast shapes mirror
+  * G019HW1.java:183-201 (cell histogram + sortByKey) and
+  * WordCountExample.java:66-140 (reduceByKey word count, avg length), but as
+  * declarative plans instead of hand-built RDD DAGs.
+  */
+object Relational {
+
+  /** Exact decimal view of a 2-dp money/ratio column (order-independent sum). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact decimal sum of a 2-dp column, exported as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Exact average: decimal sum / count, one IEEE double division. */
+  private def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1: partial+final hash aggregation over the fact table. */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+
+  /** P1/P2 + pushdown showcase (TPC-H Q6 shape): filter+project reach the scan. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1995-01-01").cast(TimestampType) &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** O1/O2: global sort + limit → TakeOrderedAndProject (no full sort at scale). */
+  def q03TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** J3: broadcast equi-join small dim (part) into the fact table. */
+  def q04JoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("brand_rev"),
+           count(lit(1)).as("n_items"))
+
+  /** Multi-way join up a star schema; dims broadcast, fact side shuffles once. */
+  def q05StarJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("o_totalprice")).as("region_rev"),
+           count(lit(1)).as("n_orders"))
+
+  /** J4 analogue: left-semi join (membership) — customers that have orders. */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+
+  /** Anti join — customers with no orders. */
+  def q07AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+
+  /** A7: distinct aggregation (exact). */
+  def q08Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("n_status_prio"))
+
+  /** Window ranking: top-3 orders per customer (deterministic tiebreak). */
+  def q09WindowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .filter(col("o_custkey") < 200)  // keep the verified output bounded
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Set ops: nations that have suppliers vs customers (intersect/except). */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    val supN = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
+    val cusN = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+    val both = supN.intersect(cusN).withColumn("which", lit("both"))
+    val supOnly = supN.except(cusN).withColumn("which", lit("sup_only"))
+    both.unionByName(supOnly).groupBy(col("which")).agg(count(lit(1)).as("n"), sum(col("nk")).cast(LongType).as("sum_nk"))
+  }
+
+  /** Conditional aggregation (pivot shape) — sum(when) per status. */
+  def q11CaseWhen(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast(LongType).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast(LongType).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast(LongType).as("n_p"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("rev_f"))
+
+  /** F2/F4 scalar math incl. floor-toward−∞ on negatives (SURVEY §7.4 risk 1). */
+  def q12ScalarMath(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        floor((col("value") - 250.0) / 10.0).cast(IntegerType).as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+
+  /** F3 string functions: split/substring/upper/length/concat. */
+  def q13StringFns(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        upper(substring(col("p_brand"), 1, 7)).as("brand_up"),
+        length(col("p_name")).as("name_len"))
+      .groupBy(col("type_head"), col("brand_up"))
+      .agg(count(lit(1)).as("n"), sum(col("name_len")).cast(LongType).as("sum_len"))
+
+  /** Date functions: group orders by calendar month. */
+  def q14DateFns(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+
+  /** Rollup (grouping sets) over returnflag/linestatus. */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** HAVING: brands appearing on more than `threshold` lineitems. */
+  def q16Having(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 2000)
+
+  /** IN-list + BETWEEN predicates. */
+  def q17InBetween(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size").between(10, 20) &&
+              col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("p_size")).cast(LongType).as("sum_size"))
+
+  /** JSON extraction from the events props column. */
+  def q18Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+              col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k_val")).cast(LongType).as("sum_k"),
+           max(col("k_val")).as("max_k"))
+
+  /** Window running aggregate: cumulative revenue per customer over time. */
+  def q19WindowCum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .withColumn("cum_rev", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("cum_rev"))
+  }
+
+  /** Correlated-style scalar aggregate: orders above their customer's average. */
+  def q20AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val custAvg = o.groupBy(col("o_custkey").as("ck"))
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(custAvg), col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"            -> (q01Agg _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_topk"           -> (q03TopK _),
+    "q04_join_broadcast" -> (q04JoinBroadcast _),
+    "q05_star_join"      -> (q05StarJoin _),
+    "q06_semi_join"      -> (q06SemiJoin _),
+    "q07_anti_join"      -> (q07AntiJoin _),
+    "q08_distinct"       -> (q08Distinct _),
+    "q09_window_rank"    -> (q09WindowRank _),
+    "q10_set_ops"        -> (q10SetOps _),
+    "q11_case_when"      -> (q11CaseWhen _),
+    "q12_scalar_math"    -> (q12ScalarMath _),
+    "q13_string_fns"     -> (q13StringFns _),
+    "q14_date_fns"       -> (q14DateFns _),
+    "q15_rollup"         -> (q15Rollup _),
+    "q16_having"         -> (q16Having _),
+    "q17_in_between"     -> (q17InBetween _),
+    "q18_json"           -> (q18Json _),
+    "q19_window_cum"     -> (q19WindowCum _),
+    "q20_above_avg"      -> (q20AboveAvg _),
+  )
+
+  /** DuckDB-dialect oracle SQL, value-identical to the queries above. */
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+    "q03_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q04_join_broadcast" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_rev,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
+    "q05_star_join" ->
+      """SELECT r_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS region_rev,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q07_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q08_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+         count(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio
+         FROM orders""",
+    "q09_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) t
+         WHERE rk <= 3 AND o_custkey < 200""",
+    "q10_set_ops" ->
+      """WITH supn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+            cusn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+            tagged AS (
+              SELECT nk, 'both' AS which FROM (SELECT nk FROM supn INTERSECT SELECT nk FROM cusn)
+              UNION ALL
+              SELECT nk, 'sup_only' AS which FROM (SELECT nk FROM supn EXCEPT SELECT nk FROM cusn))
+         SELECT which, count(*) AS n, CAST(sum(nk) AS BIGINT) AS sum_nk FROM tagged GROUP BY which""",
+    "q11_case_when" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f
+         FROM orders GROUP BY o_orderpriority""",
+    "q12_scalar_math" ->
+      """SELECT CAST(floor((value - 250.0) / 10.0) AS INTEGER) AS bucket,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1""",
+    "q13_string_fns" ->
+      """SELECT string_split(p_type, ' ')[1] AS type_head,
+         upper(substring(p_brand, 1, 7)) AS brand_up,
+         count(*) AS n,
+         CAST(sum(length(p_name)) AS BIGINT) AS sum_len
+         FROM part GROUP BY 1, 2""",
+    "q14_date_fns" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders GROUP BY 1, 2""",
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q16_having" ->
+      """SELECT p_brand, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand HAVING count(*) > 2000""",
+    "q17_in_between" ->
+      """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size
+         FROM part
+         WHERE p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+         GROUP BY p_brand""",
+    "q18_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, 'k') AS INTEGER)) AS BIGINT) AS sum_k,
+         max(CAST(json_extract_string(props, 'k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type""",
+    "q19_window_cum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+         FROM orders WHERE o_custkey < 100""",
+    "q20_above_avg" ->
+      """WITH ca AS (SELECT o_custkey AS ck,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+           FROM orders GROUP BY o_custkey)
+         SELECT o_orderstatus, count(*) AS n_above
+         FROM orders JOIN ca ON o_custkey = ck
+         WHERE o_totalprice > avg_price
+         GROUP BY o_orderstatus""",
+  )
+}
