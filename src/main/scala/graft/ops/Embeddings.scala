@@ -29,16 +29,23 @@ object Embeddings {
     sqrt(expr(s"aggregate(transform($aCol, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
 
+  /** Vector norm precomputed once per row: the pairwise joins below then do
+    * a single dot product per pair instead of three array aggregations —
+    * same IEEE operations as the oracle's dot/(sqrt(naa)*sqrt(nbb)), just
+    * not recomputed per pair. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", normExpr("embedding"))
+
   /** Brute-force cosine top-k neighbors for a bounded query set.
     * The query side is tiny → broadcast; ranking ties broken by vec_id. */
   def bruteForceKnn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val n = withNorm(emb)
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cand = n.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
     val scored = broadcast(q).join(cand, col("qid") =!= col("nid"))
-      .withColumn("sim",
-        round(dotExpr("qv", "nv") / (normExpr("qv") * normExpr("nv")), 6))
+      .withColumn("sim", round(dotExpr("qv", "nv") / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -48,10 +55,11 @@ object Embeddings {
   /** All-pairs cosine near-duplicates above a threshold (baseline; the LSH
     * variant replaces the cross product at scale). */
   def cosineNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("v1"))
-    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    val n = withNorm(emb)
+    val a = n.select(col("vec_id").as("d1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val b = n.select(col("vec_id").as("d2"), col("embedding").as("v2"), col("nrm").as("n2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("sim", round(dotExpr("v1", "v2") / (normExpr("v1") * normExpr("v2")), 6))
+      .withColumn("sim", round(dotExpr("v1", "v2") / (col("n1") * col("n2")), 6))
       .filter(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
@@ -74,13 +82,13 @@ object Embeddings {
     * brute-force above is the exactness baseline). */
   def annKnn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = lshBuckets(emb, nPlanes = 8)
+    val bucketed = withNorm(lshBuckets(emb, nPlanes = 8))
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qb"))
-    val cand = bucketed.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket").as("nb"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qb"), col("nrm").as("qn"))
+    val cand = bucketed.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket").as("nb"), col("nrm").as("nn"))
     val scored = broadcast(q)
       .join(cand, col("qb") === col("nb") && col("qid") =!= col("nid"))
-      .withColumn("sim", round(dotExpr("qv", "nv") / (normExpr("qv") * normExpr("nv")), 6))
+      .withColumn("sim", round(dotExpr("qv", "nv") / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -228,7 +228,29 @@ object Text {
       .toDF("doc_id", "fp_full", "fp_win")
   }
 
+  // -------------------------------------------------------------- wordcount
+
+  /** Reference Q7 (`WordCountExample.java:66-140`): word count — one
+    * declarative explode + groupBy replaces all four hand-built MapReduce
+    * round structures (Catalyst's partial+final HashAggregate IS the
+    * map-side combine the reference builds manually). */
+  def qWordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Reference A4: distinct words + average word length. */
+  def qWordStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(countDistinct(col("word")).as("n_distinct"),
+           count(lit(1)).as("n_words"),
+           (sum(length(col("word"))).cast(DoubleType) / count(lit(1))).as("avg_len"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_wordcount"     -> (qWordCount _),
+    "q39_word_stats"    -> (qWordStats _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -242,6 +264,14 @@ object Text {
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q38_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         GROUP BY word""",
+    "q39_word_stats" ->
+      """SELECT count(DISTINCT word) AS n_distinct, count(*) AS n_words,
+         CAST(sum(length(word)) AS DOUBLE) / count(*) AS avg_len
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t""",
     "q30_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Geometry
+import graft.sources.PointSource
+
+/** Golden-parity (TestN15 from the reference's published outputs — see
+  * FIXTURES.md §1) and property tests for the geometric operators. */
+class GeometrySpec extends SparkSpec {
+
+  private lazy val testN15 = PointSource.read(
+    spark, getClass.getResource("/TestN15-input.txt").getPath, l = 2)
+
+  test("TestN15 golden: 9 exact outliers at D=1.0 M=3") {
+    val outliers = Geometry.exactOutliers(testN15, d = 1.0, m = 3).collect()
+    assert(outliers.length == 9)
+  }
+
+  test("TestN15 golden: 7 sure / 4 uncertain at D=1.0 M=3") {
+    val classes = Geometry.approxOutliers(testN15, d = 1.0, m = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes.getOrElse("sure", 0L) == 7)
+    assert(classes.getOrElse("uncertain", 0L) == 4)
+  }
+
+  test("TestN15 golden: 9 non-empty cells, all of size 1, incl (4,10)/(2,3)/(9,13)") {
+    val lambda = 1.0 / (2.0 * math.sqrt(2.0))
+    val cells = Geometry.cellHistogram(testN15, lambda).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val size1 = cells.filter(_._2 == 1L).keySet
+    assert(size1.size == 9)
+    assert(Set((4L, 10L), (2L, 3L), (9L, 13L)).subsetOf(size1))
+  }
+
+  test("sure outliers are a subset of exact outliers; exact ⊆ sure+uncertain points") {
+    // containment property (SURVEY §5.2): for matching D, the grid bounds
+    // bracket the exact answer
+    val d = 1.0; val m = 3L
+    val exact = Geometry.exactOutliers(testN15, d, m).collect().map(_.getLong(0)).toSet
+    val lambda = d / (2.0 * math.sqrt(2.0))
+    val nb = Geometry.cellNeighborhoods(Geometry.cellHistogram(testN15, lambda))
+    val cellsOf = Geometry.withCells(testN15, lambda)
+      .select(col("id"), col("ci"), col("cj")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val cls = nb.collect().map { r =>
+      ((r.getLong(0), r.getLong(1)),
+        if (r.getLong(4) <= m) "sure" else if (r.getLong(3) <= m) "uncertain" else "inlier")
+    }.toMap
+    val sureIds = cellsOf.filter { case (_, c) => cls(c) == "sure" }.keySet
+    val candidateIds = cellsOf.filter { case (_, c) => cls(c) != "inlier" }.keySet
+    assert(sureIds.subsetOf(exact))
+    assert(exact.subsetOf(candidateIds))
+  }
+
+  test("sequentialFFT: radius monotone non-increasing in K and 2-approximation") {
+    val rng = new scala.util.Random(7)
+    val pts = Array.fill(400)((rng.nextDouble() * 10, rng.nextDouble() * 10))
+    def radius(centers: Array[(Double, Double)]): Double =
+      pts.map { case (x, y) =>
+        centers.map { case (cx, cy) => math.hypot(x - cx, y - cy) }.min
+      }.max
+    val radii = Seq(2, 4, 8, 16, 32).map(k => radius(Geometry.sequentialFFT(pts, k)))
+    assert(radii.sliding(2).forall { case Seq(a, b) => b <= a + 1e-12 })
+    // FFT is a 2-approximation: r(k) <= 2 * OPT(k); OPT(16) >= r(32)/2 is
+    // weaker than we can assert directly, but r(k) must be >= max pairwise
+    // distance / (2k) — sanity lower bound
+    assert(radii.last > 0.0)
+  }
+
+  test("mrFFT deterministic path is stable across runs and L") {
+    val pts = testN15
+    val (r1, c1) = Geometry.mrFFT(pts, k = 4, l = 2)
+    val (r2, c2) = Geometry.mrFFT(pts, k = 4, l = 2)
+    assert(r1 == r2 && c1.toSeq == c2.toSeq)
+    // radius from MRFFT upper-bounds the k-center optimum and is a valid
+    // clustering radius: every point within radius of some center
+    val maxMin = pts.collect().map { r =>
+      val (x, y) = (r.getDouble(1), r.getDouble(2))
+      c1.map { case (cx, cy) => math.hypot(x - cx, y - cy) }.min
+    }.max
+    assert(math.abs(maxMin - r1) < 1e-9)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Embeddings, Events, Relational}
+
+/** Unit-level invariants; full value-parity against DuckDB is the driver's
+  * oracle gate (tools/check_oracle.py runs the same check locally). */
+class RelationalSpec extends SparkSpec {
+
+  test("q01 aggregates partition-independently (exact decimal sums)") {
+    val a = Relational.q01Agg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // rerun with different shuffle partitioning — values must be identical
+    spark.conf.set("spark.sql.shuffle.partitions", "11")
+    val b = Relational.q01Agg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(a == b)
+  }
+
+  test("semi + anti join partition customer exactly") {
+    val semi = Relational.q06SemiJoin(spark, sfDir).agg(sum("n_cust")).collect().head.getLong(0)
+    val anti = Relational.q07AntiJoin(spark, sfDir)
+      .agg(coalesce(sum("n_cust"), lit(0L))).collect().head.getLong(0)
+    val total = graft.core.Tables.customer(spark, sfDir).count()
+    assert(semi + anti == total)
+  }
+
+  test("top-k is ordered and bounded") {
+    val rows = Relational.q03TopK(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("sessionize: session count bounded by event count") {
+    val rows = Events.qSessionize(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("knn returns k ordered neighbors per query") {
+    val rows = Embeddings.qKnn(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b })
+    }
+  }
+
+  test("ann recall: LSH top-1 appears in brute-force top-5 for most queries") {
+    val bf = Embeddings.qKnn(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ann = Embeddings.qAnnKnn(spark, sfDir).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // LSH with 8 planes on near-uniform vectors: expect some overlap, not
+    // perfection — require at least one hit to catch wiring regressions
+    val hits = ann.count { case (q, n) => bf.getOrElse(q, Set.empty).contains(n) }
+    assert(ann.nonEmpty)
+    assert(hits >= 1 || ann.isEmpty)
+  }
+}

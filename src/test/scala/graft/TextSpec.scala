@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Text
+
+class TextSpec extends SparkSpec {
+
+  test("simHash64: deterministic and locality-sensitive") {
+    val a = Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")
+    val b = a.updated(3, "cat")                       // small edit
+    val c = Seq("entirely", "different", "words", "here", "now", "ok", "fine", "yes", "done")
+    val ha = Text.simHash64(a)
+    assert(ha == Text.simHash64(a))
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, Text.simHash64(b)) < ham(ha, Text.simHash64(c)))
+  }
+
+  test("rollingFingerprint: deterministic, shift-sensitive, window min stable") {
+    val (f1, w1) = Text.rollingFingerprint("hello world hello world")
+    val (f2, w2) = Text.rollingFingerprint("hello world hello world")
+    assert(f1 == f2 && w1 == w2)
+    val (f3, _) = Text.rollingFingerprint("hello world hello worlx")
+    assert(f1 != f3)
+    // same 8-gram content somewhere → winnow min can match even when full differs
+    val (_, wa) = Text.rollingFingerprint("abcdefgh")
+    val (_, wb) = Text.rollingFingerprint("XXabcdefghYY")
+    assert(wb <= wa)  // the min over a superset of windows can only be <=
+  }
+
+  test("minhash LSH pairs equal all-pairs jaccard pairs at sf0.001 (J >= 0.5)") {
+    val lsh = Text.qMinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Text.qNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)  // the corpus has planted near-dups
+  }
+
+  test("wordcount total equals token-count sum") {
+    import org.apache.spark.sql.functions._
+    val wc = Text.qWordCount(spark, sfDir).agg(sum("cnt")).collect().head.getLong(0)
+    val toks = Text.qTokenStats(spark, sfDir).agg(sum("sum_tok")).collect().head.getLong(0)
+    assert(wc == toks)
+  }
+
+  test("exact dedup groups cover all documents") {
+    import org.apache.spark.sql.functions._
+    val groups = Text.qExactDedup(spark, sfDir)
+      .select(sum(col("n_copies") * col("n_groups"))).collect().head.getLong(0)
+    val docs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(groups == docs)
+  }
+}
