@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expression for the vector hot path.
+  *
+  * The declarative formulation (`aggregate(zip_with(a, b, (x,y) -> …))`)
+  * is semantically right but executes as interpreted higher-order
+  * functions: one array allocation per pair per zip_with, no whole-stage
+  * codegen. On an all-pairs similarity join that allocation dominates. This
+  * expression generates a tight primitive loop (doGenCode), keeping the
+  * join inside WholeStageCodegen — same left-to-right double accumulation,
+  * so results are bit-identical to the HOF form and the DuckDB oracle.
+  *
+  * Registered as SQL function `graft_dot` via [[GraftFunctions.register]]
+  * (callable from any session) and [[graft.plans.GraftExtensions]] (for
+  * `spark.sql.extensions`-configured sessions).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+/** Distinct hashed n-gram shingles of a token array, in one pass.
+  *
+  * Replaces the declarative chain `array_distinct(transform(sequence(…),
+  * i -> concat_ws(' ', element_at…)))` which runs as interpreted
+  * higher-order functions and materializes every intermediate array —
+  * the dominant cost of the near-dup pipeline. Downstream consumers
+  * (Jaccard counts, MinHash signatures) only need set identity, not the
+  * shingle text, so emitting 64-bit hashes loses nothing (collision
+  * probability ~2^-40 at 10^6 shingles). Each token is hashed once and
+  * n-gram hashes are mixed from the token hashes — no string concatenation
+  * at all. CodegenFallback: the per-row work is a single tight loop, so
+  * codegen would only inline the call.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got ${other.simpleString}")
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val tokHash = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      tokHash(i) = mix(arr.getUTF8String(i).hashCode().toLong)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= len - n) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { h = mix(h ^ tokHash(i + j)); j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+/** Idempotent per-session registration of the graft SQL functions. */
+object GraftFunctions {
+  val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot",
+    "graft_dot(a, b) - double dot product of two float/double arrays", "")
+
+  val shinglesInfo = new ExpressionInfo(classOf[ShingleHashes].getName, null, "graft_shingles",
+    "graft_shingles(tokens, n) - distinct 64-bit hashes of the n-gram shingles of a token array", "")
+
+  private def toInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val dotId = FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(dotId)) {
+      registry.registerFunction(dotId, dotInfo,
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
+    val shId = FunctionIdentifier("graft_shingles")
+    if (!registry.functionExists(shId)) {
+      registry.registerFunction(shId, shinglesInfo,
+        (children: Seq[Expression]) => ShingleHashes(children(0), toInt(children(1))))
+    }
+  }
+}

