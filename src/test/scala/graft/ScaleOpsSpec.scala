@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.sources.Bucketed
+import graft.streaming.StatefulOps
+
+/** Scale-path operators: salted skew handling, bucketed co-located joins,
+  * stateful streaming dedup. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted aggregation equals plain aggregation") {
+    val salted = Skew.qSaltedAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join aggregation") {
+    val salted = Skew.qSaltedJoin(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val plain = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = graft.core.Tables.orders(spark, sfDir)
+      val customer = graft.core.Tables.customer(spark, sfDir)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      Bucketed.writeBucketed(orders, "b_orders", "o_custkey", 8)
+      Bucketed.writeBucketed(customer, "b_customer", "o_custkey", 8)
+      val joined = Bucketed.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("streamingDedup emits each (key, token) once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = StatefulOps.streamingDedup(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    mem.addData(("a", 1L), ("a", 2L), ("b", 1L), ("a", 1L))
+    q.processAllAvailable()
+    mem.addData(("a", 2L), ("a", 3L), ("b", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_test").as[(String, Long)].collect().toSeq
+    assert(rows.sorted == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
+  }
+
+  test("runningCounts accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = StatefulOps.runningCounts(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("rc_test")
+      .outputMode("update").start()
+    mem.addData(("x", 2L), ("x", 3L))
+    q.processAllAvailable()
+    mem.addData(("x", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rc_test").as[(String, Long)].collect().toSeq
+    assert(rows.contains(("x", 10L)))
+  }
+}
