@@ -14,13 +14,19 @@ import graft.sources.PointSource
   *  - StreamApp   ≙ HW3 `G016HW3.main` (n phi epsilon delta host port)
   */
 object CliSession {
-  def make(app: String): SparkSession = SparkSession.builder()
-    .appName(app)
-    .config("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.locality.wait", "0s")
-    .getOrCreate()
+  def make(app: String): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(app)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.locality.wait", "0s")
+    // spark-submit injects spark.master; standalone runs default to local
+    val withMaster =
+      if (sys.props.contains("spark.master")) b
+      else b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    withMaster.getOrCreate()
+  }
 }
 
 object OutlierApp {
