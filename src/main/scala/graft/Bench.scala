@@ -21,11 +21,18 @@ object Bench {
     // the first measured query doesn't pay JIT cost
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(10000).groupBy("l_returnflag").count().collect()
+    // warm run (JIT + shuffle-file page cache) then measured run per query;
+    // the noop sink forces full plan execution both times
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = try { once(); once() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

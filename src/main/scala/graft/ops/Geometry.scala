@@ -243,6 +243,21 @@ object Geometry {
       .toDF("center_idx", "x", "y", "radius")
   }
 
+  /** MRFFT at fact-table scale (lineitem-derived points, K=100, L=32) —
+    * the BASELINE.md-comparable workload (reference: MRFFT on 1M points,
+    * K=200, L=16 ≈ 1.1 s on 16 executors). Rows-only check. */
+  def qFftScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_extendedprice").as("x"),
+      (col("l_quantity") * 100.0).as("y"))
+    val (radius, centers) = mrFFT(pts, k = 100, l = 32, deterministic = true)
+    centers.zipWithIndex
+      .map { case ((x, y), i) => (i, x, y, radius) }.toSeq
+      .toDF("center_idx", "x", "y", "radius")
+  }
+
   private val LambdaSql = "(500.0 / (2.0 * sqrt(2.0)))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,6 +266,7 @@ object Geometry {
     "q23_approx_outliers"  -> (qApproxOutliers _),
     "q24_exact_outliers"   -> (qExactOutliers _),
     "q25_fft_centers"      -> (qFftCenters _),
+    "q26_fft_scale"        -> (qFftScale _),
   )
 
   val oracles: Map[String, String] = Map(
