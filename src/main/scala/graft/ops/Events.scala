@@ -65,7 +65,44 @@ object Events {
       .select(col("user_id"), col("event_id").as("top_event"), col("value").as("top_value"))
   }
 
+  /** Backward as-of join: for each left row, the latest right row with
+    * rightTs <= leftTs and matching key — the canonical time-series
+    * enrichment operator Spark lacks natively. Implemented as a tagged
+    * union + per-key window carry (last non-null over the time-ordered
+    * stream): one shuffle on the key, no range join, no cartesian — at
+    * scale this beats an inequality join by orders of magnitude because the
+    * window pass is linear per key. Timestamps compared in epoch ms. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, leftId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(key).as("k"), unix_millis(col(leftTs)).as("ms"),
+      col(leftId).as("lid"), lit(1).as("tag"), lit(null).cast(LongType).as("rms"))
+    val r = right.select(col(key).as("k"), unix_millis(col(rightTs)).as("ms"),
+      lit(null).cast(left.schema(leftId).dataType).as("lid"), lit(0).as("tag"),
+      unix_millis(col(rightTs)).as("rms"))
+    // right rows sort before left rows at equal ms → the join is inclusive
+    val w = Window.partitionBy(col("k")).orderBy(col("ms").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("matched_ms", last(col("rms"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("lid"), col("k"), col("ms").as("l_ms"), col("matched_ms"))
+  }
+
+  /** As-of enrichment: each click matched to the user's latest prior (or
+    * simultaneous) purchase. */
+  def qAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    asOfJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      key = "user_id", leftTs = "ts", rightTs = "ts", leftId = "event_id")
+      .select(col("lid").as("click_id"), col("k").as("user_id"),
+              col("l_ms").as("click_ms"), col("matched_ms").as("purchase_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_asof_join"      -> (qAsOf _),
     "q50_frequent_items" -> (qFrequentItems _),
     "q51_tumbling_window"-> (qTumblingWindow _),
     "q52_sessionize"     -> (qSessionize _),
@@ -73,6 +110,11 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.cms AS click_ms, p.pms AS purchase_ms
+         FROM (SELECT event_id, user_id, epoch_ms(ts) AS cms FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, epoch_ms(ts) AS pms FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.cms >= p.pms""",
     "q50_frequent_items" ->
       """SELECT user_id, count(*) AS freq FROM events GROUP BY user_id
          HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""",

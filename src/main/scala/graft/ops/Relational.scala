@@ -211,7 +211,29 @@ object Relational {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** Pearson correlation via the explicit moment formula over exact decimal
+    * sums: built-in corr() accumulates doubles in partition order (results
+    * drift across partitionings and engines); exact Σx/Σy/Σxy/Σx²/Σy² make
+    * the final double formula bit-reproducible anywhere. */
+  def q59Stats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+    val m = li.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(x).cast(DoubleType).as("sx"),
+      sum(y).cast(DoubleType).as("sy"),
+      sum(x * y).cast(DoubleType).as("sxy"),
+      sum(x * x).cast(DoubleType).as("sxx"),
+      sum(y * y).cast(DoubleType).as("syy"))
+    m.select(
+      col("n").cast(LongType).as("n_rows"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_stats"          -> (q59Stats _),
     "q01_agg"            -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_topk"           -> (q03TopK _),
@@ -236,6 +258,18 @@ object Relational {
 
   /** DuckDB-dialect oracle SQL, value-identical to the queries above. */
   val oracles: Map[String, String] = Map(
+    "q59_stats" ->
+      """WITH m AS (SELECT
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+         FROM lineitem)
+         SELECT CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+         FROM m""",
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

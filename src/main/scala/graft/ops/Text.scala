@@ -266,9 +266,53 @@ object Text {
            count(lit(1)).as("n_words"),
            (sum(length(col("word"))).cast(DoubleType) / count(lit(1))).as("avg_len"))
 
+  /** TF-IDF per (document, term): tf from a per-doc word count, df from a
+    * distinct-doc count per term, idf = ln(N/df). Two hash aggregations and
+    * one broadcast join — no per-document loops. */
+  def qTfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "word")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .filter(col("tfidf") >= 3.0)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Near-duplicate clustering: connected components over the Jaccard >= 0.5
+    * pair graph via distributed min-label propagation (bounded iterations,
+    * converges in component-diameter steps — the scalable pattern; no
+    * driver-side union-find). Output: (doc_id, canonical component id) for
+    * every document that has at least one near-duplicate. */
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = qNgramJaccard(s, dir).select(col("d1"), col("d2"))
+    val und = edges.unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    var labels = und.select(col("d1").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val msgs = und.join(labels, und("d1") === labels("node"))
+        .select(col("d2").as("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp")).unionByName(msgs)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()   // truncate lineage across iterations
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("comp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
+    "q57_tfidf"         -> (qTfIdf _),
+    "q58_dedup_components" -> (qDedupComponents _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -337,6 +381,33 @@ object Text {
          SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
          FROM common JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""",
+    "q57_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+         df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, tf.word, tf, df,
+           round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+         FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+         WHERE round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) >= 3.0""",
+    "q58_dedup_components" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tok WHERE len(t) >= 3),
+         card AS (SELECT doc_id AS cid, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         edges AS (SELECT d1, d2 FROM common
+                   JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
+                   WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+         und AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+         reach(n, m) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)
+         SELECT n AS doc_id, least(n, min(m)) AS comp FROM reach GROUP BY n""",
     // q35 minhash: same output contract as q34 on separated corpora — verified
     // empirically at the harness SF; recorded as the all-pairs Jaccard SQL.
     "q35_minhash_lsh" ->
