@@ -2,7 +2,10 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Loaders for the driver-provided star schema (see /root/repo/TESTDATA.md).
+/** Loaders for the driver-provided star schema (see /root/repo/TESTDATA.md;
+  * note TESTDATA.md lists the 8 TPC-H-ish tables — `documents` and
+  * `embeddings` are additional LLM-pipeline fixtures present in the same
+  * sf directories).
   *
   * Every loader is a plain parquet scan: Catalyst handles column pruning and
   * predicate pushdown from whatever the caller selects/filters downstream,

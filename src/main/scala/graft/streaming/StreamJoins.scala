@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream and stream-static joins — the Structured Streaming join
+  * surface. Stream-stream inner joins need watermarks on both sides plus a
+  * time-range condition so the state store can evict: without the range
+  * bound, state grows without limit at 100 TB/day ingest.
+  */
+object StreamJoins {
+
+  /** Inner stream-stream join: click events to purchase events by user,
+    * purchase within [click, click + window]. Both sides watermarked; the
+    * range condition bounds state retention on both stores. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      watermark: String = "1 hour", joinWindow: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr(s"INTERVAL $joinWindow"))
+  }
+
+  /** Stream-static enrichment: a stream joined to a broadcastable static
+    * dimension — no state store involved; the static side is re-planned
+    * per micro-batch (so a refreshed dim parquet is picked up). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Events
+import graft.sources.PartitionedSink
+import graft.streaming.StreamJoins
+
+class SourcesSpec extends SparkSpec {
+
+  test("partitioned sink: filter on partition column prunes partitions") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val ev = graft.core.Tables.events(spark, sfDir)
+    PartitionedSink.write(ev, dir, Seq("event_type"))
+    val filtered = PartitionedSink.read(spark, dir)
+      .filter(col("event_type") === "click")
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // pruned scan reads exactly the one matching partition directory
+    val parts = scans.head.selectedPartitions.partitionCount
+    assert(parts == 1, s"expected 1 selected partition, got $parts")
+    val n = filtered.count()
+    val expected = ev.filter(col("event_type") === "click").count()
+    assert(n == expected)
+  }
+
+  test("as-of join: inclusive equality match and null for no prior row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("user_id", "ms0", "event_id")
+      .select(col("user_id"), timestamp_millis(col("ms0")).as("ts"), col("event_id"))
+    val right = Seq((1L, 100L), (1L, 150L), (3L, 10L))
+      .toDF("user_id", "ms0")
+      .select(col("user_id"), timestamp_millis(col("ms0")).as("ts"),
+        (col("ms0") + 1000).as("event_id"))
+    val out = Events.asOfJoin(left, right, "user_id", "ts", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(10L) == Some(100L))   // equality is inclusive
+    assert(out(11L) == Some(150L))   // latest prior, not first
+    assert(out(12L) == None)         // no right row for user 2
+  }
+
+  test("stream-stream join matches purchases within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamJoins.clickToPurchase(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    clicks.addData((1L, 7L, ts(0)), (2L, 8L, ts(0)))
+    purchases.addData((100L, 7L, ts(10)), (101L, 8L, ts(55)), (102L, 9L, ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_test").select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L)))  // 101 outside 30-min window; 102 wrong user
+  }
+}
