@@ -232,8 +232,31 @@ object Relational {
          sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
   }
 
+  /** CUBE grouping sets over two dimensions. */
+  def q60Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+
+  /** Null-production and null-handling scalar functions (the fixtures carry
+    * no nulls, so NULLIF manufactures them): nullif/coalesce/nvl2-style. */
+  def q61Nulls(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("disc_or_null")).as("n_nonnull"),
+        sum(when(col("disc_or_null").isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
+        sum(coalesce(col("disc_or_null"), lit(0.0)).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_disc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_stats"          -> (q59Stats _),
+    "q60_cube"           -> (q60Cube _),
+    "q61_nulls"          -> (q61Nulls _),
     "q01_agg"            -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_topk"           -> (q03TopK _),
@@ -270,6 +293,16 @@ object Relational {
          SELECT CAST(n AS BIGINT) AS n_rows,
            (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
          FROM m""",
+    "q60_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q61_nulls" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         count(nullif(l_discount, 0.0)) AS n_nonnull,
+         CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(sum(CAST(coalesce(nullif(l_discount, 0.0), 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+         FROM lineitem GROUP BY l_returnflag""",
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
