@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shinglesInfo,
       (children: Seq[Expression]) => ShingleHashes(children(0),
         children(1).eval(null).asInstanceOf[Number].intValue())))
+    // band-join → equi-join rewrite (see BandJoinRule); also available on a
+    // live session via spark.experimental.extraOptimizations
+    ext.injectOptimizerRule(_ => BandJoinRule())
   }
 }

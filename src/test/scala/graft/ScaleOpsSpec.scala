@@ -39,10 +39,16 @@ class ScaleOpsSpec extends SparkSpec {
       Bucketed.writeBucketed(orders, "b_orders", "o_custkey", 8)
       Bucketed.writeBucketed(customer, "b_customer", "o_custkey", 8)
       val joined = Bucketed.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey")
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
       }
-      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+      // guard against a vacuous assertion: the stripped plan must contain
+      // the join itself
+      assert(plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join over bucketed tables, got:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$plan")
       assert(joined.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
