@@ -253,10 +253,23 @@ object Relational {
         sum(coalesce(col("disc_or_null"), lit(0.0)).cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_disc"))
 
+  /** Per-key top-k through the custom physical operator (graft.plans.TopK:
+    * LogicalPlan + Strategy + bounded-heap exec with a map-side partial
+    * pass) — result-identical to the q09 window formulation, verified by
+    * the same oracle shape. */
+  def q62TopKCustom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.orders(s, dir).filter(col("o_custkey") < 200),
+      keys = Seq("o_custkey"),
+      orderBy = Seq(graft.plans.TopK.desc("o_totalprice"), graft.plans.TopK.asc("o_orderkey")),
+      k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_stats"          -> (q59Stats _),
     "q60_cube"           -> (q60Cube _),
     "q61_nulls"          -> (q61Nulls _),
+    "q62_topk_custom"    -> (q62TopKCustom _),
     "q01_agg"            -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_topk"           -> (q03TopK _),
@@ -297,6 +310,12 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q62_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders WHERE o_custkey < 200) t
+         WHERE rk <= 3""",
     "q61_nulls" ->
       """SELECT l_returnflag, count(*) AS n_rows,
          count(nullif(l_discount, 0.0)) AS n_nonnull,
