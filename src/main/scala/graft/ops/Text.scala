@@ -308,11 +308,53 @@ object Text {
     labels.select(col("node").as("doc_id"), col("comp"))
   }
 
+  /** Training-window chunking: overlapping 32-token windows at stride 24
+    * per document (the standard context-window preparation step). One
+    * generator expression per document — no per-doc loops, fully
+    * distributed. Chunk content is carried as an md5 so the gate compares
+    * content, not just counts. */
+  def qChunking(s: SparkSession, dir: String): DataFrame =
+    withTokens(Tables.documents(s, dir))
+      .select(col("doc_id"), col("t"),
+        posexplode(expr("sequence(0, cast(floor((size(t) - 1) / 24.0) as int))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        expr("slice(t, pos * 24 + 1, 32)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+
+  /** Sequence packing: assign documents (in stable doc_id order per
+    * language) to training bins of ~8192 tokens by running total — the
+    * streaming packing shape (one window pass, no driver loop). */
+  def qPacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokens(Tables.documents(s, dir))
+      .select(col("lang"), col("doc_id"), size(col("t")).as("n_tok"))
+      .withColumn("running", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("running") - col("n_tok")) / 8192.0).cast(LongType))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast(LongType).as("bin_tokens"))
+  }
+
+  /** Deterministic content-hash sampling: md5(text) < threshold selects a
+    * reproducible ~10% sample independent of partitioning, engine, and
+    * run — the reproducibility property rand()-based sampling lacks. */
+  def qHashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(md5(col("text")) < "1a")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).cast(LongType).as("sum_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
     "q57_tfidf"         -> (qTfIdf _),
     "q58_dedup_components" -> (qDedupComponents _),
+    "q63_chunking"      -> (qChunking _),
+    "q64_packing"       -> (qPacking _),
+    "q65_hash_sample"   -> (qHashSample _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -381,6 +423,29 @@ object Text {
          SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
          FROM common JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""",
+    "q63_chunking" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT doc_id,
+             unnest(range(0, CAST(floor((len(t) - 1) / 24.0) AS INT) + 1)) AS chunk_idx,
+             t
+           FROM tok)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(t[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, len(t))]) AS INT) AS chunk_len,
+           md5(array_to_string(t[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, len(t))], ' ')) AS chunk_hash
+         FROM chunks""",
+    "q64_packing" ->
+      """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+         r AS (SELECT lang, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM d)
+         SELECT lang, CAST(floor((running - n_tok) / 8192.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         FROM r GROUP BY 1, 2""",
+    "q65_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
     "q57_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
