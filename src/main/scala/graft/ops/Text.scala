@@ -305,6 +305,7 @@ object Text {
       labels = next
       iter += 1
     }
+    und.unpersist()
     labels.select(col("node").as("doc_id"), col("comp"))
   }
 

@@ -28,4 +28,16 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.length == 30)
     assert(resized.forall(r => r.width == 64 && r.height == 64))
   }
+
+  test("extracted features flow into the similarity operators end-to-end") {
+    import org.apache.spark.sql.functions._
+    val features = Multimodal.extractImageFeatures(media, dim = 64)
+      .toDF().select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    // media → features → pairwise cosine: the multimodal-to-similarity
+    // pipeline contract (same column shapes as the embeddings table)
+    val pairs = graft.ops.Embeddings.cosineNearDup(features, threshold = -1.0)
+    assert(pairs.count() == 30L * 29 / 2)
+    val knn = graft.ops.Embeddings.bruteForceKnn(features, col("vec_id") < 3, k = 4)
+    assert(knn.count() == 12)
+  }
 }
