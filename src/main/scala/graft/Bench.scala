@@ -37,7 +37,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md-comparable reference workloads (uber-100k, D=0.02 M=10):
+    // published numbers are ExactOutliers 61 655 ms / MRApproxOutliers 960 ms
+    val uber = "/root/reference/Homework_1/Data/uber-100k.csv"
+    val ref = if (new java.io.File(uber).exists()) {
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val pts = graft.sources.PointSource.read(spark, uber, cpus.toInt)
+        pts.count()
+        val tExact = time(graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count())
+        val tApprox = time(graft.ops.Geometry.approxOutliers(pts, 0.02, 10).count())
+        val tFft = time(graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false))
+        f""","reference":{"exact_outliers_uber100k":$tExact%.3f,"approx_outliers_uber100k":$tApprox%.3f,"mrfft_k100_uber100k":$tFft%.3f}"""
+      } catch { case _: Throwable => "" }
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref}""")
     spark.stop()
   }
 }
