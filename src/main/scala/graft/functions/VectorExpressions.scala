@@ -148,6 +148,54 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_shingles"
 }
 
+/** Morton (Z-order) interleave of two signed 32-bit cell coordinates into
+  * one long sort key. Sorting/range-partitioning geometric or 2-key data by
+  * this key before writing clusters spatial neighbors into the same files
+  * and row groups, so min/max statistics prune 2-D range predicates — the
+  * layout lever for 100 TB geo/grid datasets (one sort at write time buys
+  * every subsequent query's pruning). Sign bit is flipped so negative
+  * coordinates order correctly. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  private def okType(e: Expression): Boolean =
+    e.dataType == IntegerType || e.dataType == LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zorder expects int/long arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def toBits(v: Long): Long = (v.toInt.toLong ^ 0x80000000L) & 0xffffffffL
+
+  /** Spread the low 32 bits of v into the even bit positions of a long. */
+  private def spread(v0: Long): Long = {
+    var v = v0 & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8))  & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4))  & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2))  & 0x3333333333333333L
+    v = (v | (v << 1))  & 0x5555555555555555L
+    v
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a match { case i: Int => i.toLong; case l: Long => l }
+    val y = b match { case i: Int => i.toLong; case l: Long => l }
+    spread(toBits(x)) | (spread(toBits(y)) << 1)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_zorder"
+}
+
 /** Idempotent per-session registration of the graft SQL functions. */
 object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot",
@@ -155,6 +203,9 @@ object GraftFunctions {
 
   val shinglesInfo = new ExpressionInfo(classOf[ShingleHashes].getName, null, "graft_shingles",
     "graft_shingles(tokens, n) - distinct 64-bit hashes of the n-gram shingles of a token array", "")
+
+  val zorderInfo = new ExpressionInfo(classOf[ZOrder2].getName, null, "graft_zorder",
+    "graft_zorder(i, j) - Morton (Z-order) interleave of two 32-bit coordinates into a long sort key", "")
 
   private def toInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -170,6 +221,11 @@ object GraftFunctions {
     if (!registry.functionExists(shId)) {
       registry.registerFunction(shId, shinglesInfo,
         (children: Seq[Expression]) => ShingleHashes(children(0), toInt(children(1))))
+    }
+    val zId = FunctionIdentifier("graft_zorder")
+    if (!registry.functionExists(zId)) {
+      registry.registerFunction(zId, zorderInfo,
+        (children: Seq[Expression]) => ZOrder2(children(0), children(1)))
     }
   }
 }
