@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** End-to-end training-data preparation pipeline composed from the
+  * operator library: quality filter → exact dedup → near-dup removal →
+  * chunking → sequence packing. One declarative flow; every stage is the
+  * oracle-verified operator from its module, so the pipeline inherits the
+  * correctness gate. The near-dup stage keeps each component's canonical
+  * document (min doc_id) and drops the rest — the LSH candidate set from
+  * Text.qMinHashLsh bounds the work at scale.
+  */
+object Pipeline {
+
+  final case class Config(
+      minTokens: Int = 10,
+      maxStopRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.5,
+      chunkSize: Int = 32,
+      chunkStride: Int = 24,
+      packBudget: Int = 8192)
+
+  /** Documents surviving quality + exact-dup + near-dup filtering. */
+  def cleanCorpus(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // stage 1: quality gate (token count + stopword ratio)
+    val stopList = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+      .map(w => s"'$w'").mkString(", ")
+    val quality = docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tok", size(col("t")))
+      .withColumn("n_stop", expr(s"size(filter(t, x -> x IN ($stopList)))"))
+      .filter(col("n_tok") >= cfg.minTokens &&
+              col("n_stop").cast(DoubleType) / col("n_tok") <= cfg.maxStopRatio)
+    // stage 2: exact dedup — canonical (min doc_id) per content hash
+    val exactCanon = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val exactDeduped = quality
+      .join(exactCanon, md5(col("text")) === col("h") && col("doc_id") === col("keep_id"))
+      .drop("h", "keep_id")
+    // stage 3: near-dup removal — drop every non-canonical member of a
+    // Jaccard component (pairs from the LSH path; d1 < d2 ⇒ min survives)
+    val nearDupLosers = Text.qMinHashLsh(s, dir)
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("d2").as("drop_id")).distinct()
+    exactDeduped
+      .join(nearDupLosers, col("doc_id") === col("drop_id"), "left_anti")
+  }
+
+  /** Full pipeline: cleaned corpus → overlapping chunks → packed bins.
+    * Output: one row per chunk with its training-bin assignment. */
+  def trainingChunks(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = cleanCorpus(s, dir, cfg)
+    val chunks = clean
+      .select(col("doc_id"), col("lang"), col("t"),
+        posexplode(expr(s"sequence(0, cast(floor((size(t) - 1) / ${cfg.chunkStride}.0) as int))")))
+      .select(col("doc_id"), col("lang"), col("pos").as("chunk_idx"),
+        expr(s"slice(t, pos * ${cfg.chunkStride} + 1, ${cfg.chunkSize})").as("chunk"))
+      .withColumn("chunk_len", size(col("chunk")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("running", sum(col("chunk_len")).over(w))
+      .withColumn("bin", floor((col("running") - col("chunk_len")) / cfg.packBudget.toDouble).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk_len"),
+        col("bin"), md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Gate query: per-language pipeline yield summary (docs in, docs kept,
+    * chunks, bins) — deterministic, rows-only (the composed flow includes
+    * the LSH stage which has no SQL oracle). */
+  def qPipelineSummary(s: SparkSession, dir: String): DataFrame = {
+    val total = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_in"))
+    val chunks = trainingChunks(s, dir)
+    val kept = chunks.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("docs_kept"),
+           count(lit(1)).as("n_chunks"),
+           countDistinct(col("bin")).as("n_bins"))
+    total.join(kept, "lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_pipeline_summary" -> (qPipelineSummary _),
+  )
+}
