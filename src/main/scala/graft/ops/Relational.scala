@@ -265,8 +265,21 @@ object Relational {
       k = 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
 
+  /** Approximate sketches (HLL++ distinct, GK quantiles): the sublinear-
+    * memory path for 100 TB cardinality/percentile questions. HLL register
+    * merges are commutative → results are partitioning-independent; no SQL
+    * oracle (engine-specific sketches), accuracy is property-tested against
+    * exact values in RelationalSpec. */
+  def q67ApproxSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_stats"          -> (q59Stats _),
+    "q67_approx_sketches" -> (q67ApproxSketches _),
     "q60_cube"           -> (q60Cube _),
     "q61_nulls"          -> (q61Nulls _),
     "q62_topk_custom"    -> (q62TopKCustom _),

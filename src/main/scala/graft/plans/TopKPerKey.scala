@@ -42,18 +42,28 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numDroppedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows pruned by the bounded heaps"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val outRows = longMetric("numOutputRows")
+    val dropped = longMetric("numDroppedRows")
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val cmp = new LazilyGeneratedOrdering(sortOrder, childOutput)
       // per-key bounded heap: worst row on top (reverse comparator)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      var inputRows = 0L
       while (iter.hasNext) {
+        inputRows += 1
         val row = toUnsafe(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -74,6 +84,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         while (i >= 0) { rows(i) = h.poll(); i -= 1 }  // drain → ascending
         rows.foreach(out += _)
       }
+      outRows += out.length.toLong
+      dropped += inputRows - out.length
       out.iterator
     }, preservesPartitioning = true)
   }

@@ -49,6 +49,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approximate sketches track exact values within tolerance") {
+    val r = Relational.q67ApproxSketches(spark, sfDir).collect().head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"HLL distinct $approx too far from exact $exact")
+    // p50/p99 must be ordered and within the observed value range
+    val p50 = r.getDouble(2); val p99 = r.getDouble(3)
+    assert(p50 <= p99)
+    val stats = graft.core.Tables.lineitem(spark, sfDir)
+      .agg(min("l_extendedprice"), max("l_extendedprice")).collect().head
+    assert(p50 >= stats.getDouble(0) && p99 <= stats.getDouble(1))
+  }
+
   test("ann recall: LSH top-1 appears in brute-force top-5 for most queries") {
     val bf = Embeddings.qKnn(spark, sfDir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
