@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
+  * partitions the vector space into nlist cells; queries probe only the
+  * nprobe nearest cells. The quantizer is the reference's farthest-first
+  * traversal (`G016HW2.java:114-154` semantics) generalized to n
+  * dimensions — FFT's max-min cover guarantee is exactly what a coarse
+  * quantizer wants (cells of bounded radius), and it is deterministic,
+  * unlike k-means init.
+  *
+  * Scale shape: centroids are tiny (nlist ≤ a few hundred) and broadcast
+  * as literal expressions; assignment is a per-row projection; the search
+  * is an equi-join on centroid_id — candidates per query drop from |DB| to
+  * ~nprobe/nlist of it. The LSH variant (Embeddings.annKnn) trades recall
+  * differently (hash buckets vs spatial cells); both share the brute-force
+  * baseline as their correctness anchor.
+  */
+object Ann {
+
+  /** Gonzalez farthest-first traversal in n dimensions (first point seeds,
+    * first-index tiebreak — deterministic). */
+  def farthestFirst(vecs: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    require(vecs.nonEmpty)
+    val n = vecs.length
+    val kk = math.min(k, n)
+    val centers = new Array[Array[Double]](kk)
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    centers(0) = vecs(0)
+    var c = 0
+    while (c < kk - 1) {
+      val cur = centers(c)
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        var d2 = 0.0
+        var j = 0
+        while (j < cur.length) { val d = vecs(i)(j) - cur(j); d2 += d * d; j += 1 }
+        if (d2 < minD2(i)) minD2(i) = d2
+        if (minD2(i) > bestD) { bestD = minD2(i); best = i }
+        i += 1
+      }
+      c += 1
+      centers(c) = vecs(best)
+    }
+    centers
+  }
+
+  private def centroidLiteral(c: Array[Double]): String =
+    s"array(${c.map(v => s"CAST($v AS DOUBLE)").mkString(",")})"
+
+  /** dist²(embedding, centroid) as a codegen'd expression. */
+  private def dist2Expr(c: Array[Double]): String = {
+    val lit = centroidLiteral(c)
+    val cNorm = c.map(v => v * v).sum
+    // ||x−c||² = ||x||² − 2·x·c + ||c||²; ||x||² is shared across centroids
+    s"(_xnorm - 2.0 * graft_dot(embedding, $lit) + CAST($cNorm AS DOUBLE))"
+  }
+
+  /** Train centroids on a deterministic sample and assign every vector. */
+  def ivfIndex(emb: DataFrame, nlist: Int = 16, sampleN: Int = 256): (DataFrame, Array[Array[Double]]) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = farthestFirst(sample, nlist)
+    val withNorm = emb.withColumn("_xnorm", expr("graft_dot(embedding, embedding)"))
+    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+      expr(s"struct(${dist2Expr(c)} AS d2, $i AS cid)")
+    }
+    val assigned = withNorm
+      .withColumn("_cells", array_sort(array(cellStructs: _*)))
+      .withColumn("centroid_id", col("_cells").getItem(0).getField("cid"))
+    (assigned, centroids)
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, rank candidates
+    * by cosine (same scoring as the brute-force baseline). */
+  def ivfKnn(emb: DataFrame, queryPred: Column, k: Int,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, _) = ivfIndex(emb, nlist)
+    val indexed = assigned
+      .withColumn("nrm", sqrt(col("_xnorm")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"), col("_cells"))
+      .cache()
+    val q = indexed.filter(queryPred)
+      .withColumn("probe", explode(expr(s"transform(slice(_cells, 1, $nprobe), s -> s.cid)")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("nrm").as("qn"), col("probe"))
+    val cand = indexed
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+              col("nrm").as("nn"), col("centroid_id"))
+    val scored = broadcast(q)
+      .join(cand, col("probe") === col("centroid_id") && col("qid") =!= col("nid"))
+      .withColumn("sim", round(expr("graft_dot(qv, nv)") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
+  def qIvfKnn(s: SparkSession, dir: String): DataFrame =
+    ivfKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_ann_ivf" -> (qIvfKnn _),
+  )
+}
