@@ -24,5 +24,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Geometry.oracles ++ Text.oracles ++
-      Embeddings.oracles ++ Events.oracles ++ Skew.oracles
+      Embeddings.oracles ++ Events.oracles ++ Skew.oracles ++ Pipeline.oracles
 }

@@ -89,4 +89,44 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_pipeline_summary" -> (qPipelineSummary _),
   )
+
+  /** The whole pipeline re-expressed in the oracle dialect: quality gate,
+    * exact dedup, near-dup removal (all-pairs Jaccard — equivalent to the
+    * LSH candidates on this corpus, like q35), chunking, packing, summary. */
+  val oracles: Map[String, String] = Map(
+    "q66_pipeline_summary" ->
+      """WITH tokd AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+         q AS (SELECT * FROM tokd WHERE len(t) >= 10
+               AND CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / len(t) <= 0.5),
+         ex AS (SELECT q.* FROM q
+                JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM q GROUP BY md5(text)) g
+                  ON md5(q.text) = g.h AND q.doc_id = g.keep),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tokd WHERE len(t) >= 3),
+         card AS (SELECT doc_id AS cid, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT d2 FROM common
+                    JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
+                    WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+         clean AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT d2 FROM losers)),
+         chunks AS (SELECT doc_id, lang, t,
+                      unnest(range(0, CAST(floor((len(t) - 1) / 24.0) AS INT) + 1)) AS ci
+                    FROM clean),
+         ch2 AS (SELECT doc_id, lang, ci,
+                   len(t[ci * 24 + 1 : least(ci * 24 + 32, len(t))]) AS clen
+                 FROM chunks),
+         packed AS (SELECT lang, doc_id, ci, clen,
+                      sum(clen) OVER (PARTITION BY lang ORDER BY doc_id ASC, ci ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                    FROM ch2),
+         kept AS (SELECT lang, count(DISTINCT doc_id) AS docs_kept, count(*) AS n_chunks,
+                    count(DISTINCT CAST(floor((running - clen) / 8192.0) AS BIGINT)) AS n_bins
+                  FROM packed GROUP BY lang),
+         tot AS (SELECT lang, count(*) AS docs_in FROM documents GROUP BY lang)
+         SELECT tot.lang, docs_in, docs_kept, n_chunks, n_bins
+         FROM tot JOIN kept ON tot.lang = kept.lang""",
+  )
 }

@@ -424,6 +424,22 @@ object Text {
          SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
          FROM common JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""",
+    // rolling fingerprint verified via HUGEINT modular reduce (fresh hash
+    // of each 8-gram equals the rolling form by modular identity)
+    "q37_fingerprint" ->
+      """WITH f AS (SELECT doc_id, text,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT), list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
+             (acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) AS fp_full
+           FROM documents)
+         SELECT doc_id, fp_full,
+           CASE WHEN length(text) >= 8 THEN
+             CAST(list_min(list_transform(range(1, length(text) - 6),
+               i -> list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT), list_transform(regexp_split_to_array(substr(text, CAST(i AS INT), 8), ''), c -> CAST(ascii(c) AS HUGEINT))),
+                 (acc, x) -> (acc * 257 + x) % 2305843009213693951))) AS BIGINT)
+           ELSE fp_full END AS fp_win
+         FROM f""",
     "q63_chunking" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          chunks AS (
