@@ -288,7 +288,32 @@ object Text {
     * driver-side union-find). Output: (doc_id, canonical component id) for
     * every document that has at least one near-duplicate. */
   def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = qNgramJaccard(s, dir).select(col("d1"), col("d2"))
+    val edges = qNgramJaccard(s, dir).select(col("d1"), col("d2")).cache()
+    // adaptive small path: near-dup pair graphs are tiny relative to the
+    // corpus (dedup removes a few percent); below the threshold a driver
+    // union-find in one collect beats 2-3 distributed fixpoint rounds of
+    // job overhead. The propagation path below survives graphs that don't
+    // fit one machine.
+    if (edges.count() <= 100000) {
+      import s.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      edges.unpersist()
+      return s.createDataset(out).toDF("doc_id", "comp")
+    }
     val und = edges.unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
     var labels = und.select(col("d1").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -305,7 +330,7 @@ object Text {
       labels = next
       iter += 1
     }
-    und.unpersist()
+    und.unpersist(); edges.unpersist()
     labels.select(col("node").as("doc_id"), col("comp"))
   }
 
