@@ -285,9 +285,36 @@ object Relational {
     distincts.crossJoin(quantiles)
   }
 
+  /** Data-profiling operator: one stats row per profiled column (nulls,
+    * distincts, min/max) — the ingest-time data-quality report. Built as a
+    * union of per-column aggregates so Catalyst shares the single scan via
+    * its CTE/exchange reuse, and each aggregate stays a fast hash agg. */
+  def q69Profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def num(c: String): DataFrame = li.agg(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast(DoubleType).as("min_v"),
+      max(col(c)).cast(DoubleType).as("max_v"))
+    def str(c: String): DataFrame = li.agg(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(length(col(c))).cast(DoubleType).as("min_v"),
+      max(length(col(c))).cast(DoubleType).as("max_v"))
+    num("l_quantity").unionByName(num("l_extendedprice"))
+      .unionByName(num("l_discount"))
+      .unionByName(str("l_returnflag"))
+      .unionByName(str("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_stats"          -> (q59Stats _),
     "q67_approx_sketches" -> (q67ApproxSketches _),
+    "q69_profile"        -> (q69Profile _),
     "q60_cube"           -> (q60Cube _),
     "q61_nulls"          -> (q61Nulls _),
     "q62_topk_custom"    -> (q62TopKCustom _),
@@ -331,6 +358,36 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q69_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(*),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_discount),
+           CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*),
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_returnflag),
+           CAST(min(length(l_returnflag)) AS DOUBLE), CAST(max(length(l_returnflag)) AS DOUBLE)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_linestatus', count(*),
+           CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_linestatus),
+           CAST(min(length(l_linestatus)) AS DOUBLE), CAST(max(length(l_linestatus)) AS DOUBLE)
+         FROM lineitem""",
     "q62_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

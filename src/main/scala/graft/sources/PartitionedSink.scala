@@ -18,4 +18,18 @@ object PartitionedSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Size-controlled write: caps records per file and repartitions to a
+    * target file count first — the two levers against the small-files
+    * problem (a 100 TB table written from 10 000 tasks × 200 partitions
+    * without this produces millions of KB-sized files and a dead
+    * namenode/listing path). */
+  def writeSized(df: DataFrame, path: String, targetFiles: Int,
+                 maxRecordsPerFile: Long, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.repartition(targetFiles).write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "zstd")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
 }

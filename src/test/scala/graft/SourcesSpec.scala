@@ -28,6 +28,17 @@ class SourcesSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("sized write bounds file count and records per file") {
+    val dir = Files.createTempDirectory("graft_sized").toString + "/out"
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    PartitionedSink.writeSized(li, dir, targetFiles = 4, maxRecordsPerFile = 1000)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    // 6k rows / 1000-record cap → between 6 and ~8 files from 4 tasks
+    assert(files.length >= 6 && files.length <= 12, s"got ${files.length} files")
+    val back = PartitionedSink.read(spark, dir)
+    assert(back.count() == li.count())
+  }
+
   test("as-of join: inclusive equality match and null for no prior row") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
