@@ -73,6 +73,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.sorted == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
   }
 
+  test("streamingDedup state survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(String, Long)]
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+    def startQuery() = StatefulOps.streamingDedup(mem.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        batch.collect().foreach(emitted.add)
+      }
+      .start()
+    val q1 = startQuery()
+    mem.addData(("a", 1L), ("a", 2L))
+    q1.processAllAvailable()
+    q1.stop()
+    // new query instance, same checkpoint: per-key seen-set must recover
+    val q2 = startQuery()
+    mem.addData(("a", 1L), ("a", 3L))   // 1 already seen BEFORE the restart
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq.sorted == Seq(("a", 1L), ("a", 2L), ("a", 3L)),
+      s"state not recovered across restart: ${emitted.asScala.toSeq.sorted}")
+  }
+
   test("runningCounts accumulates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
