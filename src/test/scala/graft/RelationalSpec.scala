@@ -49,6 +49,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: registered views + native functions from spark.sql") {
+    graft.core.Views.register(spark, sfDir)
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem").collect().head.getLong(0)
+    assert(n == graft.core.Tables.lineitem(spark, sfDir).count())
+    // native function via pure SQL over a view
+    val sims = spark.sql(
+      """SELECT a.vec_id, graft_dot(a.embedding, a.embedding) AS n2
+         FROM embeddings a WHERE a.vec_id < 3""").collect()
+    assert(sims.length == 3 && sims.forall(_.getDouble(1) > 0.0))
+    // events view carries the normalized timestamp
+    val ts = spark.sql("SELECT min(ts) FROM events").collect().head
+    assert(!ts.isNullAt(0))
+  }
+
   test("approximate sketches track exact values within tolerance") {
     val r = Relational.q67ApproxSketches(spark, sfDir).collect().head
     val (approx, exact) = (r.getLong(0), r.getLong(1))
