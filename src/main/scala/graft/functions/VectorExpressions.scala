@@ -198,14 +198,17 @@ case class ZOrder2(left: Expression, right: Expression)
 
 /** Idempotent per-session registration of the graft SQL functions. */
 object GraftFunctions {
-  val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot",
-    "graft_dot(a, b) - double dot product of two float/double arrays", "")
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
-  val shinglesInfo = new ExpressionInfo(classOf[ShingleHashes].getName, null, "graft_shingles",
-    "graft_shingles(tokens, n) - distinct 64-bit hashes of the n-gram shingles of a token array", "")
+  val dotInfo = info(classOf[DotProduct], "graft_dot",
+    "graft_dot(a, b) - double dot product of two float/double arrays")
 
-  val zorderInfo = new ExpressionInfo(classOf[ZOrder2].getName, null, "graft_zorder",
-    "graft_zorder(i, j) - Morton (Z-order) interleave of two 32-bit coordinates into a long sort key", "")
+  val shinglesInfo = info(classOf[ShingleHashes], "graft_shingles",
+    "graft_shingles(tokens, n) - distinct 64-bit hashes of the n-gram shingles of a token array")
+
+  val zorderInfo = info(classOf[ZOrder2], "graft_zorder",
+    "graft_zorder(i, j) - Morton (Z-order) interleave of two 32-bit coordinates into a long sort key")
 
   private def toInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()

@@ -72,7 +72,7 @@ object Ann {
       expr(s"struct(${dist2Expr(c)} AS d2, $i AS cid)")
     }
     val assigned = withNorm
-      .withColumn("_cells", array_sort(array(cellStructs: _*)))
+      .withColumn("_cells", array_sort(array(cellStructs.toIndexedSeq: _*)))
       .withColumn("centroid_id", col("_cells").getItem(0).getField("cid"))
     (assigned, centroids)
   }
