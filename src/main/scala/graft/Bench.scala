@@ -47,11 +47,29 @@ object Bench {
       try {
         val pts = graft.sources.PointSource.read(spark, uber, cpus.toInt)
         pts.count()
-        val tExact = time(graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count())
-        val tApprox = time(graft.ops.Geometry.approxOutliers(pts, 0.02, 10).count())
+        var exactN = -1L
+        val tExact = time { exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count() }
+        var approxRows = Array.empty[org.apache.spark.sql.Row]
+        val tApprox = time { approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect() }
         val tFft = time(graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false))
+        // golden anchors from the reference's published uber-100k output
+        // (Homework_1/Data/Example/output_uber100k_0.02_10_5_2.pdf): 673
+        // exact outliers, 435 sure, 658 uncertain. The bench TIMES this
+        // workload every round — asserting the counts here means a silent
+        // correctness regression on real data fails the bench loudly
+        // instead of shipping a fast wrong answer.
+        val byCls = approxRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sure = byCls.getOrElse("sure", 0L)
+        val unc = byCls.getOrElse("uncertain", 0L)
+        if (exactN != 673L || sure != 435L || unc != 658L)
+          throw new IllegalStateException(
+            s"uber-100k golden anchor MISMATCH: exact=$exactN (want 673) " +
+            s"sure=$sure (want 435) uncertain=$unc (want 658)")
         f""","reference":{"exact_outliers_uber100k":$tExact%.3f,"approx_outliers_uber100k":$tApprox%.3f,"mrfft_k100_uber100k":$tFft%.3f}"""
-      } catch { case _: Throwable => "" }
+      } catch {
+        case e: IllegalStateException => throw e // anchor mismatch: fail the bench
+        case _: Throwable => ""
+      }
     } else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref}""")
     spark.stop()

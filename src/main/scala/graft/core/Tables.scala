@@ -29,10 +29,21 @@ object Tables {
     * ns→µs truncation matches DuckDB's ns→ms truncation on the positive
     * axis, so epoch-ms comparisons agree across engines. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, not `/`: epoch-ns (~1.7e18) exceeds double precision
-    s.read.parquet(path(dir, "events"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // scope the legacy toggle to this schema-resolution only: set, resolve
+    // the scan (schema is captured eagerly at read time), then restore, so
+    // a loader call does not silently change how every OTHER nanos-parquet
+    // read in the session behaves
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      // integral `div`, not `/`: epoch-ns (~1.7e18) exceeds double precision
+      s.read.parquet(path(dir, "events"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(path(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))

@@ -40,17 +40,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Null semantics match the HOF form `aggregate(zip_with(a, b, (x,y) ->
+    * acc + x*y), …)` exactly: mismatched lengths (zip_with pads with null)
+    * or any null element yield NULL — never garbage or silent truncation.
+    * The expression is therefore nullable even over non-null inputs. */
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -67,12 +75,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -146,6 +159,103 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_shingles"
+}
+
+/** The `nprobe` nearest coarse-quantizer cells of a vector, as ONE compact
+  * expression node: returns the argmin cell id (IntegerType) when
+  * nprobe == 1, else the ascending-(dist², id) list of the nprobe nearest
+  * cell ids (array<int>).
+  *
+  * Why an expression and not columns: materializing nlist distance columns
+  * plus a least()/CASE argmin (or an array_sort of nlist structs) hands the
+  * optimizer a tree with the centroid literals duplicated across every
+  * consumer — predicate pushdown inlines them into join conditions and
+  * constraint propagation then canonicalizes each copy's commutative
+  * Add/Multiply chains, which measured as an OOM at nlist = 16, dim = 64.
+  * One opaque node keeps the plan tiny AND evaluates the whole argmin in a
+  * single primitive loop (no struct allocation, no sort).
+  *
+  * Numerics match the column formulation exactly: d² = (‖x‖² − 2·x·c) +
+  * ‖c‖², every dot left-to-right like graft_dot, ties → lowest cell id —
+  * so assignments are bit-for-bit the plans the sorted-struct form picked.
+  * CodegenFallback: per-row work is nlist·dim fused multiply-adds, so the
+  * one virtual call is noise (same reasoning as ShingleHashes).
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(nprobe >= 1 && nprobe <= centroids.length)
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType =
+    if (nprobe == 1) IntegerType else ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // ‖c‖² exactly as the literal-expression form computed it (driver-side sum)
+  private lazy val cnorms: Array[Double] = centroids.map(_.map(v => v * v).sum)
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val xs = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      xs(i) = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var xnorm = 0.0
+    i = 0
+    while (i < dim) { xnorm += xs(i) * xs(i); i += 1 }
+    val k = centroids.length
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = centroids(c)
+      val n = math.min(dim, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += xs(i) * cv(i); i += 1 }
+      d2(c) = (xnorm - 2.0 * dot) + cnorms(c)
+      c += 1
+    }
+    if (nprobe == 1) {
+      var best = 0
+      c = 1
+      while (c < k) { if (d2(c) < d2(best)) best = c; c += 1 }
+      best
+    } else {
+      // partial selection sort by (d2, id): k ≤ a few hundred by contract
+      val ids = Array.tabulate(k)(identity)
+      var s = 0
+      while (s < nprobe) {
+        var m = s
+        var j = s + 1
+        while (j < k) {
+          if (d2(ids(j)) < d2(ids(m)) ||
+              (d2(ids(j)) == d2(ids(m)) && ids(j) < ids(m))) m = j
+          j += 1
+        }
+        val t = ids(s); ids(s) = ids(m); ids(m) = t
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOfRange(ids, 0, nprobe))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nearest_cells"
 }
 
 /** Morton (Z-order) interleave of two signed 32-bit cell coordinates into

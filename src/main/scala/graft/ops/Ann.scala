@@ -49,46 +49,51 @@ object Ann {
     centers
   }
 
-  private def centroidLiteral(c: Array[Double]): String =
-    s"array(${c.map(v => s"CAST($v AS DOUBLE)").mkString(",")})"
+  private def nearest(centroids: Array[Array[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("embedding")),
+        centroids, nprobe))
 
-  /** dist²(embedding, centroid) as a codegen'd expression. */
-  private def dist2Expr(c: Array[Double]): String = {
-    val lit = centroidLiteral(c)
-    val cNorm = c.map(v => v * v).sum
-    // ||x−c||² = ||x||² − 2·x·c + ||c||²; ||x||² is shared across centroids
-    s"(_xnorm - 2.0 * graft_dot(embedding, $lit) + CAST($cNorm AS DOUBLE))"
-  }
-
-  /** Train centroids on a deterministic sample and assign every vector. */
+  /** Train centroids on a deterministic sample and assign every vector.
+    *
+    * Assignment is the single native argmin expression
+    * [[graft.functions.NearestCells]] — one primitive loop per row, no
+    * per-row struct array, no sort (the previous array_sort of nlist
+    * structs per DB row was the operator's dominant cost), and one opaque
+    * plan node, so pushdown/constraint propagation never sees (and never
+    * duplicates) the nlist×dim centroid literals. */
   def ivfIndex(emb: DataFrame, nlist: Int = 16, sampleN: Int = 256): (DataFrame, Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val sample = emb.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroids = farthestFirst(sample, nlist)
-    val withNorm = emb.withColumn("_xnorm", expr("graft_dot(embedding, embedding)"))
-    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
-      expr(s"struct(${dist2Expr(c)} AS d2, $i AS cid)")
-    }
-    val assigned = withNorm
-      .withColumn("_cells", array_sort(array(cellStructs.toIndexedSeq: _*)))
-      .withColumn("centroid_id", col("_cells").getItem(0).getField("cid"))
+    val assigned = emb
+      .withColumn("_xnorm", expr("graft_dot(embedding, embedding)"))
+      .withColumn("centroid_id", nearest(centroids, 1))
     (assigned, centroids)
   }
 
+  /** The `nprobe` nearest cell ids for the (small, already-filtered) query
+    * side — same expression, top-nprobe variant. */
+  private def probeCells(q: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    q.withColumn("probe", explode(nearest(centroids, nprobe)))
+
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank candidates
-    * by cosine (same scoring as the brute-force baseline). */
+    * by cosine (same scoring as the brute-force baseline). No caching: the
+    * argmin assignment is a cheap projection, so recomputing it on the two
+    * branches beats holding executor storage memory across invocations (a
+    * production index would persist `assigned` as a table bucketed by
+    * centroid_id instead — see graft.sources.Bucketed). */
   def ivfKnn(emb: DataFrame, queryPred: Column, k: Int,
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (assigned, _) = ivfIndex(emb, nlist)
+    val (assigned, centroids) = ivfIndex(emb, nlist)
     val indexed = assigned
       .withColumn("nrm", sqrt(col("_xnorm")))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"), col("_cells"))
-      .cache()
-    val q = indexed.filter(queryPred)
-      .withColumn("probe", explode(expr(s"transform(slice(_cells, 1, $nprobe), s -> s.cid)")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    val q = probeCells(indexed.filter(queryPred), centroids, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
               col("nrm").as("qn"), col("probe"))
     val cand = indexed

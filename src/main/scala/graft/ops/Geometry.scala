@@ -79,13 +79,11 @@ object Geometry {
     * beats two shuffle rounds at small scale; [[cellNeighborhoods]] is the
     * equi-join twin that survives billions of non-empty cells. Both are
     * oracle-verified to produce identical tables. */
-  def cellNeighborhoodsDriver(cells: DataFrame): DataFrame = {
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val local = cells.select(col("ci"), col("cj"), col("sz")).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+  /** Hash-map N3/N7 pass over a collected cell histogram (shared by the
+    * driver twins below). */
+  private def n3n7Local(local: Array[((Long, Long), Long)]): Array[(Long, Long, Long, Long, Long)] = {
     val byCell = local.toMap
-    val out = local.map { case ((ci, cj), sz) =>
+    local.map { case ((ci, cj), sz) =>
       var n3 = 0L; var n7 = 0L
       var di = -3
       while (di <= 3) {
@@ -101,26 +99,60 @@ object Geometry {
       }
       (ci, cj, sz, n3, n7)
     }
-    spark.createDataset(out.toSeq).toDF("ci", "cj", "sz", "n3", "n7")
+  }
+
+  def cellNeighborhoodsDriver(cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val local = cells.select(col("ci"), col("cj"), col("sz")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    spark.createDataset(n3n7Local(local).toSeq).toDF("ci", "cj", "sz", "n3", "n7")
   }
 
   /** MRApproxOutliers (reference Q2): returns one row per class:
-    * sure (N7 <= M), uncertain (N3 <= M < N7), inlier. Adaptively picks the
-    * driver hash-map pass for small cell tables and the distributed
-    * neighborhood join above the threshold. */
+    * sure (N7 <= M), uncertain (N3 <= M < N7), inlier.
+    *
+    * Job shape: exactly ONE Spark job on the small path — the cell
+    * histogram is collected with a limit of driverCellLimit+1 rows, so the
+    * same action both fetches the histogram AND detects whether it fits the
+    * driver (>limit rows returned ⇒ fall back to the distributed
+    * neighborhood equi-join). The previous shape spent a dedicated
+    * cells.count() job purely on path selection, which dominated the
+    * reference workload (960 ms baseline). The N3/N7 sums and the class
+    * roll-up then run in-driver over ≤ limit cells — the assignment-
+    * sanctioned small-table pass (`G019HW1.java:209-261`) — and the result
+    * is a 3-row local DataFrame. */
   def approxOutliers(pts: DataFrame, d: Double, m: Long,
-                     driverCellLimit: Long = 200000): DataFrame = {
+                     driverCellLimit: Int = 200000): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
     val lambda = d / (2.0 * math.sqrt(2.0))
-    val cells = cellHistogram(pts, lambda).cache()
-    val nb = if (cells.count() <= driverCellLimit) cellNeighborhoodsDriver(cells)
-             else cellNeighborhoods(cells)
-    nb.select(
-        when(col("n7") <= m, lit("sure"))
-          .when(col("n3") <= m, lit("uncertain"))
-          .otherwise(lit("inlier")).as("cls"),
-        col("sz"))
-      .groupBy(col("cls"))
-      .agg(sum(col("sz")).cast(LongType).as("n_points"), count(lit(1)).as("n_cells"))
+    val cells = cellHistogram(pts, lambda)
+    val local = cells.select(col("ci"), col("cj"), col("sz"))
+      .limit(driverCellLimit + 1).collect()
+    if (local.length <= driverCellLimit) {
+      val nb = n3n7Local(local.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))))
+      val agg = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      nb.foreach { case (_, _, sz, n3, n7) =>
+        val cls = if (n7 <= m) "sure" else if (n3 <= m) "uncertain" else "inlier"
+        val (p, c) = agg.getOrElse(cls, (0L, 0L))
+        agg.update(cls, (p + sz, c + 1L))
+      }
+      val rows = agg.toSeq.map { case (cls, (p, c)) => (cls, p, c) }
+      spark.createDataset(rows).toDF("cls", "n_points", "n_cells")
+    } else {
+      val cached = cells.cache()
+      try {
+        cellNeighborhoods(cached).select(
+            when(col("n7") <= m, lit("sure"))
+              .when(col("n3") <= m, lit("uncertain"))
+              .otherwise(lit("inlier")).as("cls"),
+            col("sz"))
+          .groupBy(col("cls"))
+          .agg(sum(col("sz")).cast(LongType).as("n_points"), count(lit(1)).as("n_cells"))
+          .localCheckpoint() // materialize while cached, then release
+      } finally cached.unpersist()
+    }
   }
 
   /** Exact (M,D)-outliers as a *pruned* grid-bucketed equi-join.

@@ -286,29 +286,32 @@ object Relational {
   }
 
   /** Data-profiling operator: one stats row per profiled column (nulls,
-    * distincts, min/max) — the ingest-time data-quality report. Built as a
-    * union of per-column aggregates so Catalyst shares the single scan via
-    * its CTE/exchange reuse, and each aggregate stays a fast hash agg. */
+    * distincts, min/max) — the ingest-time data-quality report. ONE
+    * aggregate computes every column's stats in a single fact scan (the
+    * multi-column countDistinct plans as one Expand + hash aggregation),
+    * then a stack() unpivots the single wide row into per-column rows.
+    * The previous 5-aggregate union cost 5 fact scans — exchange reuse does
+    * not dedupe distinct aggregate subtrees — which is structural at
+    * 100 TB even though it hides at test SF. */
   def q69Profile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    def num(c: String): DataFrame = li.agg(
-      lit(c).as("col_name"),
-      count(lit(1)).as("n_rows"),
-      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      min(col(c)).cast(DoubleType).as("min_v"),
-      max(col(c)).cast(DoubleType).as("max_v"))
-    def str(c: String): DataFrame = li.agg(
-      lit(c).as("col_name"),
-      count(lit(1)).as("n_rows"),
-      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      min(length(col(c))).cast(DoubleType).as("min_v"),
-      max(length(col(c))).cast(DoubleType).as("max_v"))
-    num("l_quantity").unionByName(num("l_extendedprice"))
-      .unionByName(num("l_discount"))
-      .unionByName(str("l_returnflag"))
-      .unionByName(str("l_linestatus"))
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    def statsFor(c: String, isStr: Boolean): Seq[Column] = Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"${c}_null"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      (if (isStr) min(length(col(c))) else min(col(c))).cast(DoubleType).as(s"${c}_min"),
+      (if (isStr) max(length(col(c))) else max(col(c))).cast(DoubleType).as(s"${c}_max"))
+    val aggs = count(lit(1)).as("n_rows") +:
+      (numCols.map(statsFor(_, isStr = false)) ++ strCols.map(statsFor(_, isStr = true))).flatten
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = (numCols ++ strCols)
+      .map(c => s"'$c', ${c}_null, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+    wide.selectExpr(
+        s"stack(${numCols.size + strCols.size}, $stacked) AS (col_name, n_null, n_distinct, min_v, max_v)",
+        "n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_v"), col("max_v"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

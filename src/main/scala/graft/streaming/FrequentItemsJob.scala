@@ -56,16 +56,29 @@ object FrequentItemsJob {
         if (processed < n) {
           val remaining = n - processed
           // arrival-order array; truncate the final batch like the
-          // reference's zipWithIndex().filter (G016HW3.java:84-87)
+          // reference's zipWithIndex().filter (G016HW3.java:84-87). The
+          // raw rows are required by reservoir/sticky, whose state is
+          // order-exact by definition (reference semantics).
           val items0 = batch.select("item").collect().map(_.getLong(0))
-          val items = if (items0.length > remaining) items0.take(remaining.toInt) else items0
+          val truncated = items0.length > remaining
+          val items = if (truncated) items0.take(remaining.toInt) else items0
           processed += items.length
-          // distributed shape: per-batch combine is a groupBy in the batch
-          // plan for large batches; here the driver merge is the same fold
+          // exact-histogram half: per-batch DISTRIBUTED combine — the
+          // executors pre-aggregate (the reference's reduceByKey,
+          // `G016HW3.java:91-95`) and the driver merges one row per
+          // distinct item, not one per raw item. Only the truncated final
+          // batch falls back to the raw arrival-order fold, because the
+          // cutoff is defined on arrival order.
+          if (truncated) {
+            var i = 0
+            while (i < items.length) { hist.add(items(i)); i += 1 }
+          } else {
+            hist.merge(batch.groupBy("item").count().collect()
+              .map(r => (r.getLong(0), r.getLong(1))))
+          }
           var i = 0
           while (i < items.length) {
             val it = items(i)
-            hist.add(it)
             reservoir.add(it)
             sticky.add(it)
             i += 1

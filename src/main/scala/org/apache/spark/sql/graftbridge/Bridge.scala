@@ -15,4 +15,6 @@ object Bridge {
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -52,6 +52,51 @@ class GeometrySpec extends SparkSpec {
     assert(exact.subsetOf(candidateIds))
   }
 
+  test("uber-10k golden: 236 exact / 165 sure / 195 uncertain (published reference output)") {
+    // anchors from Homework_1/Data/Example/output_uber10k_0.02_10_5_2.pdf;
+    // the uber-100k twin (673/435/658) is asserted inside Bench so the
+    // timed workload fails loudly on a correctness regression
+    val path = "/root/reference/Homework_1/Data/uber-10k.csv"
+    assume(new java.io.File(path).exists(), "reference data not present")
+    val pts = PointSource.read(spark, path, l = 8)
+    assert(Geometry.exactOutliers(pts, d = 0.02, m = 10).count() == 236L)
+    val cls = Geometry.approxOutliers(pts, d = 0.02, m = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cls.getOrElse("sure", 0L) == 165L)
+    assert(cls.getOrElse("uncertain", 0L) == 195L)
+  }
+
+  test("FFT effectiveness sweep (reference TEST 2 shape): radius shrinks, planted outliers surface as K grows") {
+    // planted dataset mirroring the reference's HW2 TEST 2 experiment
+    // (Filled TableHW2.docx: K = 50…130 → radius 9.18→1.43, sure outliers
+    // 9→99 of 100 planted): 10 tight clusters + 100 isolated outliers;
+    // D = MRFFT radius at K, approx outliers at M = 10
+    val rng = new scala.util.Random(99)
+    val clusterCenters = Array.fill(10)((rng.nextDouble() * 100, rng.nextDouble() * 100))
+    val clustered = Array.fill(5000) {
+      val (cx, cy) = clusterCenters(rng.nextInt(10))
+      (cx + rng.nextGaussian() * 0.5, cy + rng.nextGaussian() * 0.5)
+    }
+    val planted = Array.tabulate(100)(i => (1000.0 + 70.0 * i, 1000.0 - 70.0 * i))
+    import spark.implicits._
+    val df = spark.createDataset(
+        (clustered ++ planted).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toSeq)
+      .toDF("id", "x", "y")
+    val sweep = Seq(30, 70, 120).map { k =>
+      val (radius, _) = Geometry.mrFFT(df, k, l = 4)
+      val cls = Geometry.approxOutliers(df, d = radius, m = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (radius, cls.getOrElse("sure", 0L))
+    }
+    val radii = sweep.map(_._1)
+    val sure = sweep.map(_._2)
+    assert(radii.sliding(2).forall { case Seq(a, b) => b <= a }, s"radii not monotone: $radii")
+    assert(sure.sliding(2).forall { case Seq(a, b) => b >= a }, s"sure counts not monotone: $sure")
+    // at K = 120 every planted outlier is a center ⇒ D ≈ intra-cluster
+    // spread ⇒ the 100 isolated points sit in singleton cells (sure)
+    assert(sure.last >= 95L, s"final sweep step detected only ${sure.last} of 100 planted outliers")
+  }
+
   test("sequentialFFT: radius monotone non-increasing in K and 2-approximation") {
     val rng = new scala.util.Random(7)
     val pts = Array.fill(400)((rng.nextDouble() * 10, rng.nextDouble() * 10))

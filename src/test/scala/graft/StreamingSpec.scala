@@ -41,6 +41,44 @@ class StreamingSpec extends SparkSpec {
     assert(expected.forall(rep.stickyEstimate.contains))
   }
 
+  test("HW3 accuracy anchor: 1M-item stream, phi=0.07 eps=0.03 delta=0.1 (reference Output1M shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Deterministic stand-in for the reference's dead socket feed
+    // (algo.dei.unipd.it:8888, published run Output1M_007_003_01_8888.txt):
+    // same published SHAPE — n = 1e6, exactly 10 true frequent items,
+    // reservoir m = 15, sticky reports all 10 true frequent. Stream: 10
+    // heavy items at 7.2% each (72000 ≥ ⌈phi·n⌉ = 70000) interleaved with
+    // 40000 distinct tail items ×7 (7 ≪ (phi−eps)·n = 40000).
+    val n = 1000000
+    val items = new Array[Long](n)
+    var h = 0; var t = 0
+    var i = 0
+    while (i < n) {
+      if (i % 25 < 18) { items(i) = (h % 10).toLong; h += 1 }
+      else { items(i) = 1000000L + (t / 7).toLong; t += 1 }
+      i += 1
+    }
+    val mem = MemoryStream[Long]
+    items.grouped(100000).foreach(chunk => mem.addData(chunk.toSeq))
+    val stream = mem.toDF().select(col("value").as("item"))
+    val rep = FrequentItemsJob.run(spark, stream, n = n, phi = 0.07,
+      epsilon = 0.03, delta = 0.1, seed = 42)
+    assert(rep.n == n)
+    // exact half (reference: 10 true frequent)
+    assert(rep.trueFrequent == (0L to 9L))
+    assert(rep.histogramSize == 10 + 40000)
+    // reservoir half (reference: m = 15 slots, 11 estimated items)
+    assert(rep.reservoirSample.size == 15)
+    assert(rep.reservoirEstimate.size >= 8 && rep.reservoirEstimate.size <= 15)
+    assert(rep.reservoirEstimate.count(_ < 10L) >= 6) // mostly true-frequent
+    // sticky half (reference: all 10 true frequent reported, few extras in
+    // the table): a 7-count tail item can never cross the 40000 threshold,
+    // so the estimate must be exactly the 10 heavy items
+    assert(rep.stickyEstimate == (0L to 9L))
+    assert(rep.stickyTableSize >= 10 && rep.stickyTableSize <= 300)
+  }
+
   test("Reservoir sketch: size bound and fill behavior") {
     val r = new Sketches.Reservoir(10, new scala.util.Random(3))
     (1L to 5L).foreach(r.add)
