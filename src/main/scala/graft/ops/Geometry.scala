@@ -238,35 +238,41 @@ object Geometry {
   def mrFFT(pts: DataFrame, k: Int, l: Int, deterministic: Boolean = true): (Double, Array[(Double, Double)]) = {
     val spark = pts.sparkSession
     import spark.implicits._
+    // persist across R1/R3 (both rounds scan every point): one source scan
+    // + one repartition shuffle total instead of two of each; DISK spill
+    // keeps this safe when the point set exceeds executor storage
     val typed = (if (deterministic) pts.repartitionByRange(l, col("id")) else pts.repartition(l))
       .select(col("x").cast(DoubleType), col("y").cast(DoubleType))
       .as[(Double, Double)]
-    // R1: per-partition coreset (executors), ≤ K points each
-    val coreset = typed.mapPartitions { it =>
-      val arr = it.toArray
-      if (arr.isEmpty) Iterator.empty else sequentialFFT(arr, k).iterator
-    }.collect()
-    // R2: driver FFT on ≤ K·L points
-    val centers = sequentialFFT(coreset, k)
-    // R3: broadcast centers, per-point min dist², max-reduce, single sqrt
-    val bc = spark.sparkContext.broadcast(centers)
-    val maxMinD2 = typed.mapPartitions { it =>
-      val cs = bc.value
-      var m = 0.0
-      it.foreach { case (x, y) =>
-        var best = Double.MaxValue
-        var i = 0
-        while (i < cs.length) {
-          val dx = x - cs(i)._1; val dy = y - cs(i)._2
-          val d2 = dx * dx + dy * dy
-          if (d2 < best) best = d2
-          i += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // R1: per-partition coreset (executors), ≤ K points each
+      val coreset = typed.mapPartitions { it =>
+        val arr = it.toArray
+        if (arr.isEmpty) Iterator.empty else sequentialFFT(arr, k).iterator
+      }.collect()
+      // R2: driver FFT on ≤ K·L points
+      val centers = sequentialFFT(coreset, k)
+      // R3: broadcast centers, per-point min dist², max-reduce, single sqrt
+      val bc = spark.sparkContext.broadcast(centers)
+      val maxMinD2 = typed.mapPartitions { it =>
+        val cs = bc.value
+        var m = 0.0
+        it.foreach { case (x, y) =>
+          var best = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val dx = x - cs(i)._1; val dy = y - cs(i)._2
+            val d2 = dx * dx + dy * dy
+            if (d2 < best) best = d2
+            i += 1
+          }
+          if (best > m) m = best
         }
-        if (best > m) m = best
-      }
-      Iterator.single(m)
-    }.reduce(math.max)
-    (math.sqrt(maxMinD2), centers)
+        Iterator.single(m)
+      }.reduce(math.max)
+      (math.sqrt(maxMinD2), centers)
+    } finally typed.unpersist()
   }
 
   // --------------------------------------------------- queries for the gate

@@ -317,23 +317,32 @@ object Text {
   }
 
   /** Near-duplicate clustering: connected components over the Jaccard >= 0.5
-    * pair graph via distributed min-label propagation (bounded iterations,
-    * converges in component-diameter steps — the scalable pattern; no
-    * driver-side union-find). Output: (doc_id, canonical component id) for
-    * every document that has at least one near-duplicate. */
+    * pair graph. Output: (doc_id, canonical component id) for every
+    * document that has at least one near-duplicate. */
   def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     // edges come from the banded MinHash path (candidates from a bucket
     // equi-join + exact re-verify), NOT the all-pairs baseline: at 100 TB
     // the component operator must inherit LSH's linear candidate cost.
     // qMinHashLsh and qNgramJaccard are oracle-verified to emit the same
     // pair set at the J >= 0.5 contract on this corpus.
-    val edges = qMinHashLsh(s, dir).select(col("d1"), col("d2")).cache()
-    // adaptive small path: near-dup pair graphs are tiny relative to the
-    // corpus (dedup removes a few percent); below the threshold a driver
-    // union-find in one collect beats 2-3 distributed fixpoint rounds of
-    // job overhead. The propagation path below survives graphs that don't
-    // fit one machine.
-    if (edges.count() <= 100000) {
+    dedupComponents(qMinHashLsh(s, dir).select(col("d1"), col("d2")))
+  }
+
+  /** Connected components over an edge DataFrame (d1, d2).
+    *
+    * Adaptive small path: near-dup pair graphs are tiny relative to the
+    * corpus (dedup removes a few percent); below the threshold a driver
+    * union-find in one collect beats several distributed rounds of job
+    * overhead. Above it, [[starComponents]] runs alternating large-star /
+    * small-star contraction, which converges in O(log² n) rounds
+    * REGARDLESS of component diameter — unlike min-label propagation,
+    * whose round count equals the graph diameter (a 100 TB crawl corpus
+    * can chain near-dups into long paths). */
+  private[graft] def dedupComponents(edges0: DataFrame,
+                                     driverEdgeLimit: Long = 100000): DataFrame = {
+    val s = edges0.sparkSession
+    val edges = edges0.cache()
+    if (edges.count() <= driverEdgeLimit) {
       import s.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -353,28 +362,70 @@ object Text {
       edges.unpersist()
       return s.createDataset(out).toDF("doc_id", "comp")
     }
-    val und = edges.unionByName(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
-    var labels = und.select(col("d1").as("node")).distinct()
-      .withColumn("comp", col("node"))
-    var changed = 1L
+    val result = starComponents(edges)
+    edges.unpersist()
+    result
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm, re-expressed on DataFrames):
+    *
+    *  - large-star(u): attach every STRICTLY LARGER neighbor of u to
+    *    m(u) = min(N(u) ∪ {u});
+    *  - small-star(u): attach every smaller-or-equal neighbor AND u itself
+    *    to m(u).
+    *
+    * Both steps preserve connectivity and never increase the minimum of a
+    * component; alternating them converges to per-component stars rooted
+    * at the component minimum in O(log² n) rounds regardless of diameter.
+    * Each round is two (groupBy + join) stages — pure equi-shuffles, no
+    * driver state; localCheckpoint truncates lineage across rounds. */
+  private[graft] def starComponents(edges0: DataFrame): DataFrame = {
+    var edges = edges0
+      .select(least(col("d1"), col("d2")).as("u"), greatest(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var checksum = (-1L, -1L)
+    var done = false
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val msgs = und.join(labels, und("d1") === labels("node"))
-        .select(col("d2").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp")).unionByName(msgs)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()   // truncate lineage across iterations
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+    while (!done && iter < 50) {
+      // neighborhoods in both directions, with m(u) = least(min(N(u)), u)
+      def withMin(e: DataFrame): DataFrame = {
+        val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = nbrs.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        nbrs.join(mins, "u")
+      }
+      val large = withMin(edges)
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))           // m <= u < v: canonical
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val wm = withMin(large)
+      val small = wm.filter(col("v") < col("u"))
+        .select(col("m").as("u"), col("v"))
+        .unionByName(wm.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // convergence: the canonical edge set is a fixpoint — order-free
+      // checksum (count + xor of per-edge hashes; xor cannot overflow
+      // under ANSI mode) instead of a full anti-join
+      val check = small.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .collect()(0)
+      val newSum = (check.getLong(0), if (check.isNullAt(1)) 0L else check.getLong(1))
+      done = newSum == checksum
+      checksum = newSum
+      edges = small
       iter += 1
     }
-    und.unpersist(); edges.unpersist()
-    // silent non-convergence would return WRONG component ids — fail loudly
-    // (a diameter > 20 near-dup graph means the dedup threshold is broken)
-    if (changed > 0) throw new IllegalStateException(
-      s"qDedupComponents: label propagation not converged after $iter rounds ($changed labels still moving)")
-    labels.select(col("node").as("doc_id"), col("comp"))
+    if (!done) throw new IllegalStateException(
+      s"starComponents: not converged after $iter rounds — aborting rather than returning wrong components")
+    // fixpoint edges are stars (m, v) rooted at component minima
+    edges.select(col("v").as("doc_id"), col("u").as("comp"))
+      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("comp")).distinct())
+      .distinct()
   }
 
   /** Training-window chunking: overlapping 32-token windows at stride 24

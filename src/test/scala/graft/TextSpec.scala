@@ -49,4 +49,23 @@ class TextSpec extends SparkSpec {
     val docs = graft.core.Tables.documents(spark, sfDir).count()
     assert(groups == docs)
   }
+
+  test("starComponents: long-path and random graphs match union-find (diameter-independent)") {
+    import spark.implicits._
+    // a 61-node path (diameter 60): min-label propagation needs 60 rounds,
+    // star contraction converges in O(log² n); plus random dense clusters
+    val path = (0L until 60L).map(i => (i, i + 1))
+    val rng = new scala.util.Random(5)
+    val clusters = (0 until 5).flatMap { c =>
+      val base = 1000L + c * 100
+      (0 until 25).map(_ => (base + rng.nextInt(30), base + rng.nextInt(30)))
+    }.filter { case (a, b) => a != b }
+    val edges = spark.createDataset(path ++ clusters).toDF("d1", "d2")
+    val distributed = Text.dedupComponents(edges, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = Text.dedupComponents(edges, driverEdgeLimit = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == driver)
+    assert((0L to 60L).forall(n => distributed(n) == 0L))
+  }
 }
