@@ -47,10 +47,17 @@ object Bench {
       try {
         val pts = graft.sources.PointSource.read(spark, uber, cpus.toInt)
         pts.count()
+        // same warm+measured discipline as the gate queries: first run pays
+        // JIT/codegen, the second is the reported number
         var exactN = -1L
-        val tExact = time { exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count() }
+        def runExact(): Unit = exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count()
+        runExact()
+        val tExact = time(runExact())
         var approxRows = Array.empty[org.apache.spark.sql.Row]
-        val tApprox = time { approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect() }
+        def runApprox(): Unit = approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect()
+        runApprox()
+        val tApprox = time(runApprox())
+        graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false)
         val tFft = time(graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false))
         // golden anchors from the reference's published uber-100k output
         // (Homework_1/Data/Example/output_uber100k_0.02_10_5_2.pdf): 673
