@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Geometry.queries ++ Text.queries ++
       Embeddings.queries ++ Events.queries ++ Skew.queries ++
-      Pipeline.queries ++ Ann.queries
+      Pipeline.queries ++ Ann.queries ++ graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Geometry.oracles ++ Text.oracles ++

@@ -108,4 +108,39 @@ object Multimodal {
       MediaRow(i, kind, payload, 640, 480, 16000)
     }
   }
+
+  /** Gate query: the full multimodal flow — synthetic media → batched
+    * feature extraction → frame sampling — rolled up per kind. Rows-only
+    * check (the decode kernels are container-stub functions, not ANSI
+    * SQL), but the output is fully deterministic and partitioning-
+    * independent: feature norms are rounded then decimal-summed, frame
+    * hashes are xor-folded, so the driver's byte-determinism check holds.
+    * The `sfDir` argument is unused (media is synthesized — the parquet
+    * fixtures carry no binary payload column); scale comes from the same
+    * per-partition batch kernels a real corpus would run. */
+  def qMultimodalSummary(s: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMedia(s, 300)
+    val feats = extractImageFeatures(media, dim = 64).toDF()
+      .select(col("media_id"), col("features"))
+    graft.functions.GraftFunctions.register(s)
+    val kinds = media.toDF().select(col("media_id"), col("kind"))
+    val norms = feats
+      .withColumn("nrm", round(sqrt(expr("graft_dot(features, features)")), 6))
+    val frames = sampleFrames(media, stride = 10, maxFrames = 4).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           expr("bit_xor(frame_hash)").as("frame_sig"))
+    kinds.join(norms, "media_id")
+      .join(frames, Seq("media_id"), "left")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("nrm").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_norm"),
+        sum(coalesce(col("n_frames"), lit(0L))).cast(LongType).as("n_frames"),
+        expr("bit_xor(coalesce(frame_sig, CAST(0 AS BIGINT)))").as("kind_sig"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_multimodal_summary" -> (qMultimodalSummary _),
+  )
 }
