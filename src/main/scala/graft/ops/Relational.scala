@@ -225,11 +225,16 @@ object Relational {
       sum(x * y).cast(DoubleType).as("sxy"),
       sum(x * x).cast(DoubleType).as("sxx"),
       sum(y * y).cast(DoubleType).as("syy"))
+    // round(…, 12): sums like Σy² exceed 2⁵³ at their fixed-point scale, and
+    // engines legally differ in the last ulp of that decimal→double cast
+    // (DuckDB double-rounds through int128/10^scale, the JVM rounds the
+    // exact decimal once); the correlation's cancellation amplifies that to
+    // ~2 ulp — never emit unrounded computed doubles across engines
     m.select(
       col("n").cast(LongType).as("n_rows"),
-      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
         (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-         sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+         sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("corr_qty_price"))
   }
 
   /** CUBE grouping sets over two dimensions. */
@@ -355,7 +360,7 @@ object Relational {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
          FROM lineitem)
          SELECT CAST(n AS BIGINT) AS n_rows,
-           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+           round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price
          FROM m""",
     "q60_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
