@@ -90,10 +90,11 @@ object Ann {
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assigned, centroids) = ivfIndex(emb, nlist)
+    val probeN = math.min(nprobe, centroids.length) // small corpora: fewer cells than nprobe
     val indexed = assigned
       .withColumn("nrm", sqrt(col("_xnorm")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
-    val q = probeCells(indexed.filter(queryPred), centroids, nprobe)
+    val q = probeCells(indexed.filter(queryPred), centroids, probeN)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
               col("nrm").as("qn"), col("probe"))
     val cand = indexed

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Direct tests of the native SQL functions' edge semantics (the gate
+  * queries exercise only well-formed inputs). */
+class FunctionsSpec extends SparkSpec {
+
+  private def one(sql: String): Row = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"SELECT $sql AS v").collect()(0)
+  }
+
+  test("graft_dot matches the HOF form on well-formed input") {
+    val r = one(
+      "graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+    assert(r.getDouble(0) == 32.0)
+  }
+
+  test("graft_dot: mismatched lengths yield NULL (zip_with pad semantics)") {
+    assert(one("graft_dot(array(1.0D, 2.0D), array(1.0D))").isNullAt(0))
+  }
+
+  test("graft_dot: a null element yields NULL, not garbage") {
+    assert(one("graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))").isNullAt(0))
+  }
+
+  test("graft_dot: null array input yields NULL (null-intolerant)") {
+    assert(one("graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))").isNullAt(0))
+  }
+
+  test("graft_dot: interpreted eval agrees with codegen on nulls") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // force a non-codegen context via an aggregation over eval results
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0)), (Array(1.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d")
+    val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.toSet == Set(Some(11.0), None))
+  }
+
+  test("graft_zorder available via SQL and interleaves correctly") {
+    val r = one("graft_zorder(0, 0)")
+    val r2 = one("graft_zorder(1, 0)")
+    val r3 = one("graft_zorder(0, 1)")
+    // sign-flipped coords: (0,0) maps to the interleave of 0x80000000 twice
+    assert(r.getLong(0) != r2.getLong(0) && r2.getLong(0) != r3.getLong(0))
+    assert((r2.getLong(0) ^ r.getLong(0)) == 1L)      // x occupies even bits
+    assert((r3.getLong(0) ^ r.getLong(0)) == 2L)      // y occupies odd bits
+  }
+
+  test("graft_shingles: fewer tokens than n yields empty set; duplicates collapse") {
+    val short = one("size(graft_shingles(array('a', 'b'), 3))")
+    assert(short.getInt(0) == 0)
+    val dup = one("size(graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c', 'a', 'b', 'c'), 3))")
+    // windows: abc bca cab abc bca cab abc — 3 distinct
+    assert(dup.getInt(0) == 3)
+  }
+}
