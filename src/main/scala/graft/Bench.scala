@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * and prints one JSON line. Results are forced through the noop sink so the
   * full plan executes (a bare count() would let Spark prune the work). */
 object Bench {
+  /** Distinguishes a real golden-anchor failure from the generic
+    * IllegalStateExceptions Spark throws for infrastructure states. */
+  private final class GoldenMismatch(msg: String) extends RuntimeException(msg)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,12 +73,14 @@ object Bench {
         val sure = byCls.getOrElse("sure", 0L)
         val unc = byCls.getOrElse("uncertain", 0L)
         if (exactN != 673L || sure != 435L || unc != 658L)
-          throw new IllegalStateException(
+          throw new GoldenMismatch(
             s"uber-100k golden anchor MISMATCH: exact=$exactN (want 673) " +
             s"sure=$sure (want 435) uncertain=$unc (want 658)")
         f""","reference":{"exact_outliers_uber100k":$tExact%.3f,"approx_outliers_uber100k":$tApprox%.3f,"mrfft_k100_uber100k":$tFft%.3f}"""
       } catch {
-        case e: IllegalStateException => throw e // anchor mismatch: fail the bench
+        // only a genuine anchor mismatch fails the bench; transient
+        // infrastructure failures degrade to an absent reference section
+        case e: GoldenMismatch => throw e
         case _: Throwable => ""
       }
     } else ""

@@ -220,10 +220,14 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
     var c = 0
     while (c < k) {
       val cv = centroids(c)
-      val n = math.min(dim, cv.length)
+      // dimension drift would silently mix a truncated cross-term with
+      // full-length norms — wrong-but-plausible assignments; fail loudly
+      // instead (same no-silent-truncation rule as graft_dot)
+      if (cv.length != dim) throw new IllegalArgumentException(
+        s"graft_nearest_cells: vector dim $dim != centroid dim ${cv.length}")
       var dot = 0.0
       i = 0
-      while (i < n) { dot += xs(i) * cv(i); i += 1 }
+      while (i < dim) { dot += xs(i) * cv(i); i += 1 }
       d2(c) = (xnorm - 2.0 * dot) + cnorms(c)
       c += 1
     }

@@ -76,9 +76,13 @@ object Ann {
   }
 
   /** The `nprobe` nearest cell ids for the (small, already-filtered) query
-    * side — same expression, top-nprobe variant. */
-  private def probeCells(q: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame =
-    q.withColumn("probe", explode(nearest(centroids, nprobe)))
+    * side — same expression, top-nprobe variant. NearestCells returns a
+    * bare int for nprobe == 1 (the assignment fast path), so wrap it for
+    * the generator. */
+  private def probeCells(q: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val cells = if (nprobe == 1) array(nearest(centroids, 1)) else nearest(centroids, nprobe)
+    q.withColumn("probe", explode(cells))
+  }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank candidates
     * by cosine (same scoring as the brute-force baseline). No caching: the

@@ -19,17 +19,22 @@ object PointSource {
   // one cached DataFrame per (session, path, L): repeated read() calls in a
   // long-lived session reuse the same plan+cache entry instead of racking up
   // CacheManager lookups (Spark dedupes identical cached plans, but the memo
-  // makes the lifecycle explicit and gives callers one handle to unpersist)
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+  // makes the lifecycle explicit). Keyed by session OBJECT IDENTITY — an
+  // identityHashCode key could collide across a stopped and a live session
+  // and hand out a DataFrame bound to a dead SparkContext. Bounded by the
+  // number of sessions the JVM ever creates (a handful).
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]())
 
   /** Read, add a stable row id, repartition to L (the reference CLI's
     * explicit parallelism contract), cache for reuse across jobs. */
   def read(spark: SparkSession, path: String, l: Int): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), path, l),
-      spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
-        .withColumn("id", monotonically_increasing_id())
-        .select(col("id"), col("x").cast(DoubleType).as("x"), col("y").cast(DoubleType).as("y"))
-        .repartition(l)
-        .cache())
+    memo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate((path, l),
+        spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
+          .withColumn("id", monotonically_increasing_id())
+          .select(col("id"), col("x").cast(DoubleType).as("x"), col("y").cast(DoubleType).as("y"))
+          .repartition(l)
+          .cache())
 }

@@ -63,18 +63,20 @@ object FrequentItemsJob {
           val truncated = items0.length > remaining
           val items = if (truncated) items0.take(remaining.toInt) else items0
           processed += items.length
-          // exact-histogram half: per-batch DISTRIBUTED combine — the
-          // executors pre-aggregate (the reference's reduceByKey,
-          // `G016HW3.java:91-95`) and the driver merges one row per
-          // distinct item, not one per raw item. Only the truncated final
-          // batch falls back to the raw arrival-order fold, because the
-          // cutoff is defined on arrival order.
-          if (truncated) {
-            var i = 0
-            while (i < items.length) { hist.add(items(i)); i += 1 }
-          } else {
+          // exact-histogram half: per-batch DISTRIBUTED combine for large
+          // batches — the executors pre-aggregate (the reference's
+          // reduceByKey, `G016HW3.java:91-95`) and the driver merges one
+          // row per distinct item. Below the threshold (or on the
+          // truncated final batch, whose cutoff is defined on arrival
+          // order) the raw rows are already in hand for reservoir/sticky,
+          // so a driver fold is free and skips a whole Spark job — the
+          // combine only pays once shipping raw rows would dominate.
+          if (!truncated && items.length >= 65536) {
             hist.merge(batch.groupBy("item").count().collect()
               .map(r => (r.getLong(0), r.getLong(1))))
+          } else {
+            var i = 0
+            while (i < items.length) { hist.add(items(i)); i += 1 }
           }
           var i = 0
           while (i < items.length) {
