@@ -30,6 +30,18 @@ class AnnSpec extends SparkSpec {
     assert(assigned.count() == emb.count())
   }
 
+  test("ivf knn handles single-probe and single-cell configurations") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    // nprobe = 1: NearestCells' scalar fast path feeds the probe explode
+    val one = Ann.ivfKnn(emb, org.apache.spark.sql.functions.col("vec_id") < 4,
+      k = 3, nlist = 8, nprobe = 1)
+    assert(one.count() > 0)
+    // nprobe > nlist clamps instead of failing the expression require
+    val clamped = Ann.ivfKnn(emb, org.apache.spark.sql.functions.col("vec_id") < 4,
+      k = 3, nlist = 2, nprobe = 8)
+    assert(clamped.count() > 0)
+  }
+
   test("ivf knn: valid ranked output and reasonable recall vs brute force") {
     val ivf = Ann.qIvfKnn(spark, sfDir).collect()
     assert(ivf.nonEmpty)
