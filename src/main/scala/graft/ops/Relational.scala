@@ -61,7 +61,10 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
 
-  /** J3: broadcast equi-join small dim (part) into the fact table. */
+  /** J3: broadcast equi-join demonstration — the hint is this operator's
+    * contract (caller asserts the dim fits executor memory, as the
+    * reference's nearest-center broadcast does); the star/HAVING/above-avg
+    * queries below leave strategy to the planner instead. */
   def q04JoinBroadcast(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
@@ -69,10 +72,13 @@ object Relational {
       .agg(dsum(col("l_extendedprice")).as("brand_rev"),
            count(lit(1)).as("n_items"))
 
-  /** Multi-way join up a star schema; dims broadcast, fact side shuffles once. */
+  /** Multi-way join up a star schema. nation/region are FIXED-size catalogs
+    * (25/5 rows at any scale) — forced broadcast is always right; customer
+    * grows with the data, so its join strategy is left to the planner/AQE
+    * (still a broadcast at test SF, a shuffle join at 100 TB). */
   def q05StarJoin(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -162,10 +168,11 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
-  /** HAVING: brands appearing on more than `threshold` lineitems. */
+  /** HAVING: brands appearing on more than `threshold` lineitems. part
+    * grows with the data — join strategy left to the planner/AQE. */
   def q16Having(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 2000)
@@ -200,12 +207,15 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("cum_rev"))
   }
 
-  /** Correlated-style scalar aggregate: orders above their customer's average. */
+  /** Correlated-style scalar aggregate: orders above their customer's
+    * average. The per-customer aggregate grows with the data — never force
+    * its broadcast; AQE picks one at test SF, a co-partitioned shuffle
+    * join at scale (both sides already hash by customer key). */
   def q20AboveAvg(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val custAvg = o.groupBy(col("o_custkey").as("ck"))
       .agg(davg(col("o_totalprice")).as("avg_price"))
-    o.join(broadcast(custAvg), col("o_custkey") === col("ck"))
+    o.join(custAvg, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("avg_price"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_above"))
