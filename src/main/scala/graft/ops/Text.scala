@@ -259,7 +259,7 @@ object Text {
     * (hi << 3) | (lo >>> 61) since 2⁶⁴ = 8·2⁶¹. Requires 0 ≤ a,b < 2⁶¹
     * (all callers keep operands reduced). Value-identical to the previous
     * BigInteger path, ~100× cheaper per character. */
-  private def mulMod(a: Long, b: Long): Long = {
+  private[graft] def mulMod(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
     var r = ((hi << 3) | (lo >>> 61)) + (lo & Mod61)

@@ -50,6 +50,25 @@ class TextSpec extends SparkSpec {
     assert(groups == docs)
   }
 
+  test("mulMod: Mersenne-fold reduction equals BigInteger over random 61-bit operands") {
+    val M = (1L << 61) - 1
+    val rng = new scala.util.Random(77)
+    val bigM = java.math.BigInteger.valueOf(M)
+    for (_ <- 1 to 20000) {
+      val a = math.abs(rng.nextLong()) % M
+      val b = math.abs(rng.nextLong()) % M
+      val expected = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(b)).mod(bigM).longValue()
+      assert(Text.mulMod(a, b) == expected, s"mulMod($a, $b)")
+    }
+    // boundary operands
+    for (a <- Seq(0L, 1L, M - 1, M / 2, 257L); b <- Seq(0L, 1L, M - 1, 65535L)) {
+      val expected = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(b)).mod(bigM).longValue()
+      assert(Text.mulMod(a, b) == expected, s"mulMod($a, $b)")
+    }
+  }
+
   test("starComponents: long-path and random graphs match union-find (diameter-independent)") {
     import spark.implicits._
     // a 61-node path (diameter 60): min-label propagation needs 60 rounds,
