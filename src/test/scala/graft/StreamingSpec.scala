@@ -41,6 +41,47 @@ class StreamingSpec extends SparkSpec {
     assert(expected.forall(rep.stickyEstimate.contains))
   }
 
+  test("socket source end-to-end: frequent items over a live TCP stream (reference S3 contract)") {
+    // a real TCP feeder, not MemoryStream: the reference consumed
+    // algo.dei.unipd.it ports — this exercises the exact readStream
+    // .format("socket") path cli.StreamApp uses, on an ephemeral port
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    @volatile var stop = false
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept() // blocks until the socket source connects
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        val rng = new scala.util.Random(3)
+        var i = 0
+        while (!stop && !out.checkError()) {
+          val v = if (rng.nextDouble() < 0.5) (rng.nextInt(5) + 1).toLong
+                  else 1000L + rng.nextInt(1000000)
+          out.println(v)
+          i += 1
+          if (i % 2000 == 0) Thread.sleep(1)
+        }
+        sock.close()
+      } catch { case _: Throwable => () } finally {
+        try server.close() catch { case _: Throwable => () }
+      }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val stream = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port).load()
+      .selectExpr("CAST(value AS LONG) AS item")
+    val rep = FrequentItemsJob.run(spark, stream, n = 20000, phi = 0.05,
+      epsilon = 0.02, delta = 0.1, seed = 8)
+    stop = true
+    feeder.join(5000)
+    assert(rep.n == 20000)
+    // 5 planted heavies at ~10% each vs threshold ceil(0.05*20000) = 1000;
+    // tail ids are ~unique, so the true-frequent set is exactly the plant
+    assert(rep.trueFrequent == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(rep.stickyEstimate.contains))
+  }
+
   test("HW3 accuracy anchor: 1M-item stream, phi=0.07 eps=0.03 delta=0.1 (reference Output1M shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
