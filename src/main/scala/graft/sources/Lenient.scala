@@ -32,7 +32,17 @@ object Lenient {
       .json(path)
 
   /** Split a lenient read into (clean rows without the audit column,
-    * quarantined raw lines). */
+    * quarantined raw lines).
+    *
+    * The cache() is REQUIRED, not an optimization: Spark disallows
+    * querying only the corrupt-record column from a raw CSV/JSON scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parsed
+    * result must be cached or saved first. Lifecycle stays with the
+    * caller: the cache entry is registered on the caller's `df`, so
+    * `df.unpersist()` releases it once both branches are materialized.
+    * MEMORY_AND_DISK (the default) spills rather than OOMs at ingest
+    * scale; a production pipeline saves the parsed split to a table
+    * instead of holding it in storage memory. */
   def partitionClean(df: DataFrame): (DataFrame, DataFrame) = {
     val cached = df.cache()
     val clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
