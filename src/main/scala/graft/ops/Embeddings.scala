@@ -77,9 +77,26 @@ object Embeddings {
     * round/threshold run as Spark expressions on the raw double, so results
     * hash-match the previous cartesian formulation and the DuckDB oracle.
     */
-  def cosineNearDup(emb: DataFrame, threshold: Double, nBlocks: Int = 16): DataFrame = {
+  def cosineNearDup(emb: DataFrame, threshold: Double, nBlocks: Int = 0,
+                    targetRowsPerBlock: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // nBlocks <= 0 ⇒ auto-size from the corpus: the kernel's memory
+    // contract is "two blocks per task", so a FIXED block count would make
+    // each task hold 100× more vectors on a 100× corpus and OOM exactly
+    // where the operator is meant to shine. One cheap count (parquet
+    // count-star is metadata-only) sizes blocks to <= targetRowsPerBlock
+    // rows (64k rows × 64 dims ≈ 33 MB/block), with a floor that keeps
+    // nb(nb+1)/2 block pairs >= the cluster's parallelism so small corpora
+    // still use every core. Output is block-count-invariant (proven in
+    // EmbeddingsSpec), so sizing is purely a physical decision.
+    val nb = if (nBlocks > 0) nBlocks else {
+      val n = emb.count()
+      val byMem = math.ceil(n.toDouble / targetRowsPerBlock).toInt
+      val p = spark.sparkContext.defaultParallelism
+      val byPar = math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt
+      math.max(1, math.max(byMem, byPar))
+    }
     val vecs = emb.select(
         col("vec_id").cast(LongType),
         col("embedding").cast(ArrayType(DoubleType)))
@@ -90,7 +107,6 @@ object Embeddings {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    val nb = nBlocks
     val blocks = vecs
       .groupByKey { case (id, _) => (java.lang.Long.remainderUnsigned(mix(id), nb.toLong)).toInt }
       .mapGroups { (bid, it) =>
@@ -112,8 +128,13 @@ object Embeddings {
         (bid, rows.map(_._1), mat, nrm)
       }
       .toDF("bid", "ids", "mat", "nrm")
-    val blockPairs = spark.createDataset(
-      for { i <- 0 until nb; j <- i until nb } yield (i, j)).toDF("bi", "bj")
+    // block-pair table built distributively (range × range, tiny in bytes):
+    // at auto-sized nb a billion-vector corpus has ~15k blocks → ~1.2e8
+    // pairs, far too many tuples to materialize as a driver-local Seq
+    val bids = spark.range(nb.toLong).select(col("id").cast(IntegerType).as("bid"))
+    val blockPairs = bids.select(col("bid").as("bi"))
+      .crossJoin(bids.select(col("bid").as("bj")))
+      .filter(col("bi") <= col("bj"))
     val paired = blockPairs
       .join(blocks.select(col("bid").as("bi"), col("ids").as("ids1"),
         col("mat").as("mat1"), col("nrm").as("nrm1")), "bi")

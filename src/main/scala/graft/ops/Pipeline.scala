@@ -23,28 +23,48 @@ object Pipeline {
       chunkStride: Int = 24,
       packBudget: Int = 8192)
 
+  /** ONE tokenized scan of `documents` feeds every pipeline stage: the
+    * quality gate, the exact-dedup hash, the LSH shingles and the summary's
+    * per-language totals all read this cached frame (InMemoryTableScan)
+    * instead of each re-scanning the parquet and re-running split().
+    * cache() (LRU-evictable, spills to disk) rather than an eager
+    * checkpoint: at 100 TB caching the tokenized corpus for the pipeline's
+    * scope is the standard multi-stage trade. Calling this twice for the
+    * same dir reuses the same cache entry (identical plan). */
+  private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .cache()
+
   /** Documents surviving quality + exact-dup + near-dup filtering. */
-  def cleanCorpus(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def cleanCorpus(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
+    cleanCorpusFrom(tokenizedDocs(s, dir), cfg)
+
+  private def cleanCorpusFrom(docs: DataFrame, cfg: Config): DataFrame = {
     // stage 1: quality gate (token count + stopword ratio)
     val stopList = Seq("the", "a", "and", "of", "to", "in", "is", "it")
       .map(w => s"'$w'").mkString(", ")
     val quality = docs
-      .withColumn("t", split(col("text"), " "))
       .withColumn("n_tok", size(col("t")))
       .withColumn("n_stop", expr(s"size(filter(t, x -> x IN ($stopList)))"))
       .filter(col("n_tok") >= cfg.minTokens &&
               col("n_stop").cast(DoubleType) / col("n_tok") <= cfg.maxStopRatio)
-    // stage 2: exact dedup — canonical (min doc_id) per content hash
-    val exactCanon = quality
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keep_id"))
+    // stage 2: exact dedup — canonical (min doc_id) per content hash, as a
+    // row_number window over a hash column computed ONCE per document. The
+    // previous agg+self-join shape re-evaluated md5(text) in the join
+    // predicate — twice the hashing over what is by definition the full
+    // corpus. One shuffle on h either way; the window avoids the join.
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id").asc)
     val exactDeduped = quality
-      .join(exactCanon, md5(col("text")) === col("h") && col("doc_id") === col("keep_id"))
-      .drop("h", "keep_id")
+      .withColumn("h", md5(col("text")))
+      .withColumn("_rn", row_number().over(hw))
+      .filter(col("_rn") === 1)
+      .drop("h", "_rn")
     // stage 3: near-dup removal — drop every non-canonical member of a
-    // Jaccard component (pairs from the LSH path; d1 < d2 ⇒ min survives)
-    val nearDupLosers = Text.qMinHashLsh(s, dir)
+    // Jaccard component (pairs from the LSH path over the SAME cached
+    // tokenized frame; d1 < d2 ⇒ min survives)
+    val nearDupLosers = Text.minHashLshPairs(docs)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("d2").as("drop_id")).distinct()
     exactDeduped
@@ -53,9 +73,12 @@ object Pipeline {
 
   /** Full pipeline: cleaned corpus → overlapping chunks → packed bins.
     * Output: one row per chunk with its training-bin assignment. */
-  def trainingChunks(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
+  def trainingChunks(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
+    trainingChunksFrom(tokenizedDocs(s, dir), cfg)
+
+  private def trainingChunksFrom(docs: DataFrame, cfg: Config): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clean = cleanCorpus(s, dir, cfg)
+    val clean = cleanCorpusFrom(docs, cfg)
     val chunks = clean
       .select(col("doc_id"), col("lang"), col("t"),
         posexplode(expr(s"sequence(0, cast(floor((size(t) - 1) / ${cfg.chunkStride}.0) as int))")))
@@ -76,9 +99,10 @@ object Pipeline {
     * chunks, bins) — deterministic, rows-only (the composed flow includes
     * the LSH stage which has no SQL oracle). */
   def qPipelineSummary(s: SparkSession, dir: String): DataFrame = {
-    val total = Tables.documents(s, dir).groupBy(col("lang"))
+    val docs = tokenizedDocs(s, dir)
+    val total = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("docs_in"))
-    val chunks = trainingChunks(s, dir)
+    val chunks = trainingChunksFrom(docs, Config())
     val kept = chunks.groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("docs_kept"),
            count(lit(1)).as("n_chunks"),

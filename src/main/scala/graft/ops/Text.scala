@@ -20,9 +20,13 @@ object Text {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
-  /** tokens + shingle (3-gram) array per document. */
-  private def withTokens(docs: DataFrame): DataFrame =
-    docs.withColumn("t", split(col("text"), " "))
+  /** tokens + shingle (3-gram) array per document. Idempotent: a frame that
+    * already carries a `t` column (e.g. the pipeline's cached tokenized
+    * corpus) is passed through untouched, so composed operators never
+    * re-tokenize work a caller has already done/cached. */
+  private[graft] def withTokens(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("t")) docs
+    else docs.withColumn("t", split(col("text"), " "))
 
   private def withShingles(docs: DataFrame): DataFrame =
     withTokens(docs)
@@ -151,10 +155,17 @@ object Text {
     * output contract matches qNgramJaccard (J >= 0.5); banding at 16×2
     * catches J >= 0.8 pairs w.p. ~1-4e-8 and the re-verify removes false
     * positives, so on separated corpora the two agree exactly. */
-  def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+  def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
+    minHashLshPairs(Tables.documents(s, dir))
+
+  /** [[qMinHashLsh]] over an arbitrary documents-shaped frame (doc_id,
+    * text[, t]) — lets composed pipelines (Pipeline.cleanCorpus) thread a
+    * single cached tokenized corpus through instead of re-scanning and
+    * re-tokenizing the source table per stage. */
+  def minHashLshPairs(docs: DataFrame): DataFrame = {
     val nHashes = 32; val bands = 16; val rows = 2
     // native hashed shingles; all downstream work is on longs
-    val exploded = withHashedShingles(Tables.documents(s, dir))
+    val exploded = withHashedShingles(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
     // signature[i] = min over shingles of xxhash64(i, h): one explode + 32
     // codegen'd min-aggregations (single pass, partial aggregation map-side)
@@ -316,17 +327,29 @@ object Text {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
   }
 
-  /** Near-duplicate clustering: connected components over the Jaccard >= 0.5
-    * pair graph. Output: (doc_id, canonical component id) for every
-    * document that has at least one near-duplicate. */
-  def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
-    // edges come from the banded MinHash path (candidates from a bucket
-    // equi-join + exact re-verify), NOT the all-pairs baseline: at 100 TB
-    // the component operator must inherit LSH's linear candidate cost.
-    // qMinHashLsh and qNgramJaccard are oracle-verified to emit the same
-    // pair set at the J >= 0.5 contract on this corpus.
+  /** Near-duplicate clustering: connected components over the **MinHash-LSH
+    * candidate pair graph** at J >= 0.5. Output: (doc_id, canonical
+    * component id) for every document with at least one near-duplicate.
+    *
+    * PROBABILISTIC contract: the edges come from banded MinHash
+    * ([[qMinHashLsh]] — bucket equi-join candidates + exact re-verify), so
+    * false *positives* are eliminated but banding can miss a true pair
+    * (false negatives, vanishing as J → 1); components can under-merge on
+    * an adversarial corpus. This is the deliberate 100 TB trade — the
+    * candidate cost stays linear. [[qDedupComponentsExact]] is the exact
+    * twin for when the contract must be exact; the two are verified to
+    * agree on the test corpus (TextSpec) and the DuckDB oracle checks this
+    * query against the exact pair graph. */
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame =
     dedupComponents(qMinHashLsh(s, dir).select(col("d1"), col("d2")))
-  }
+
+  /** Exact twin of [[qDedupComponents]]: edges from the prefix-filtered
+    * all-pairs Jaccard join ([[qNgramJaccard]]) — no probabilistic candidate
+    * stage, still scale-safe (prefix filtering bounds hot-shingle skew).
+    * Use when the "connected components over the J >= 0.5 graph" contract
+    * must hold exactly rather than with LSH's false-negative rate. */
+  def qDedupComponentsExact(s: SparkSession, dir: String): DataFrame =
+    dedupComponents(qNgramJaccard(s, dir).select(col("d1"), col("d2")))
 
   /** Connected components over an edge DataFrame (d1, d2).
     *
@@ -341,8 +364,15 @@ object Text {
   private[graft] def dedupComponents(edges0: DataFrame,
                                      driverEdgeLimit: Long = 100000): DataFrame = {
     val s = edges0.sparkSession
-    val edges = edges0.cache()
-    if (edges.count() <= driverEdgeLimit) {
+    // ONE action both selects the path and fetches the driver input (the
+    // same gate shape as Geometry.approxOutliers): collect up to limit+1
+    // edges — <= limit rows back proves the pair graph fits the driver;
+    // limit+1 means overflow, fall back to the distributed contraction.
+    // The previous shape spent a dedicated cache()+count() job purely on
+    // path selection, double-materializing the whole LSH edge pipeline.
+    val lim = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
+    val fetched = edges0.limit(lim + 1).collect()
+    if (fetched.length <= lim) {
       import s.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -352,19 +382,15 @@ object Text {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      fetched.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
-      edges.unpersist()
-      return s.createDataset(out).toDF("doc_id", "comp")
-    }
-    val result = starComponents(edges)
-    edges.unpersist()
-    result
+      s.createDataset(out).toDF("doc_id", "comp")
+    } else starComponents(edges0)
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,
@@ -411,11 +437,16 @@ object Text {
         .localCheckpoint()
       // convergence: the canonical edge set is a fixpoint — order-free
       // checksum (count + xor of per-edge hashes; xor cannot overflow
-      // under ANSI mode) instead of a full anti-join
+      // under ANSI mode) instead of a per-round anti-join. A checksum hit
+      // is then CONFIRMED with one exact set comparison (equal counts +
+      // empty except ⇒ equal sets, both sides are distinct()) so a 64-bit
+      // collision between different edge sets degrades to one extra round,
+      // never to silently wrong components. The exact check runs only on
+      // the final round — per-round cost is unchanged.
       val check = small.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
         .collect()(0)
       val newSum = (check.getLong(0), if (check.isNullAt(1)) 0L else check.getLong(1))
-      done = newSum == checksum
+      done = newSum == checksum && small.exceptAll(edges).isEmpty
       checksum = newSum
       edges = small
       iter += 1

@@ -21,20 +21,42 @@ object PointSource {
   // CacheManager lookups (Spark dedupes identical cached plans, but the memo
   // makes the lifecycle explicit). Keyed by session OBJECT IDENTITY — an
   // identityHashCode key could collide across a stopped and a live session
-  // and hand out a DataFrame bound to a dead SparkContext. Bounded by the
-  // number of sessions the JVM ever creates (a handful).
+  // and hand out a DataFrame bound to a dead SparkContext. Entries for
+  // stopped sessions are purged on every access (weak keys would not work:
+  // the memoized DataFrames reference their session, so the value would pin
+  // the key), bounding retention to the LIVE sessions of the JVM.
   private val memo = java.util.Collections.synchronizedMap(
     new java.util.IdentityHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]())
 
+  private def build(spark: SparkSession, path: String, l: Int): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
+      .withColumn("id", monotonically_increasing_id())
+      .select(col("id"), col("x").cast(DoubleType).as("x"), col("y").cast(DoubleType).as("y"))
+      .repartition(l)
+      .cache()
+
   /** Read, add a stable row id, repartition to L (the reference CLI's
-    * explicit parallelism contract), cache for reuse across jobs. */
-  def read(spark: SparkSession, path: String, l: Int): DataFrame =
-    memo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate((path, l),
-        spark.read.schema(schema).option("mode", "FAILFAST").csv(path)
-          .withColumn("id", monotonically_increasing_id())
-          .select(col("id"), col("x").cast(DoubleType).as("x"), col("y").cast(DoubleType).as("y"))
-          .repartition(l)
-          .cache())
+    * explicit parallelism contract), cache for reuse across jobs.
+    *
+    * If a caller unpersisted a previously returned DataFrame, the memo
+    * detects it (storageLevel == NONE) and re-reads + re-caches instead of
+    * handing back the cold plan — so `unpersist()` doubles as "drop this
+    * entry" and a changed underlying file is picked up on the next read.
+    * A handle that is still cached is returned as-is; callers that need to
+    * re-read a file changed in place must unpersist first. */
+  def read(spark: SparkSession, path: String, l: Int): DataFrame = {
+    memo.synchronized {
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+    val bySession =
+      memo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    val df = bySession.getOrElseUpdate((path, l), build(spark, path, l))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val fresh = build(spark, path, l)
+      bySession.put((path, l), fresh)
+      fresh
+    } else df
+  }
 }

@@ -12,9 +12,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Reference → engine mapping:
   *  - DStream `foreachRDD` → `writeStream.foreachBatch` (T1);
-  *  - per-batch `mapToPair/reduceByKey/collectAsMap` → per-batch
-  *    `groupBy(item).count().collect()` merged into the driver histogram
-  *    (the distributed part of the work — T6);
+  *  - per-batch `mapToPair/reduceByKey/collectAsMap` → a driver fold of the
+  *    batch rows into the histogram (T6): the raw arrival-order rows must
+  *    reach the driver anyway for reservoir/sticky, so a distributed
+  *    pre-aggregation would be a second action on the same batch, not a
+  *    saving — the distributed analogue lives in [[DistributedSketches]];
   *  - semaphore + `ssc.stop` → semaphore + `query.stop()` from the main
   *    thread (T2);
   *  - the n-item cutoff truncates the final batch in arrival order; with a
@@ -63,24 +65,20 @@ object FrequentItemsJob {
           val truncated = items0.length > remaining
           val items = if (truncated) items0.take(remaining.toInt) else items0
           processed += items.length
-          // exact-histogram half: per-batch DISTRIBUTED combine for large
-          // batches — the executors pre-aggregate (the reference's
-          // reduceByKey, `G016HW3.java:91-95`) and the driver merges one
-          // row per distinct item. Below the threshold (or on the
-          // truncated final batch, whose cutoff is defined on arrival
-          // order) the raw rows are already in hand for reservoir/sticky,
-          // so a driver fold is free and skips a whole Spark job — the
-          // combine only pays once shipping raw rows would dominate.
-          if (!truncated && items.length >= 65536) {
-            hist.merge(batch.groupBy("item").count().collect()
-              .map(r => (r.getLong(0), r.getLong(1))))
-          } else {
-            var i = 0
-            while (i < items.length) { hist.add(items(i)); i += 1 }
-          }
+          // All three sketches fold the already-collected rows: reservoir
+          // and sticky are order-exact by reference semantics, so the raw
+          // arrival-order array MUST reach the driver every batch — which
+          // means a distributed groupBy+count combine for the histogram
+          // could only ever ADD a second full action on the same batch,
+          // never replace the collect. (An earlier revision ran such a
+          // combine for >= 64k-row batches; it was strictly extra work.)
+          // The genuinely distributed, order-relaxed analogues — mergeable
+          // Aggregators with executor-side partial aggregation — live in
+          // [[DistributedSketches]].
           var i = 0
           while (i < items.length) {
             val it = items(i)
+            hist.add(it)
             reservoir.add(it)
             sticky.add(it)
             i += 1

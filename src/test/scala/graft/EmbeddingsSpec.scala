@@ -17,6 +17,16 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("auto-sized blocks (non-default target) match brute force") {
+    val bf = Embeddings.cosineNearDupBruteForce(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // tiny target forces many blocks: exercises the count-driven sizing
+    // path end to end, not just explicit nBlocks values
+    val auto = Embeddings.cosineNearDup(emb, 0.4, nBlocks = 0, targetRowsPerBlock = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == bf, "auto-sized block count diverged from brute force")
+  }
+
   test("block near-dup result is partitioning-independent") {
     val a = Embeddings.cosineNearDup(emb, 0.4)
       .collect().map(_.toString).sorted.toSeq

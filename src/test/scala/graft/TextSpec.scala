@@ -35,6 +35,15 @@ class TextSpec extends SparkSpec {
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
 
+  test("dedup components: exact-edge twin agrees with the LSH default on this corpus") {
+    val lsh = Text.qDedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Text.qDedupComponentsExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
+
   test("wordcount total equals token-count sum") {
     import org.apache.spark.sql.functions._
     val wc = Text.qWordCount(spark, sfDir).agg(sum("cnt")).collect().head.getLong(0)
