@@ -41,28 +41,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // cold AND warm per workload: the BASELINE.md numbers are one-shot
+    // runs that include JIT, so a warm-only report flatters the
+    // comparison — the cold number keeps the claim honest. The golden
+    // anchors and the baseline bar stay on the warm (unsuffixed) keys.
+    def coldWarm(name: String, f: => Unit): String = {
+      val cold = time(f); val warm = time(f)
+      f""""${name}_cold":$cold%.3f,"${name}_warm":$warm%.3f,"$name":$warm%.3f"""
+    }
     // BASELINE.md-comparable reference workloads (uber-100k, D=0.02 M=10):
     // published numbers are ExactOutliers 61 655 ms / MRApproxOutliers 960 ms
     val uber = "/root/reference/Homework_1/Data/uber-100k.csv"
     val ref = if (new java.io.File(uber).exists()) {
-      def time(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       try {
         val pts = graft.sources.PointSource.read(spark, uber, cpus.toInt)
         pts.count()
-        // same warm+measured discipline as the gate queries: first run pays
-        // JIT/codegen, the second is the reported number
         var exactN = -1L
-        def runExact(): Unit = exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count()
-        runExact()
-        val tExact = time(runExact())
+        val exactJson = coldWarm("exact_outliers_uber100k",
+          { exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count() })
         var approxRows = Array.empty[org.apache.spark.sql.Row]
-        def runApprox(): Unit = approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect()
-        runApprox()
-        val tApprox = time(runApprox())
-        graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false)
-        val tFft = time(graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false))
+        val approxJson = coldWarm("approx_outliers_uber100k",
+          { approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect() })
+        val fftJson = coldWarm("mrfft_k100_uber100k",
+          graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false))
         // golden anchors from the reference's published uber-100k output
         // (Homework_1/Data/Example/output_uber100k_0.02_10_5_2.pdf): 673
         // exact outliers, 435 sure, 658 uncertain. The bench TIMES this
@@ -76,7 +80,7 @@ object Bench {
           throw new GoldenMismatch(
             s"uber-100k golden anchor MISMATCH: exact=$exactN (want 673) " +
             s"sure=$sure (want 435) uncertain=$unc (want 658)")
-        f""","reference":{"exact_outliers_uber100k":$tExact%.3f,"approx_outliers_uber100k":$tApprox%.3f,"mrfft_k100_uber100k":$tFft%.3f}"""
+        s""","reference":{$exactJson,$approxJson,$fftJson}"""
       } catch {
         // only a genuine anchor mismatch fails the bench; transient
         // infrastructure failures degrade to an absent reference section
@@ -84,7 +88,39 @@ object Bench {
         case _: Throwable => ""
       }
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref}""")
+    // reference_1m: the published artificial1M workload (1 000 108 pts,
+    // M=10 K=200 L=16 — BASELINE.md: MRFFT R1+R2+R3 ≈ 1.13 s, Radius
+    // 0.60045445, MRApproxOutliers ≈ 0.52 s, 100 sure / 0 uncertain on 16
+    // executors). The original blob is stripped, so the workload runs on
+    // the deterministic ArtificialPoints twin — same point count, same
+    // cluster+planted-outlier shape — and the planted-outlier recall (100
+    // sure, 0 uncertain, the published classification) is ASSERTED, not
+    // just timed.
+    val ref1m = try {
+      val pts1m = graft.sources.ArtificialPoints.generate(spark)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        pts1m.count()
+        var radius = 0.0
+        val fftJson = coldWarm("mrfft_k200_1m",
+          { radius = graft.ops.Geometry.mrFFT(pts1m, k = 200, l = 16)._1 })
+        var rows = Array.empty[org.apache.spark.sql.Row]
+        val approxJson = coldWarm("approx_outliers_1m",
+          { rows = graft.ops.Geometry.approxOutliers(pts1m, radius, 10).collect() })
+        val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sure = byCls.getOrElse("sure", 0L)
+        val unc = byCls.getOrElse("uncertain", 0L)
+        if (sure != 100L || unc != 0L)
+          throw new GoldenMismatch(
+            s"artificial1M recall anchor MISMATCH: sure=$sure (want 100, the " +
+            s"planted outliers) uncertain=$unc (want 0) at D=$radius")
+        f""","reference_1m":{$fftJson%s,$approxJson%s,"radius_k200":$radius%.8f}"""
+      } finally pts1m.unpersist()
+    } catch {
+      case e: GoldenMismatch => throw e
+      case _: Throwable => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref$ref1m}""")
     spark.stop()
   }
 }

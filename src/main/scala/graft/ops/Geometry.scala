@@ -246,9 +246,17 @@ object Geometry {
       .as[(Double, Double)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // R1: per-partition coreset (executors), ≤ K points each
+      // R1: per-partition coreset (executors), ≤ K points each. On the
+      // deterministic path the partition is sorted first: range
+      // partitioning fixes WHICH rows land in a partition, but the order
+      // they arrive in depends on shuffle-block fetch order, and FFT's
+      // result depends on point order (first point seeds, ties break by
+      // index) — without the sort the "deterministic" radius could differ
+      // across runs of the same input. O(n log n) against FFT's O(n·k).
+      val det = deterministic
       val coreset = typed.mapPartitions { it =>
         val arr = it.toArray
+        if (det) java.util.Arrays.sort(arr, Ordering[(Double, Double)])
         if (arr.isEmpty) Iterator.empty else sequentialFFT(arr, k).iterator
       }.collect()
       // R2: driver FFT on ≤ K·L points

@@ -112,6 +112,37 @@ class GeometrySpec extends SparkSpec {
     assert(radii.last > 0.0)
   }
 
+  test("artificial1M anchors: pinned per-L radii, tight cross-L envelope, planted-outlier recall") {
+    // the reference's published 1M workload (artificial1M_9_100.csv,
+    // 1 000 108 pts, M=10 K=200 — Radius 0.60045445 @16 exec / 0.62610096
+    // @4 exec, 100 sure / 0 uncertain) with the original blob stripped:
+    // the deterministic ArtificialPoints twin reproduces the shape with a
+    // KNOWN ground truth. The reference's own radius varies ~4% per
+    // executor count; ours is pinned EXACTLY per L (bit-deterministic
+    // generator + sorted deterministic MRFFT) and varies < 1% across L.
+    val pts = graft.sources.ArtificialPoints.generate(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(pts.count() == 1000108L) // the published corpus point count
+      val golden = Map(
+        4  -> 0.5390109822749377,
+        16 -> 0.5407552140781877,
+        32 -> 0.5397577165195284)
+      val radii = golden.keys.toSeq.sorted.map { l =>
+        val (r, _) = Geometry.mrFFT(pts, k = 200, l = l)
+        assert(r == golden(l), s"L=$l radius $r != pinned golden ${golden(l)}")
+        r
+      }
+      assert(radii.max / radii.min < 1.01, s"cross-L radius spread too wide: $radii")
+      // recall anchor at the L=16 radius (the published config): exactly
+      // the 100 planted outliers are sure, nothing uncertain
+      val cls = Geometry.approxOutliers(pts, d = golden(16), m = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cls.getOrElse("sure", 0L) == 100L, s"recall: $cls")
+      assert(cls.getOrElse("uncertain", 0L) == 0L, s"false uncertain: $cls")
+    } finally pts.unpersist()
+  }
+
   test("mrFFT deterministic path is stable across runs and L") {
     val pts = testN15
     val (r1, c1) = Geometry.mrFFT(pts, k = 4, l = 2)
