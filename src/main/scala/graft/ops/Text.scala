@@ -167,13 +167,22 @@ object Text {
     // native hashed shingles; all downstream work is on longs
     val exploded = withHashedShingles(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
-    // signature[i] = min over shingles of xxhash64(i, h): one explode + 32
-    // codegen'd min-aggregations (single pass, partial aggregation map-side)
-    val sig = exploded.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("h"))).as("h0"),
-      (1 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
+    // ONE explode + shuffle + aggregation computes BOTH the 32 min-hash
+    // signature columns AND the per-doc hashed-shingle set, then
+    // localCheckpoint materializes it: the three downstream consumers (the
+    // two sides of the banded self-join and the two re-verify joins) read
+    // the materialized frame instead of each re-deriving it — the previous
+    // shape re-scanned the corpus and re-shingled FOUR times per
+    // invocation (self-join subtrees are not deduplicated by Catalyst, and
+    // the differing partial aggregates defeat exchange reuse). The
+    // materialization is linear in the corpus (shingle set + 32 longs per
+    // doc, memory-and-disk), against four full recomputes at 100 TB.
+    val agg = exploded.groupBy(col("doc_id")).agg(
+        collect_set(col("h")).as("hs"),
+        (0 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
+      .localCheckpoint()
     // band key = hash of the band's signature rows; candidates share a band
-    val banded = sig.select(col("doc_id"), posexplode(array(
+    val banded = agg.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
@@ -184,10 +193,9 @@ object Text {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     // exact Jaccard re-verification on candidates only, over hashed sets
-    val shSets = exploded.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
     cands
-      .join(shSets.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
-      .join(shSets.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .join(agg.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(agg.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
       .withColumn("jaccard",
         size(array_intersect(col("hs1"), col("hs2"))).cast(DoubleType) /
         size(array_union(col("hs1"), col("hs2"))))
