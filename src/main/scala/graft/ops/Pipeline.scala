@@ -77,22 +77,26 @@ object Pipeline {
     trainingChunksFrom(tokenizedDocs(s, dir), cfg)
 
   private def trainingChunksFrom(docs: DataFrame, cfg: Config): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clean = cleanCorpusFrom(docs, cfg)
+    // the chunk hash is taken HERE so the token arrays never leave this
+    // projection: the prefix sum below materializes its input once, and a
+    // scalars-only frame (ids, lengths, hash) keeps that write small
     val chunks = clean
       .select(col("doc_id"), col("lang"), col("t"),
         posexplode(expr(s"sequence(0, cast(floor((size(t) - 1) / ${cfg.chunkStride}.0) as int))")))
       .select(col("doc_id"), col("lang"), col("pos").as("chunk_idx"),
         expr(s"slice(t, pos * ${cfg.chunkStride} + 1, ${cfg.chunkSize})").as("chunk"))
-      .withColumn("chunk_len", size(col("chunk")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
-      .withColumn("running", sum(col("chunk_len")).over(w))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        size(col("chunk")).as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+    // running total via the two-level prefix sum (Text.distributedRunningSum):
+    // a plain partitionBy(lang) window would hand each language's entire
+    // chunk stream to a single reducer
+    Text.distributedRunningSum(chunks, "lang", Seq("doc_id", "chunk_idx"),
+        "chunk_len", "running")
       .withColumn("bin", floor((col("running") - col("chunk_len")) / cfg.packBudget.toDouble).cast(LongType))
       .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk_len"),
-        col("bin"), md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        col("bin"), col("chunk_hash"))
   }
 
   /** Gate query: per-language pipeline yield summary (docs in, docs kept,

@@ -180,7 +180,7 @@ object Text {
     val agg = exploded.groupBy(col("doc_id")).agg(
         collect_set(col("h")).as("hs"),
         (0 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key = hash of the band's signature rows; candidates share a band
     val banded = agg.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
@@ -482,16 +482,55 @@ object Text {
         size(col("chunk")).as("chunk_len"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
 
+  /** Distributed running total of `valueCol` over rows ordered by `ordCols`
+    * within `partCol`, as a TWO-LEVEL prefix sum. A plain
+    * `Window.partitionBy(partCol)` running sum puts every row of a
+    * partition key on ONE reducer — with a handful of languages that is a
+    * handful of tasks owning a 100 TB corpus. Here rows are bucketed by
+    * contiguous ranges of the leading order column (`floor(ord / width)` is
+    * monotone, so bucket order = row order), per-bucket totals cascade into
+    * cumulative offsets on a frame that is corpus/width rows (the only
+    * per-language-sequential step, at 1/width the data), and the final
+    * running value is the bucket offset plus a within-bucket window — whose
+    * partitions are (key, bucket), i.e. bounded and evenly spread.
+    * Numerically exact: long sums, identical to the single-window form. */
+  private[graft] def distributedRunningSum(df: DataFrame, partCol: String,
+      ordCols: Seq[String], valueCol: String, out: String,
+      bucketWidth: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE pass over the (possibly expensive) input: bucket + within-bucket
+    // running sum, materialized — the offset aggregation and the final join
+    // then read the materialized frame instead of re-deriving the whole
+    // upstream a second time (the chunks frame behind q66 is a 5-stage
+    // pipeline; recomputing it for the per-bucket totals doubled its cost)
+    val local = df
+      .withColumn("_bkt",
+        floor(col(ordCols.head) / bucketWidth.toDouble).cast(LongType))
+      .withColumn("_lrun", sum(col(valueCol)).over(
+        Window.partitionBy(col(partCol), col("_bkt"))
+          .orderBy(ordCols.map(c => col(c).asc): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bw = Window.partitionBy(col(partCol)).orderBy(col("_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(partCol), col("_bkt"))
+      .agg(sum(col(valueCol)).as("_bsum"))
+      .withColumn("_off", coalesce(sum(col("_bsum")).over(bw), lit(0L)))
+      .select(col(partCol).as("_p2"), col("_bkt").as("_b2"), col("_off"))
+    local
+      .join(offsets, col(partCol) === col("_p2") && col("_bkt") === col("_b2"))
+      .withColumn(out, (col("_off") + col("_lrun")).cast(LongType))
+      .drop("_bkt", "_lrun", "_p2", "_b2", "_off")
+  }
+
   /** Sequence packing: assign documents (in stable doc_id order per
     * language) to training bins of ~8192 tokens by running total — the
-    * streaming packing shape (one window pass, no driver loop). */
+    * streaming packing shape (distributed prefix sum, no driver loop and
+    * no one-reducer-per-language window). */
   def qPacking(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withTokens(Tables.documents(s, dir))
+    val toks = withTokens(Tables.documents(s, dir))
       .select(col("lang"), col("doc_id"), size(col("t")).as("n_tok"))
-      .withColumn("running", sum(col("n_tok")).over(w))
+    distributedRunningSum(toks, "lang", Seq("doc_id"), "n_tok", "running")
       .withColumn("bin", floor((col("running") - col("n_tok")) / 8192.0).cast(LongType))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast(LongType).as("bin_tokens"))

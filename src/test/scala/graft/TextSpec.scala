@@ -44,6 +44,29 @@ class TextSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("distributedRunningSum equals the one-reducer window form (any bucket width)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    // sparse, non-contiguous ids across 3 keys
+    val rows = (0 until 3000).map { i =>
+      (s"l${rng.nextInt(3)}", i.toLong * 7 + rng.nextInt(3), rng.nextInt(100).toLong)
+    }.distinctBy(r => (r._1, r._2))
+    val df = spark.createDataset(rows).toDF("lang", "doc_id", "v")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("running", sum(col("v")).over(w))
+      .select("lang", "doc_id", "running")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (width <- Seq(1L, 64L, 1000000L)) {
+      val got = Text.distributedRunningSum(df, "lang", Seq("doc_id"), "v", "running", width)
+        .select("lang", "doc_id", "running")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"bucketWidth=$width diverged")
+    }
+  }
+
   test("wordcount total equals token-count sum") {
     import org.apache.spark.sql.functions._
     val wc = Text.qWordCount(spark, sfDir).agg(sum("cnt")).collect().head.getLong(0)
