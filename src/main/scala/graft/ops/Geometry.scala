@@ -177,7 +177,12 @@ object Geometry {
     * (id as qid) with |B(p,D)| (self included), identical to the unpruned
     * formulation — golden-verified on TestN15, uber-10k, uber-100k.
     */
-  def exactOutliers(pts: DataFrame, d: Double, m: Long): DataFrame = {
+  def exactOutliers(pts0: DataFrame, d: Double, m: Long): DataFrame = {
+    // the point set is consumed three times (Λ-cell histogram, candidate
+    // semi-join side, probe side): persist so a source-table input is
+    // scanned once, not three times. No-op when the caller already cached
+    // (PointSource) — persist is plan-keyed.
+    val pts = pts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lambda = d / (2.0 * math.sqrt(2.0))
     val smallCells = cellHistogram(pts, lambda)
       .filter(col("sz") <= m)

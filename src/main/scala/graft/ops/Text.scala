@@ -123,18 +123,29 @@ object Text {
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 64-bit shingle hashes, not strings: same set identity modulo a ~2^-40
-    // collision chance, far cheaper to compute, shuffle and compare
+    // collision chance, far cheaper to compute, shuffle and compare.
+    // Persisted: the frame is consumed three times (the explode feeding
+    // dfreq+prefix, and both sides of the re-verify join) — like the LSH
+    // aggregate, self-join subtrees are not deduplicated by Catalyst, so
+    // without the persist one invocation re-scans and re-shingles the
+    // corpus four times. Linear in the corpus, memory-and-disk, lazy (fuses
+    // into the first consuming job), plan-keyed.
     val sh = withHashedShingles(Tables.documents(s, dir))
       .select(col("doc_id"), col("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // n (distinct shingles per doc) rides along from size(hs): no second
     // window pass, just the one row_number shuffle by doc_id
     val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    // persisted: both sides of the candidate self-join consume this frame,
+    // and without the persist each side re-runs the explode + document-
+    // frequency join + row_number window (the expensive half of the query)
     val prefix = ex.join(dfreq, "h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= floor(col("n") / 2) + 1) // t = 0.5 ⇒ n − ⌈n/2⌉ + 1
       .select(col("doc_id"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
