@@ -57,7 +57,10 @@ object Geometry {
     * an offset-explode equi-join: each cell contributes its count to the 49
     * cells whose 7×7 window contains it; conditional sum splits N3 from N7.
     * Equi-join on (ci,cj) ⇒ shuffle/broadcast hash join, no cartesian. */
-  def cellNeighborhoods(cells: DataFrame): DataFrame = {
+  def cellNeighborhoods(cells0: DataFrame): DataFrame = {
+    // the histogram is consumed twice (join left side + offset-exploded
+    // contributions): persist so the upstream aggregation runs once
+    val cells = cells0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contrib = cells
       .withColumn("o", explode(offsets(3)))
       .select((col("ci") + col("o.di")).as("ti"),

@@ -335,9 +335,14 @@ object Text {
     val docs = Tables.documents(s, dir)
     val n = docs.count()
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // df cascades FROM tf: tf already has exactly one row per (doc_id,
+    // word), so document frequency is a row count per word over tf — the
+    // previous shape re-scanned and re-exploded the corpus for a
+    // distinct + count. One corpus pass total; tf is persisted because
+    // both the df aggregation and the final join consume it.
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = words.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     // no forced broadcast: the term dictionary is NOT bounded at web scale
     // (open vocabulary); AQE picks a broadcast at runtime when df is small
     tf.join(df, "word")

@@ -10,6 +10,24 @@ import graft.streaming.StreamJoins
 
 class SourcesSpec extends SparkSpec {
 
+  test("PointSource memo: unpersist drops the entry and re-read re-caches") {
+    val f = Files.createTempFile("graft_pts", ".csv")
+    Files.writeString(f, "1.0,2.0\n3.0,4.0\n")
+    val path = f.toString
+    val a = graft.sources.PointSource.read(spark, path, l = 2)
+    assert(a.count() == 2)
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // same handle while still cached
+    assert(graft.sources.PointSource.read(spark, path, l = 2) eq a)
+    // unpersist = "drop this entry": the next read must hand back a FRESH
+    // cached frame, not the stale cold plan
+    a.unpersist()
+    val b = graft.sources.PointSource.read(spark, path, l = 2)
+    assert(!(b eq a))
+    assert(b.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(b.count() == 2)
+  }
+
   test("partitioned sink: filter on partition column prunes partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     val ev = graft.core.Tables.events(spark, sfDir)
