@@ -251,7 +251,34 @@ object Embeddings {
         * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
                                 list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"""
 
+  /** The q43 oracle regenerates the SAME seeded hyperplanes as
+    * [[lshBuckets]] (identical Random(42) draw order) and embeds them as
+    * SQL literals — Scala's Double.toString round-trips, so DuckDB parses
+    * bit-identical plane coordinates, and both engines fold the dot
+    * product left-to-right, so even the unrounded sign test agrees. This
+    * upgrades ANN-LSH from a rows-only check to a full hash-matched gate. */
+  private def annLshOracle: String = {
+    val nPlanes = 8; val dim = 64
+    val rng = new scala.util.Random(42L)
+    val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
+    val bucket = (0 until nPlanes).map { p =>
+      val lst = planes(p).map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst) >= 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim
+          FROM bk a JOIN bk b
+            ON a.bucket = b.bucket AND a.vec_id < 8 AND a.vec_id <> b.vec_id)
+        SELECT qid, rk, nid, sim FROM (
+          SELECT qid, nid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+          FROM scored) t
+        WHERE rk <= 5"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q43_ann_lsh" -> annLshOracle,
     "q40_knn_bruteforce" ->
       s"""WITH scored AS (
             SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim
