@@ -90,25 +90,27 @@ object Embeddings {
     // nb(nb+1)/2 block pairs >= the cluster's parallelism so small corpora
     // still use every core. Output is block-count-invariant (proven in
     // EmbeddingsSpec), so sizing is purely a physical decision.
+    // the sizing count would re-run a derived input's whole upstream (it is
+    // metadata-only just for bare parquet scans), so the auto path persists
+    // the input first — the count then doubles as the cache materializer
+    // and the block build reads the cache
+    val src = if (nBlocks > 0) emb
+      else emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = if (nBlocks > 0) nBlocks else {
-      val n = emb.count()
+      val n = src.count()
       val byMem = math.ceil(n.toDouble / targetRowsPerBlock).toInt
       val p = spark.sparkContext.defaultParallelism
       val byPar = math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt
       math.max(1, math.max(byMem, byPar))
     }
-    val vecs = emb.select(
+    val vecs = src.select(
         col("vec_id").cast(LongType),
         col("embedding").cast(ArrayType(DoubleType)))
       .as[(Long, Array[Double])]
-    def mix(z0: Long): Long = { // splitmix64: block id independent of id structure
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    // splitmix64: block id independent of id structure
     val blocks = vecs
-      .groupByKey { case (id, _) => (java.lang.Long.remainderUnsigned(mix(id), nb.toLong)).toInt }
+      .groupByKey { case (id, _) =>
+        java.lang.Long.remainderUnsigned(graft.functions.BitMix.splitmix64(id), nb.toLong).toInt }
       .mapGroups { (bid, it) =>
         val rows = it.toArray.sortBy(_._1)
         val n = rows.length

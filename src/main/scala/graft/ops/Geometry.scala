@@ -240,7 +240,7 @@ object Geometry {
   }
 
   /** MRFFT (reference Q4, 3 rounds). `deterministic = true` partitions by
-    * range of `id` (stable results for the correctness harness); false keeps
+    * hash of `id` (stable results for the correctness harness); false keeps
     * the round-robin `repartition(L)` of the reference CLI contract.
     * Returns (radius, centers). */
   def mrFFT(pts: DataFrame, k: Int, l: Int, deterministic: Boolean = true): (Double, Array[(Double, Double)]) = {
@@ -248,14 +248,19 @@ object Geometry {
     import spark.implicits._
     // persist across R1/R3 (both rounds scan every point): one source scan
     // + one repartition shuffle total instead of two of each; DISK spill
-    // keeps this safe when the point set exceeds executor storage
-    val typed = (if (deterministic) pts.repartitionByRange(l, col("id")) else pts.repartition(l))
+    // keeps this safe when the point set exceeds executor storage.
+    // Deterministic path partitions by HASH of id, not by range: range
+    // partitioning samples its boundaries with a seed derived from the
+    // RDD id, so partition MEMBERSHIP would depend on execution history
+    // (how many RDDs the session created before this one) — hash
+    // membership is a pure function of (id, L), reproducible anywhere.
+    val typed = (if (deterministic) pts.repartition(l, col("id")) else pts.repartition(l))
       .select(col("x").cast(DoubleType), col("y").cast(DoubleType))
       .as[(Double, Double)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // R1: per-partition coreset (executors), ≤ K points each. On the
-      // deterministic path the partition is sorted first: range
+      // deterministic path the partition is sorted first: hash
       // partitioning fixes WHICH rows land in a partition, but the order
       // they arrive in depends on shuffle-block fetch order, and FFT's
       // result depends on point order (first point seeds, ties break by

@@ -179,8 +179,10 @@ object Text {
     val exploded = withHashedShingles(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
     // ONE explode + shuffle + aggregation computes BOTH the 32 min-hash
-    // signature columns AND the per-doc hashed-shingle set, then
-    // localCheckpoint materializes it: the three downstream consumers (the
+    // signature columns AND the per-doc hashed-shingle set, materialized by
+    // a lazy plan-keyed persist (NOT an eager localCheckpoint — its extra
+    // job barrier measured ~1 s/query; see PLANS.md round-4 persist
+    // policy): the three downstream consumers (the
     // two sides of the banded self-join and the two re-verify joins) read
     // the materialized frame instead of each re-deriving it — the previous
     // shape re-scanned the corpus and re-shingled FOUR times per
@@ -534,7 +536,10 @@ object Text {
       .withColumn("_off", coalesce(sum(col("_bsum")).over(bw), lit(0L)))
       .select(col(partCol).as("_p2"), col("_bkt").as("_b2"), col("_off"))
     local
-      .join(offsets, col(partCol) === col("_p2") && col("_bkt") === col("_b2"))
+      // null-safe equality: window partitioning groups NULL keys together,
+      // so the offset join must too — a plain === would silently drop
+      // NULL-key (or NULL-order-column) rows the window form keeps
+      .join(offsets, col(partCol) <=> col("_p2") && col("_bkt") <=> col("_b2"))
       .withColumn(out, (col("_off") + col("_lrun")).cast(LongType))
       .drop("_bkt", "_lrun", "_p2", "_b2", "_off")
   }

@@ -27,13 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtificialPoints {
 
-  /** splitmix64 finalizer — the standard public-domain bit mixer. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.functions.BitMix.splitmix64(z0)
 
   /** Uniform double in [0, 1) from the top 53 bits of a mixed hash. */
   private def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble

@@ -20,8 +20,6 @@ object Sketches {
     val counts: mutable.HashMap[Long, Long] = mutable.HashMap.empty
     def add(item: Long, c: Long = 1L): Unit =
       counts.update(item, counts.getOrElse(item, 0L) + c)
-    def merge(batch: Iterable[(Long, Long)]): Unit =
-      batch.foreach { case (item, c) => add(item, c) }
     def frequent(phi: Double, n: Long): Seq[Long] = {
       val threshold = math.ceil(phi * n).toLong
       counts.iterator.filter(_._2 >= threshold).map(_._1).toSeq.sorted

@@ -124,10 +124,13 @@ class GeometrySpec extends SparkSpec {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       assert(pts.count() == 1000108L) // the published corpus point count
+      // deterministic mrFFT hashes ids to partitions (a pure function of
+      // (id, L)) and sorts within partitions, so these values hold on any
+      // machine, session history, or parallelism setting
       val golden = Map(
-        4  -> 0.5390109822749377,
-        16 -> 0.5407552140781877,
-        32 -> 0.5397577165195284)
+        4  -> 0.5374876721124834,
+        16 -> 0.5376904598128137,
+        32 -> 0.5401880119358337)
       val radii = golden.keys.toSeq.sorted.map { l =>
         val (r, _) = Geometry.mrFFT(pts, k = 200, l = l)
         assert(r == golden(l), s"L=$l radius $r != pinned golden ${golden(l)}")

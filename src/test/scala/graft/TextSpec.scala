@@ -49,10 +49,13 @@ class TextSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(11)
-    // sparse, non-contiguous ids across 3 keys
+    // sparse, non-contiguous ids across 3 keys, plus NULL-key rows — the
+    // window form groups NULL keys together, so the prefix sum must too
+    // (its offset join is null-safe equality, not ===)
     val rows = (0 until 3000).map { i =>
       (s"l${rng.nextInt(3)}", i.toLong * 7 + rng.nextInt(3), rng.nextInt(100).toLong)
-    }.distinctBy(r => (r._1, r._2))
+    }.distinctBy(r => (r._1, r._2)) ++
+      Seq((null, 5L, 9L), (null, 9000L, 11L), (null, 50000L, 13L))
     val df = spark.createDataset(rows).toDF("lang", "doc_id", "v")
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
