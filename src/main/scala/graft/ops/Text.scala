@@ -239,9 +239,12 @@ object Text {
       .as[(Long, Seq[String])]
       .map { case (id, toks) => (id, simHash64(toks)) }
       .toDF("doc_id", "simhash")
+    // persisted: both sides of the band self-join consume this frame, and
+    // the per-doc simhash map is the expensive half of the query
     val banded = docs.select(col("doc_id"), col("simhash"), posexplode(array(
       (0 until 4).map(q => shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a")
       .join(banded.as("b"),
         col("a.q") === col("b.q") && col("a.qv") === col("b.qv") &&

@@ -175,4 +175,33 @@ class StreamingSpec extends SparkSpec {
     // nothing closes — assert the query ran and the plan is streaming
     assert(out.isStreaming)
   }
+
+  test("watermark closes windows across batches and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = WindowedAnalytics.tumblingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_late")
+      .outputMode("append").start()
+    // batch 1: [00:00,01:00) gets one click; max event time 01:10 advances
+    // the watermark to 01:00, closing the first window
+    mem.addData(Seq((ts("00:10:00"), "click", 1.0), (ts("01:10:00"), "click", 2.0)))
+    q.processAllAvailable()
+    // batch 2: a LATE click at 00:20 (behind the 01:00 watermark — must be
+    // dropped, its window already closed) + an 02:10 view that advances
+    // the watermark to 02:00, closing [01:00,02:00)
+    mem.addData(Seq((ts("00:20:00"), "click", 9.0), (ts("02:10:00"), "view", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_late")
+      .select(col("w_start"), col("event_type"), col("n"), col("sum_v"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the late 00:20 click is NOT counted (n=1, sum=1.0, not n=2/sum=10.0)
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "click", 1L, 1.0),
+      ("2024-01-01 01:00:00.0", "click", 1L, 2.0)), s"got $rows")
+  }
 }
