@@ -120,7 +120,35 @@ object Bench {
       case e: GoldenMismatch => throw e
       case _: Throwable => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref$ref1m}""")
+    // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
+    // >= 48g): the artificial100M scalability workload — BASELINE.md
+    // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
+    // MRApproxOutliers ≈ 2.95 s at M=10 K=110 L=16. Same generator twin
+    // at 100× the 1M corpus; the planted-outlier recall is asserted at
+    // this scale too. Off by default so the per-round bench stays fast.
+    val ref100m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1")) {
+      val pts100m = graft.sources.ArtificialPoints.generate(spark,
+          nClusterPts = 100000008L, numPartitions = 256)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        pts100m.count()
+        var radius = 0.0
+        val fftJson = coldWarm("mrfft_k110_100m",
+          { radius = graft.ops.Geometry.mrFFT(pts100m, k = 110, l = 16)._1 })
+        var rows = Array.empty[org.apache.spark.sql.Row]
+        val approxJson = coldWarm("approx_outliers_100m",
+          { rows = graft.ops.Geometry.approxOutliers(pts100m, radius, 10).collect() })
+        val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sure = byCls.getOrElse("sure", 0L)
+        val unc = byCls.getOrElse("uncertain", 0L)
+        if (sure != 100L || unc != 0L)
+          throw new GoldenMismatch(
+            s"artificial100M recall anchor MISMATCH: sure=$sure (want 100) " +
+            s"uncertain=$unc (want 0) at D=$radius")
+        f""","reference_100m":{$fftJson%s,$approxJson%s,"radius_k110":$radius%.8f}"""
+      } finally pts100m.unpersist()
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref$ref1m$ref100m}""")
     spark.stop()
   }
 }

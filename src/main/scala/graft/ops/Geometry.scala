@@ -239,6 +239,56 @@ object Geometry {
     centers
   }
 
+  /** FFT over primitive coordinate arrays, returning selected indices —
+    * the executor-side kernel behind MRFFT R1. At 100M points the boxed
+    * form retained ~6M tuple objects per partition plus an O(n log n)
+    * comparator sort; primitive arrays keep the scan allocation-free.
+    *
+    * `canonical = true` makes the result a pure function of the point SET:
+    * the seed is the lexicographically smallest point and max-min-distance
+    * ties break toward the lexicographically smaller point — EXACTLY
+    * equivalent to sorting the partition lexicographically and running the
+    * first-index-tiebreak FFT (the previous deterministic path), minus the
+    * sort. `canonical = false` keeps the reference's arrival-order
+    * semantics (seed = first point, ties to the earliest index). */
+  private[graft] def fftIndices(xs: Array[Double], ys: Array[Double], k: Int,
+                                canonical: Boolean): Array[Int] = {
+    val n = xs.length
+    require(n > 0, "FFT on empty point set")
+    val kk = math.min(k, n)
+    val centers = new Array[Int](kk)
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var seed = 0
+    if (canonical) {
+      var i = 1
+      while (i < n) {
+        if (xs(i) < xs(seed) || (xs(i) == xs(seed) && ys(i) < ys(seed))) seed = i
+        i += 1
+      }
+    }
+    centers(0) = seed
+    var c = 0
+    while (c < kk - 1) {
+      val cx = xs(centers(c)); val cy = ys(centers(c))
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val dx = xs(i) - cx; val dy = ys(i) - cy
+        val d2 = dx * dx + dy * dy
+        if (d2 < minD2(i)) minD2(i) = d2
+        val m = minD2(i)
+        if (m > bestD || (canonical && m == bestD &&
+            (xs(i) < xs(best) || (xs(i) == xs(best) && ys(i) < ys(best))))) {
+          bestD = m; best = i
+        }
+        i += 1
+      }
+      c += 1
+      centers(c) = best
+    }
+    centers
+  }
+
   /** MRFFT (reference Q4, 3 rounds). `deterministic = true` partitions by
     * hash of `id` (stable results for the correctness harness); false keeps
     * the round-robin `repartition(L)` of the reference CLI contract.
@@ -259,31 +309,35 @@ object Geometry {
       .as[(Double, Double)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // R1: per-partition coreset (executors), ≤ K points each. On the
-      // deterministic path the partition is sorted first: hash
-      // partitioning fixes WHICH rows land in a partition, but the order
-      // they arrive in depends on shuffle-block fetch order, and FFT's
-      // result depends on point order (first point seeds, ties break by
-      // index) — without the sort the "deterministic" radius could differ
-      // across runs of the same input. O(n log n) against FFT's O(n·k).
+      // R1: per-partition coreset (executors), ≤ K points each, via the
+      // primitive-array kernel. On the deterministic path the kernel runs
+      // in canonical (set-function) mode: hash partitioning fixes WHICH
+      // rows land in a partition but shuffle fetch order varies run to
+      // run, and canonical seeding/tie-breaks make arrival order
+      // irrelevant — same result as sorting first, without the sort.
       val det = deterministic
       val coreset = typed.mapPartitions { it =>
-        val arr = it.toArray
-        if (det) java.util.Arrays.sort(arr, Ordering[(Double, Double)])
-        if (arr.isEmpty) Iterator.empty else sequentialFFT(arr, k).iterator
+        val xb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        val yb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        it.foreach { p => xb += p._1; yb += p._2 }
+        val xs = xb.result(); val ys = yb.result()
+        if (xs.isEmpty) Iterator.empty
+        else fftIndices(xs, ys, k, canonical = det).iterator.map(i => (xs(i), ys(i)))
       }.collect()
       // R2: driver FFT on ≤ K·L points
       val centers = sequentialFFT(coreset, k)
-      // R3: broadcast centers, per-point min dist², max-reduce, single sqrt
-      val bc = spark.sparkContext.broadcast(centers)
+      // R3: broadcast centers as two primitive arrays (a tuple array costs
+      // a pointer chase per center per point — n·k of them), per-point min
+      // dist², max-reduce, single sqrt
+      val bc = spark.sparkContext.broadcast((centers.map(_._1), centers.map(_._2)))
       val maxMinD2 = typed.mapPartitions { it =>
-        val cs = bc.value
+        val (cxs, cys) = bc.value
         var m = 0.0
         it.foreach { case (x, y) =>
           var best = Double.MaxValue
           var i = 0
-          while (i < cs.length) {
-            val dx = x - cs(i)._1; val dy = y - cs(i)._2
+          while (i < cxs.length) {
+            val dx = x - cxs(i); val dy = y - cys(i)
             val d2 = dx * dx + dy * dy
             if (d2 < best) best = d2
             i += 1

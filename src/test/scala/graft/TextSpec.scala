@@ -55,7 +55,9 @@ class TextSpec extends SparkSpec {
     val rows = (0 until 3000).map { i =>
       (s"l${rng.nextInt(3)}", i.toLong * 7 + rng.nextInt(3), rng.nextInt(100).toLong)
     }.distinctBy(r => (r._1, r._2)) ++
-      Seq((null, 5L, 9L), (null, 9000L, 11L), (null, 50000L, 13L))
+      Seq((null, 5L, 9L), (null, 9000L, 11L), (null, 50000L, 13L)) ++
+      // negative order keys: floor-toward−∞ bucketing must stay monotone
+      Seq(("l0", -12345L, 3L), ("l1", -1L, 4L), ("l2", -7000000L, 5L))
     val df = spark.createDataset(rows).toDF("lang", "doc_id", "v")
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
