@@ -145,7 +145,17 @@ object Bench {
           throw new GoldenMismatch(
             s"artificial100M recall anchor MISMATCH: sure=$sure (want 100) " +
             s"uncertain=$unc (want 0) at D=$radius")
-        f""","reference_100m":{$fftJson%s,$approxJson%s,"radius_k110":$radius%.8f}"""
+        // EXACT outliers at 100M: the reference's exact path is the O(N²)
+        // driver loop (61.7 s at 100k — 10¹⁶ pairs at 100M, infeasible);
+        // the Λ-cell-pruned equi-join does it exactly, and must find
+        // precisely the planted 100
+        var exactN = -1L
+        val exactJson = coldWarm("exact_outliers_100m",
+          { exactN = graft.ops.Geometry.exactOutliers(pts100m, radius, 10).count() })
+        if (exactN != 100L)
+          throw new GoldenMismatch(
+            s"artificial100M exact-outlier anchor MISMATCH: n=$exactN (want 100)")
+        f""","reference_100m":{$fftJson%s,$approxJson%s,$exactJson%s,"radius_k110":$radius%.8f}"""
       } finally pts100m.unpersist()
     } else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref$ref1m$ref100m}""")
