@@ -42,6 +42,43 @@ class AnnSpec extends SparkSpec {
     assert(clamped.count() > 0)
   }
 
+  test("ivf at 200k vectors: exact top-5 agreement with brute force on a clustered corpus") {
+    import spark.implicits._
+    // deterministic 200k × 32-dim corpus: 32 well-separated cluster
+    // directions (sign pattern from the cluster id) + small hash noise.
+    // A vector's true neighbors are its cluster-mates, the IVF sample
+    // (first 256 ids = 8 per cluster) lets farthest-first recover every
+    // cluster direction, so nprobe=4 must contain the true top-5 — IVF
+    // and brute force then select IDENTICAL sets (same scoring formula,
+    // same tie-break). 100× the gate corpus: the scale check for the
+    // ANN path, with ground truth by construction.
+    val n = 200000L; val dim = 32; val nClusters = 32
+    val emb = spark.range(n).map { id =>
+      val c = (id % nClusters).toInt
+      val arr = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        val center = if (((c >> (j % 5)) & 1) == 1) 10f else -10f
+        val h = graft.functions.BitMix.splitmix64(id * 64 + j)
+        val noise = ((h >>> 11).toDouble / (1L << 53)).toFloat - 0.5f
+        arr(j) = center + noise
+        j += 1
+      }
+      (id, arr)
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val q = col("vec_id") < 8
+      val ivf = Ann.ivfKnn(emb, q, k = 5, nlist = nClusters, nprobe = 4).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val bf = Embeddings.bruteForceKnn(emb, q, k = 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      assert(ivf.keySet == bf.keySet && ivf.keySet.size == 8)
+      for (qid <- bf.keySet)
+        assert(ivf(qid) == bf(qid), s"query $qid: ivf=${ivf(qid)} bf=${bf(qid)}")
+    } finally emb.unpersist()
+  }
+
   test("ivf knn: valid ranked output and reasonable recall vs brute force") {
     val ivf = Ann.qIvfKnn(spark, sfDir).collect()
     assert(ivf.nonEmpty)
