@@ -35,6 +35,41 @@ class TextSpec extends SparkSpec {
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
 
+  test("minhash LSH at 100k docs: finds exactly the 1000 planted near-dup pairs") {
+    import spark.implicits._
+    // deterministic 100k-doc corpus, 40 tokens each from a 5000-token
+    // vocabulary (hash-drawn — random docs share essentially no shingles),
+    // plus 1000 planted near-dups: doc 100000+i copies doc i with ONE
+    // token swapped (shingle Jaccard ≈ 0.85, caught by 16×2 banding with
+    // probability 1 − ~1e-9). The LSH pair output at J >= 0.5 must be
+    // EXACTLY the planted set — full recall, and the re-verify stage
+    // guarantees no false positives. 200× the gate corpus: the scale
+    // check for the dedup path, with ground truth by construction.
+    import org.apache.spark.sql.functions.col
+    val nBase = 100000L; val nTok = 40; val vocab = 5000
+    def tok(h: Long): String = "t" + java.lang.Long.remainderUnsigned(h, vocab.toLong)
+    val docs = spark.range(nBase + 1000L).map { jid =>
+      val id: Long = jid
+      val base = if (id < nBase) id else id - nBase
+      val words = new Array[String](nTok)
+      var j = 0
+      while (j < nTok) {
+        words(j) = tok(graft.functions.BitMix.splitmix64(base * 64 + j))
+        j += 1
+      }
+      // planted near-dup: swap one mid-document token
+      if (id >= nBase) words(nTok / 2) = tok(graft.functions.BitMix.splitmix64(-id))
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = graft.ops.Text.minHashLshPairs(docs)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 1000L).map(i => (i, nBase + i)).toSet
+    assert(pairs == planted,
+      s"missing=${(planted -- pairs).take(5)} extra=${(pairs -- planted).take(5)} " +
+      s"(|pairs|=${pairs.size})")
+  }
+
   test("dedup components: exact-edge twin agrees with the LSH default on this corpus") {
     val lsh = Text.qDedupComponents(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
