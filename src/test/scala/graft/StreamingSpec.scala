@@ -204,4 +204,54 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", "click", 1L, 1.0),
       ("2024-01-01 01:00:00.0", "click", 1L, 2.0)), s"got $rows")
   }
+
+  test("sliding windows: an event lands in every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = WindowedAnalytics.slidingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "1 hour", "15 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_slide")
+      .outputMode("append").start()
+    // one event at 00:10; the 02:00 event advances the watermark to 01:50,
+    // closing every 1h/15m window that contains 00:10 (starts 23:15..00:00)
+    mem.addData(Seq((ts("2024-01-01 00:10:00"), "click", 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts("2024-01-01 02:00:00"), "click", 2.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_slide")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2023-12-31 23:15:00.0", "click", 1L),
+      ("2023-12-31 23:30:00.0", "click", 1L),
+      ("2023-12-31 23:45:00.0", "click", 1L),
+      ("2024-01-01 00:00:00.0", "click", 1L)), s"got $rows")
+  }
+
+  test("session windows: gap splits sessions, counts per session emitted on close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = WindowedAnalytics.sessionCounts(
+      mem.toDF().toDF("ts", "user_id"), "30 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_sess")
+      .outputMode("append").start()
+    // user 1: events at 00:00 and 00:10 (one session, end 00:40), then
+    // 01:00 (gap 50 min > 30 ⇒ NEW session, end 01:30); the 02:00 event
+    // advances the watermark to 01:50, closing both
+    mem.addData(Seq((ts("00:00:00"), 1L), (ts("00:10:00"), 1L), (ts("01:00:00"), 1L)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts("02:00:00"), 2L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_sess")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 1L, 2L),
+      ("2024-01-01 01:00:00.0", "2024-01-01 01:30:00.0", 1L, 1L)), s"got $rows")
+  }
 }
