@@ -88,76 +88,65 @@ object Bench {
         case _: Throwable => ""
       }
     } else ""
-    // reference_1m: the published artificial1M workload (1 000 108 pts,
-    // M=10 K=200 L=16 — BASELINE.md: MRFFT R1+R2+R3 ≈ 1.13 s, Radius
-    // 0.60045445, MRApproxOutliers ≈ 0.52 s, 100 sure / 0 uncertain on 16
-    // executors). The original blob is stripped, so the workload runs on
-    // the deterministic ArtificialPoints twin — same point count, same
-    // cluster+planted-outlier shape — and the planted-outlier recall (100
-    // sure, 0 uncertain, the published classification) is ASSERTED, not
-    // just timed.
-    val ref1m = try {
-      val pts1m = graft.sources.ArtificialPoints.generate(spark)
+    // Synthetic geometry anchor sections: generate the ArtificialPoints
+    // twin, time MRFFT (radius = D) and MRApproxOutliers cold+warm, and
+    // ASSERT the planted-outlier recall — the published classification is
+    // exactly 100 sure / 0 uncertain. Optionally also times + asserts the
+    // EXACT outlier path (the reference's exact path is the O(N²) driver
+    // loop — 61.7 s at 100k, 10¹⁶ pairs at 100M, infeasible; the
+    // Λ-cell-pruned equi-join does it exactly). A GoldenMismatch fails the
+    // bench loudly; any transient failure degrades to an absent JSON
+    // section so hours of already-validated timings are not discarded.
+    def syntheticAnchors(tag: String, nClusterPts: Long, numPartitions: Int,
+                         k: Int, l: Int, withExact: Boolean): String = try {
+      val pts = graft.sources.ArtificialPoints.generate(spark,
+          nClusterPts = nClusterPts, numPartitions = numPartitions)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        pts1m.count()
+        pts.count()
         var radius = 0.0
-        val fftJson = coldWarm("mrfft_k200_1m",
-          { radius = graft.ops.Geometry.mrFFT(pts1m, k = 200, l = 16)._1 })
+        val fftJson = coldWarm(s"mrfft_k${k}_$tag",
+          { radius = graft.ops.Geometry.mrFFT(pts, k = k, l = l)._1 })
         var rows = Array.empty[org.apache.spark.sql.Row]
-        val approxJson = coldWarm("approx_outliers_1m",
-          { rows = graft.ops.Geometry.approxOutliers(pts1m, radius, 10).collect() })
+        val approxJson = coldWarm(s"approx_outliers_$tag",
+          { rows = graft.ops.Geometry.approxOutliers(pts, radius, 10).collect() })
         val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val sure = byCls.getOrElse("sure", 0L)
         val unc = byCls.getOrElse("uncertain", 0L)
         if (sure != 100L || unc != 0L)
           throw new GoldenMismatch(
-            s"artificial1M recall anchor MISMATCH: sure=$sure (want 100, the " +
-            s"planted outliers) uncertain=$unc (want 0) at D=$radius")
-        f""","reference_1m":{$fftJson%s,$approxJson%s,"radius_k200":$radius%.8f}"""
-      } finally pts1m.unpersist()
+            s"artificial-$tag recall anchor MISMATCH: sure=$sure (want 100, " +
+            s"the planted outliers) uncertain=$unc (want 0) at D=$radius")
+        val exactJson = if (!withExact) "" else {
+          var exactN = -1L
+          val j = coldWarm(s"exact_outliers_$tag",
+            { exactN = graft.ops.Geometry.exactOutliers(pts, radius, 10).count() })
+          if (exactN != 100L)
+            throw new GoldenMismatch(
+              s"artificial-$tag exact-outlier anchor MISMATCH: n=$exactN (want 100)")
+          j + ","
+        }
+        f""","reference_$tag%s":{$fftJson%s,$approxJson%s,$exactJson%s"radius_k$k%d":$radius%.8f}"""
+      } finally pts.unpersist()
     } catch {
       case e: GoldenMismatch => throw e
       case _: Throwable => ""
     }
+    // reference_1m: the published artificial1M workload (1 000 108 pts,
+    // M=10 K=200 L=16 — BASELINE.md: MRFFT R1+R2+R3 ≈ 1.13 s, Radius
+    // 0.60045445, MRApproxOutliers ≈ 0.52 s on 16 executors; the original
+    // blob is stripped, so the deterministic twin stands in).
+    val ref1m = syntheticAnchors("1m", nClusterPts = 1000008L,
+      numPartitions = 64, k = 200, l = 16, withExact = false)
     // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
     // >= 48g): the artificial100M scalability workload — BASELINE.md
     // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
-    // MRApproxOutliers ≈ 2.95 s at M=10 K=110 L=16. Same generator twin
-    // at 100× the 1M corpus; the planted-outlier recall is asserted at
-    // this scale too. Off by default so the per-round bench stays fast.
-    val ref100m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1")) {
-      val pts100m = graft.sources.ArtificialPoints.generate(spark,
-          nClusterPts = 100000008L, numPartitions = 256)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        pts100m.count()
-        var radius = 0.0
-        val fftJson = coldWarm("mrfft_k110_100m",
-          { radius = graft.ops.Geometry.mrFFT(pts100m, k = 110, l = 16)._1 })
-        var rows = Array.empty[org.apache.spark.sql.Row]
-        val approxJson = coldWarm("approx_outliers_100m",
-          { rows = graft.ops.Geometry.approxOutliers(pts100m, radius, 10).collect() })
-        val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
-        val sure = byCls.getOrElse("sure", 0L)
-        val unc = byCls.getOrElse("uncertain", 0L)
-        if (sure != 100L || unc != 0L)
-          throw new GoldenMismatch(
-            s"artificial100M recall anchor MISMATCH: sure=$sure (want 100) " +
-            s"uncertain=$unc (want 0) at D=$radius")
-        // EXACT outliers at 100M: the reference's exact path is the O(N²)
-        // driver loop (61.7 s at 100k — 10¹⁶ pairs at 100M, infeasible);
-        // the Λ-cell-pruned equi-join does it exactly, and must find
-        // precisely the planted 100
-        var exactN = -1L
-        val exactJson = coldWarm("exact_outliers_100m",
-          { exactN = graft.ops.Geometry.exactOutliers(pts100m, radius, 10).count() })
-        if (exactN != 100L)
-          throw new GoldenMismatch(
-            s"artificial100M exact-outlier anchor MISMATCH: n=$exactN (want 100)")
-        f""","reference_100m":{$fftJson%s,$approxJson%s,$exactJson%s,"radius_k110":$radius%.8f}"""
-      } finally pts100m.unpersist()
-    } else ""
+    // MRApproxOutliers ≈ 2.95 s at M=10 K=110 L=16. Off by default so the
+    // per-round bench stays fast.
+    val ref100m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1"))
+      syntheticAnchors("100m", nClusterPts = 100000008L,
+        numPartitions = 256, k = 110, l = 16, withExact = true)
+    else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref$ref1m$ref100m}""")
     spark.stop()
   }

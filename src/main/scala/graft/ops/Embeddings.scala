@@ -258,7 +258,15 @@ object Embeddings {
     * SQL literals — Scala's Double.toString round-trips, so DuckDB parses
     * bit-identical plane coordinates, and both engines fold the dot
     * product left-to-right, so even the unrounded sign test agrees. This
-    * upgrades ANN-LSH from a rows-only check to a full hash-matched gate. */
+    * upgrades ANN-LSH from a rows-only check to a full hash-matched gate.
+    *
+    * KNOWN DEPENDENCY: the sign test (dot >= 0) is deliberately unrounded
+    * — rounding cannot remove a knife-edge, only move it — so the match
+    * rests on DuckDB's list_dot_product accumulating left-to-right like
+    * graft_dot (true today; verified by the hash match at three SFs). If
+    * a future DuckDB vectorizes the fold, a vector with |dot| within an
+    * ulp of 0 could land in a different bucket and fail this gate VISIBLY
+    * (hash mismatch), never silently. */
   private def annLshOracle: String = {
     val nPlanes = 8; val dim = 64
     val rng = new scala.util.Random(42L)

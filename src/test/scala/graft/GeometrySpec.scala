@@ -125,8 +125,9 @@ class GeometrySpec extends SparkSpec {
     try {
       assert(pts.count() == 1000108L) // the published corpus point count
       // deterministic mrFFT hashes ids to partitions (a pure function of
-      // (id, L)) and sorts within partitions, so these values hold on any
-      // machine, session history, or parallelism setting
+      // (id, L)) and selects centers canonically (fftIndices lexicographic
+      // seed/tie-break — arrival order never matters), so these values
+      // hold on any machine, session history, or parallelism setting
       val golden = Map(
         4  -> 0.5374876721124834,
         16 -> 0.5376904598128137,
