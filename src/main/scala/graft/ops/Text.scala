@@ -120,7 +120,12 @@ object Text {
     * makes the naive shared-shingle self-join quadratic on common n-grams.
     * Candidates are re-verified exactly on the full shingle sets, so the
     * output is identical to the naive baseline (kept as a test oracle). */
-  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir))
+
+  /** [[qNgramJaccard]] over an arbitrary documents-shaped frame (doc_id,
+    * text[, t]) — the exact twin of [[minHashLshPairs]]. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 64-bit shingle hashes, not strings: same set identity modulo a ~2^-40
     // collision chance, far cheaper to compute, shuffle and compare.
@@ -130,7 +135,7 @@ object Text {
     // without the persist one invocation re-scans and re-shingles the
     // corpus four times. Linear in the corpus, memory-and-disk, lazy (fuses
     // into the first consuming job), plan-keyed.
-    val sh = withHashedShingles(Tables.documents(s, dir))
+    val sh = withHashedShingles(docs)
       .select(col("doc_id"), col("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // n (distinct shingles per doc) rides along from size(hs): no second

@@ -61,13 +61,23 @@ class TextSpec extends SparkSpec {
       if (id >= nBase) words(nTok / 2) = tok(graft.functions.BitMix.splitmix64(-id))
       (id, words.mkString(" "))
     }.toDF("doc_id", "text")
-    val pairs = graft.ops.Text.minHashLshPairs(docs)
-      .select(col("d1"), col("d2")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = (0L until 1000L).map(i => (i, nBase + i)).toSet
-    assert(pairs == planted,
-      s"missing=${(planted -- pairs).take(5)} extra=${(pairs -- planted).take(5)} " +
-      s"(|pairs|=${pairs.size})")
+    val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planted = (0L until 1000L).map(i => (i, nBase + i)).toSet
+      val pairs = graft.ops.Text.minHashLshPairs(docsP)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == planted,
+        s"missing=${(planted -- pairs).take(5)} extra=${(pairs -- planted).take(5)} " +
+        s"(|pairs|=${pairs.size})")
+      // the EXACT twin (prefix-filtered all-pairs) must find the identical
+      // set — proves the prefix-filter candidate scheme at 200× gate scale
+      val exact = graft.ops.Text.ngramJaccardPairs(docsP)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == planted,
+        s"exact: missing=${(planted -- exact).take(5)} extra=${(exact -- planted).take(5)}")
+    } finally docsP.unpersist()
   }
 
   test("dedup components: exact-edge twin agrees with the LSH default on this corpus") {
