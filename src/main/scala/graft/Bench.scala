@@ -82,10 +82,13 @@ object Bench {
             s"sure=$sure (want 435) uncertain=$unc (want 658)")
         s""","reference":{$exactJson,$approxJson,$fftJson}"""
       } catch {
-        // only a genuine anchor mismatch fails the bench; transient
+        // only a genuine anchor mismatch fails the bench; non-fatal
         // infrastructure failures degrade to an absent reference section
+        // WITH a stderr trace (fatal VM errors — OOM — propagate: a JSON
+        // line printed from a heap in unknown state is worth nothing)
         case e: GoldenMismatch => throw e
-        case _: Throwable => ""
+        case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] uber-100k section dropped: $e"); ""
       }
     } else ""
     // Synthetic geometry anchor sections: generate the ArtificialPoints
@@ -130,7 +133,8 @@ object Bench {
       } finally pts.unpersist()
     } catch {
       case e: GoldenMismatch => throw e
-      case _: Throwable => ""
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] reference_$tag section dropped: $e"); ""
     }
     // reference_1m: the published artificial1M workload (1 000 108 pts,
     // M=10 K=200 L=16 — BASELINE.md: MRFFT R1+R2+R3 ≈ 1.13 s, Radius

@@ -92,10 +92,14 @@ object Embeddings {
     // EmbeddingsSpec), so sizing is purely a physical decision.
     // the sizing count would re-run a derived input's whole upstream (it is
     // metadata-only just for bare parquet scans), so the auto path persists
-    // the input first — the count then doubles as the cache materializer
-    // and the block build reads the cache
-    val src = if (nBlocks > 0) emb
-      else emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an INTERNAL projection — never the caller's frame, which must not
+    // gain a cache entry as a hidden side effect — and the count doubles as
+    // the cache materializer; the block build then reads the cache
+    val src = {
+      val projected = emb.select(col("vec_id"), col("embedding"))
+      if (nBlocks > 0) projected
+      else projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val nb = if (nBlocks > 0) nBlocks else {
       val n = src.count()
       val byMem = math.ceil(n.toDouble / targetRowsPerBlock).toInt

@@ -404,8 +404,15 @@ object Text {
     // limit+1 means overflow, fall back to the distributed contraction.
     // The previous shape spent a dedicated cache()+count() job purely on
     // path selection, double-materializing the whole LSH edge pipeline.
+    // The persist keeps the OVERFLOW path honest: partitions the probe
+    // fully consumed are cached, so starComponents does not re-derive the
+    // expensive edge pipeline the probe already ran; on the small path the
+    // probe is the only job either way. Released before returning —
+    // starComponents materializes its own checkpoint eagerly.
     val lim = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
-    val fetched = edges0.limit(lim + 1).collect()
+    val edges = edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val fetched = edges.limit(lim + 1).collect()
     if (fetched.length <= lim) {
       import s.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -424,7 +431,8 @@ object Text {
       }
       val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
       s.createDataset(out).toDF("doc_id", "comp")
-    } else starComponents(edges0)
+    } else starComponents(edges)
+    } finally edges.unpersist()
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,
