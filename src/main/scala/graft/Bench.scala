@@ -26,7 +26,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(10000).groupBy("l_returnflag").count().collect()
     // warm run (JIT + shuffle-file page cache) then measured run per query;
-    // the noop sink forces full plan execution both times
+    // the noop sink forces full plan execution both times. Operator-
+    // internal persists are released AFTER each query's measured run (the
+    // warm run materializes them, the measured run reuses them — the warm
+    // steady state), so a query's caches never occupy memory while later
+    // queries run and a full bench leaves the session's storage empty.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -36,6 +40,7 @@ object Bench {
       val t = try { once(); once() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      finally graft.core.InternalCaches.release(spark)
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -80,6 +85,7 @@ object Bench {
           throw new GoldenMismatch(
             s"uber-100k golden anchor MISMATCH: exact=$exactN (want 673) " +
             s"sure=$sure (want 435) uncertain=$unc (want 658)")
+        graft.core.InternalCaches.release(spark)
         s""","reference":{$exactJson,$approxJson,$fftJson}"""
       } catch {
         // only a genuine anchor mismatch fails the bench; non-fatal
@@ -130,7 +136,7 @@ object Bench {
           j + ","
         }
         f""","reference_$tag%s":{$fftJson%s,$approxJson%s,$exactJson%s"radius_k$k%d":$radius%.8f}"""
-      } finally pts.unpersist()
+      } finally { pts.unpersist(); graft.core.InternalCaches.release(spark) }
     } catch {
       case e: GoldenMismatch => throw e
       case e if scala.util.control.NonFatal(e) =>

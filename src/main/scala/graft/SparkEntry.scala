@@ -8,7 +8,7 @@ import graft.ops.{Ann, Embeddings, Events, Geometry, Pipeline, Relational, Skew,
   * `queries` is the full operator inventory (SURVEY.md §2 plus the
   * training-data-pipeline operators); `oracleSql` carries the DuckDB
   * equivalent for every SQL-expressible query. Keys without an oracle entry
-  * (FFT, MinHash internals, SimHash, fingerprints, ANN) get the driver's
+  * (FFT, approximate sketches, IVF ANN, multimodal) get the driver's
   * rows-only check — they are deterministic but not expressible in ANSI SQL.
   */
 object SparkEntry {

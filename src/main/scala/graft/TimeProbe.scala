@@ -3,24 +3,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: steady-state timing of named gate queries (5 noop-sink runs
-  * each) at sf0.1 — the per-query twin of PlanDump for chasing local
-  * regressions. Usage: runMain graft.TimeProbe q66_pipeline_summary */
+  * each) — the per-query twin of PlanDump for chasing local regressions.
+  * Usage: runMain graft.TimeProbe q66_pipeline_summary [...]
+  * Data dir and parallelism come from SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS
+  * (same contract as Bench) so the probe runs on any machine, not just one
+  * with the /root/testdata fixture and 32 cores. */
 object TimeProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    if (args.isEmpty || !new java.io.File(dir).isDirectory) {
+      System.err.println(
+        s"usage: SPARK_GRAFT_SF_DIR=<parquet dir> runMain graft.TimeProbe <query name>...\n" +
+        s"  (data dir '$dir' ${if (new java.io.File(dir).isDirectory) "exists" else "MISSING"}; " +
+        s"queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      if (args.isEmpty) return
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
     for (name <- args) {
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      graft.core.InternalCaches.release(spark)
       println(f"PROBE $name ${ts.map(t => f"$t%.2f").mkString(" ")}")
     }
     spark.stop()

@@ -84,21 +84,22 @@ object Embeddings {
     // nBlocks <= 0 ⇒ auto-size from the corpus: the kernel's memory
     // contract is "two blocks per task", so a FIXED block count would make
     // each task hold 100× more vectors on a 100× corpus and OOM exactly
-    // where the operator is meant to shine. One cheap count (parquet
-    // count-star is metadata-only) sizes blocks to <= targetRowsPerBlock
-    // rows (64k rows × 64 dims ≈ 33 MB/block), with a floor that keeps
-    // nb(nb+1)/2 block pairs >= the cluster's parallelism so small corpora
-    // still use every core. Output is block-count-invariant (proven in
-    // EmbeddingsSpec), so sizing is purely a physical decision.
-    // the sizing count would re-run a derived input's whole upstream (it is
-    // metadata-only just for bare parquet scans), so the auto path persists
-    // an INTERNAL projection — never the caller's frame, which must not
-    // gain a cache entry as a hidden side effect — and the count doubles as
-    // the cache materializer; the block build then reads the cache
+    // where the operator is meant to shine. The sizing count sizes blocks
+    // to <= targetRowsPerBlock rows (64k rows × 64 dims ≈ 33 MB/block),
+    // with a floor that keeps nb(nb+1)/2 block pairs >= the cluster's
+    // parallelism so small corpora still use every core. Output is
+    // block-count-invariant (proven in EmbeddingsSpec), so sizing is
+    // purely a physical decision.
+    // On the auto path the count is NOT free: it runs the input's whole
+    // upstream. That full pass is spent deliberately — it materializes an
+    // INTERNAL persisted projection (never the caller's frame, which must
+    // not gain a cache entry as a hidden side effect), so the block build
+    // reads the cache instead of re-running the upstream a second time.
+    // The projection is registered with InternalCaches for scoped release.
     val src = {
       val projected = emb.select(col("vec_id"), col("embedding"))
       if (nBlocks > 0) projected
-      else projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else graft.core.InternalCaches.persist(projected)
     }
     val nb = if (nBlocks > 0) nBlocks else {
       val n = src.count()

@@ -59,8 +59,12 @@ object Geometry {
     * Equi-join on (ci,cj) ⇒ shuffle/broadcast hash join, no cartesian. */
   def cellNeighborhoods(cells0: DataFrame): DataFrame = {
     // the histogram is consumed twice (join left side + offset-exploded
-    // contributions): persist so the upstream aggregation runs once
-    val cells = cells0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // contributions): persist so the upstream aggregation runs once. The
+    // persisted frame is an INTERNAL projection, never the caller's frame
+    // — a caller must not gain a cache entry (that it cannot release) as a
+    // hidden side effect; registered with InternalCaches for scoped release
+    val cells = graft.core.InternalCaches.persist(
+      cells0.select(col("ci"), col("cj"), col("sz")))
     val contrib = cells
       .withColumn("o", explode(offsets(3)))
       .select((col("ci") + col("o.di")).as("ti"),
@@ -182,10 +186,14 @@ object Geometry {
     */
   def exactOutliers(pts0: DataFrame, d: Double, m: Long): DataFrame = {
     // the point set is consumed three times (Λ-cell histogram, candidate
-    // semi-join side, probe side): persist so a source-table input is
-    // scanned once, not three times. No-op when the caller already cached
-    // (PointSource) — persist is plan-keyed.
-    val pts = pts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // semi-join side, probe side): persist so the upstream is evaluated
+    // once, not three times. An INTERNAL projection is persisted, never
+    // the caller's frame (which must not gain a cache entry it cannot
+    // release as a hidden side effect); when the caller already cached
+    // (PointSource), the projection materializes from that cache in one
+    // cheap pass. Registered with InternalCaches for scoped release.
+    val pts = graft.core.InternalCaches.persist(
+      pts0.select(col("id"), col("x"), col("y")))
     val lambda = d / (2.0 * math.sqrt(2.0))
     val smallCells = cellHistogram(pts, lambda)
       .filter(col("sz") <= m)

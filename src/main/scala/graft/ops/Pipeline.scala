@@ -27,14 +27,14 @@ object Pipeline {
     * quality gate, the exact-dedup hash, the LSH shingles and the summary's
     * per-language totals all read this cached frame (InMemoryTableScan)
     * instead of each re-scanning the parquet and re-running split().
-    * cache() (LRU-evictable, spills to disk) rather than an eager
+    * Lazy persist (LRU-evictable, spills to disk) rather than an eager
     * checkpoint: at 100 TB caching the tokenized corpus for the pipeline's
     * scope is the standard multi-stage trade. Calling this twice for the
-    * same dir reuses the same cache entry (identical plan). */
+    * same dir reuses the same cache entry (identical plan); registered
+    * with InternalCaches so the session's batch owner can release it. */
   private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("t", split(col("text"), " "))
-      .cache()
+    graft.core.InternalCaches.persist(
+      Tables.documents(s, dir).withColumn("t", split(col("text"), " ")))
 
   /** Documents surviving quality + exact-dup + near-dup filtering. */
   def cleanCorpus(s: SparkSession, dir: String, cfg: Config = Config()): DataFrame =

@@ -134,10 +134,10 @@ object Text {
     // aggregate, self-join subtrees are not deduplicated by Catalyst, so
     // without the persist one invocation re-scans and re-shingles the
     // corpus four times. Linear in the corpus, memory-and-disk, lazy (fuses
-    // into the first consuming job), plan-keyed.
-    val sh = withHashedShingles(docs)
-      .select(col("doc_id"), col("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // into the first consuming job), plan-keyed; registered with
+    // InternalCaches so the session's batch owner can release it.
+    val sh = graft.core.InternalCaches.persist(
+      withHashedShingles(docs).select(col("doc_id"), col("hs")))
     // n (distinct shingles per doc) rides along from size(hs): no second
     // window pass, just the one row_number shuffle by doc_id
     val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
@@ -146,11 +146,11 @@ object Text {
     // persisted: both sides of the candidate self-join consume this frame,
     // and without the persist each side re-runs the explode + document-
     // frequency join + row_number window (the expensive half of the query)
-    val prefix = ex.join(dfreq, "h")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= floor(col("n") / 2) + 1) // t = 0.5 ⇒ n − ⌈n/2⌉ + 1
-      .select(col("doc_id"), col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = graft.core.InternalCaches.persist(
+      ex.join(dfreq, "h")
+        .withColumn("rn", row_number().over(byRarity))
+        .filter(col("rn") <= floor(col("n") / 2) + 1) // t = 0.5 ⇒ n − ⌈n/2⌉ + 1
+        .select(col("doc_id"), col("h")))
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -195,10 +195,10 @@ object Text {
     // the differing partial aggregates defeat exchange reuse). The
     // materialization is linear in the corpus (shingle set + 32 longs per
     // doc, memory-and-disk), against four full recomputes at 100 TB.
-    val agg = exploded.groupBy(col("doc_id")).agg(
+    val agg = graft.core.InternalCaches.persist(
+      exploded.groupBy(col("doc_id")).agg(
         collect_set(col("h")).as("hs"),
-        (0 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (0 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*))
     // band key = hash of the band's signature rows; candidates share a band
     val banded = agg.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
@@ -221,20 +221,39 @@ object Text {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** SimHash (64-bit) per document + Hamming-near pairs via 4×16-bit band
+  /** SimHash (60-bit) per document + Hamming-near pairs via 4×15-bit band
     * equi-join (a doc pair within Hamming distance 3 shares at least one
-    * exact 16-bit quarter — pigeonhole). */
-  def simHash64(tokens: Seq[String]): Long = {
-    val acc = new Array[Int](64)
+    * exact 15-bit quarter — pigeonhole).
+    *
+    * The per-token hash is the Karp-Rabin polynomial hash (base 257 mod
+    * 2⁶¹−1) — the same arithmetic as [[rollingFingerprint]], chosen over a
+    * JVM-only string hash so the DuckDB oracle can regenerate EVERY bit in
+    * plain SQL (HUGEINT modular fold per token, bit tests, majority vote):
+    * q36 is hash-matched end to end instead of rows-only. 60 of the 61
+    * hash bits are used so the bands split evenly.
+    *
+    * The raw polynomial hash is NOT usable directly: a k-char token is
+    * bounded by 257^k, so the majority of English words (< 8 chars) leave
+    * the high hash bits zero, every document's high simhash bits agree,
+    * and hamming distances collapse (measured: 5% of ALL doc pairs within
+    * hamming 3). One multiplicative spread (h·C mod 2⁶¹−1, C a fixed
+    * 61-bit constant) diffuses the low-magnitude hashes across all bits —
+    * same corpus drops to 22/124750 pairs with true duplicates at
+    * hamming 0 — and stays one HUGEINT expression in the oracle. */
+  private val SimHashMix = 2004640138488879447L // 0x5bd1e995bd1e9955 mod 2^61-1
+  def simHash60(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](60)
     tokens.foreach { tok =>
-      var h = scala.util.hashing.MurmurHash3.stringHash(tok, 0xc0ffee).toLong & 0xffffffffL
-      h = h * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L  // spread to 64 bits
+      var h = 0L
+      var i = 0
+      while (i < tok.length) { h = (mulMod(h, 257L) + tok.charAt(i)) % Mod61; i += 1 }
+      h = mulMod(h, SimHashMix)
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      while (b < 60) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
@@ -242,14 +261,14 @@ object Text {
     import s.implicits._
     val docs = withTokens(Tables.documents(s, dir)).select(col("doc_id"), col("t"))
       .as[(Long, Seq[String])]
-      .map { case (id, toks) => (id, simHash64(toks)) }
+      .map { case (id, toks) => (id, simHash60(toks)) }
       .toDF("doc_id", "simhash")
     // persisted: both sides of the band self-join consume this frame, and
     // the per-doc simhash map is the expensive half of the query
-    val banded = docs.select(col("doc_id"), col("simhash"), posexplode(array(
-      (0 until 4).map(q => shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = graft.core.InternalCaches.persist(
+      docs.select(col("doc_id"), col("simhash"), posexplode(array(
+        (0 until 4).map(q => shiftrightunsigned(col("simhash"), q * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qv"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.q") === col("b.q") && col("a.qv") === col("b.qv") &&
@@ -350,8 +369,8 @@ object Text {
     // previous shape re-scanned and re-exploded the corpus for a
     // distinct + count. One corpus pass total; tf is persisted because
     // both the df aggregation and the final join consume it.
-    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.core.InternalCaches.persist(
+      words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     // no forced broadcast: the term dictionary is NOT bounded at web scale
     // (open vocabulary); AQE picks a broadcast at runtime when df is small
@@ -537,14 +556,13 @@ object Text {
     // then read the materialized frame instead of re-deriving the whole
     // upstream a second time (the chunks frame behind q66 is a 5-stage
     // pipeline; recomputing it for the per-bucket totals doubled its cost)
-    val local = df
+    val local = graft.core.InternalCaches.persist(df
       .withColumn("_bkt",
         floor(col(ordCols.head) / bucketWidth.toDouble).cast(LongType))
       .withColumn("_lrun", sum(col(valueCol)).over(
         Window.partitionBy(col(partCol), col("_bkt"))
           .orderBy(ordCols.map(c => col(c).asc): _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     val bw = Window.partitionBy(col(partCol)).orderBy(col("_bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col(partCol), col("_bkt"))
@@ -582,6 +600,58 @@ object Text {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).cast(LongType).as("sum_chars"))
 
+  /** Train/eval decontamination over an arbitrary documents-shaped frame:
+    * training documents sharing at least one `n`-token shingle with the
+    * eval split are flagged (the published pretraining practice — n-gram
+    * overlap against held-out benchmarks). Shape: eval benchmarks are
+    * tiny relative to a training corpus at ANY scale, so the distinct
+    * eval-shingle set is broadcast-sized and the contamination check is a
+    * semi-join that AQE turns into a broadcast — one pass over the
+    * training shingles, no shuffle of the corpus. Shingles are compared
+    * as 64-bit hashes (graft_shingles — same ~2^-40 collision caveat as
+    * [[ngramJaccardPairs]], which the string-shingle oracle hash-match
+    * empirically discharges). */
+  private[graft] def decontaminate(docs: DataFrame, evalPred: Column, n: Int): DataFrame = {
+    val tok = withTokens(docs).withColumn("is_eval", evalPred)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = tok.filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("lang"), col("is_eval"),
+        explode(expr(s"graft_shingles(t, $n)")).as("h"))
+    val evalSh = sh.filter(col("is_eval")).select(col("h")).distinct()
+    val contam = sh.filter(!col("is_eval"))
+      .join(evalSh, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("lang")).distinct()
+    val trainCounts = tok.filter(!col("is_eval"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+    val contamCounts = contam.groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+    trainCounts.join(contamCounts, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
+  /** Gate query: 13-gram decontamination of the deterministic ~6% eval
+    * split (md5 prefix rule, the q65 sampling scheme). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir), md5(col("text")) < "10", n = 13)
+
+  /** Deterministic shuffle-and-shard manifest: shard = first two hex chars
+    * of md5(text) (256 shards), position = rank within the shard by
+    * (md5(text), doc_id). The training-data shuffle that is reproducible
+    * across engines, partitionings and runs — rand()-based shuffling is
+    * not — and sharded so no global total order is ever materialized: the
+    * position windows partition by shard, and the shard-count parameter
+    * (hex-prefix length: 2 → 256, 4 → 64k) is the parallelism lever at
+    * 100 TB. A single unpartitioned row_number would put the whole corpus
+    * on one reducer. */
+  def qShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("shard", substring(col("h"), 1, 2))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    d.select(col("doc_id"), col("shard"), row_number().over(w).as("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -598,6 +668,8 @@ object Text {
     "q35_minhash_lsh"   -> (qMinHashLsh _),
     "q36_simhash_pairs" -> (qSimHashPairs _),
     "q37_fingerprint"   -> (qFingerprint _),
+    "q71_decontaminate" -> (qDecontaminate _),
+    "q72_shards"        -> (qShards _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -697,6 +769,27 @@ object Text {
     "q65_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
+    "q71_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t,
+                       md5(text) < '10' AS is_eval
+                     FROM documents),
+         sh AS (SELECT doc_id, lang, is_eval,
+                  unnest(list_distinct(list_transform(range(1, len(t) - 11),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5],
+                                   t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11], t[i+12])))) AS s
+                FROM sp WHERE len(t) >= 13),
+         ev AS (SELECT DISTINCT s FROM sh WHERE is_eval),
+         contam AS (SELECT DISTINCT doc_id, lang FROM sh
+                    WHERE NOT is_eval AND s IN (SELECT s FROM ev)),
+         tr AS (SELECT lang, count(*) AS n_train FROM sp WHERE NOT is_eval GROUP BY lang),
+         cc AS (SELECT lang, count(*) AS n_contaminated FROM contam GROUP BY lang)
+         SELECT tr.lang, n_train, COALESCE(n_contaminated, 0) AS n_contaminated
+         FROM tr LEFT JOIN cc ON tr.lang = cc.lang""",
+    "q72_shards" ->
+      """SELECT doc_id, substr(md5(text), 1, 2) AS shard,
+           row_number() OVER (PARTITION BY substr(md5(text), 1, 2)
+                              ORDER BY md5(text) ASC, doc_id ASC) AS pos
+         FROM documents""",
     "q57_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
@@ -724,6 +817,29 @@ object Text {
            UNION
            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)
          SELECT n AS doc_id, least(n, min(m)) AS comp FROM reach GROUP BY n""",
+    // q36 simhash: the oracle regenerates every simhash bit in SQL — the
+    // per-token Karp-Rabin hash as a HUGEINT modular fold (the q37
+    // pattern), the per-bit ±1 majority vote via a range(60) cross join,
+    // and the hamming filter directly on all pairs (banding is exact for
+    // hamming <= 3 by pigeonhole, so the band join and the all-pairs
+    // filter produce the same set).
+    "q36_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         h AS (SELECT doc_id, CAST((list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT), list_transform(regexp_split_to_array(w, ''), c -> CAST(ascii(c) AS HUGEINT))),
+                 (acc, x) -> (acc * 257 + x) % 2305843009213693951)
+                 * 2004640138488879447) % 2305843009213693951 AS BIGINT) AS hv
+               FROM tok),
+         bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                  FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+         sim AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+                 FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     // q35 minhash: same output contract as q34 on separated corpora — verified
     // empirically at the harness SF; recorded as the all-pairs Jaccard SQL.
     "q35_minhash_lsh" ->

@@ -44,7 +44,14 @@ object PointSource {
     * handing back the cold plan — so `unpersist()` doubles as "drop this
     * entry" and a changed underlying file is picked up on the next read.
     * A handle that is still cached is returned as-is; callers that need to
-    * re-read a file changed in place must unpersist first. */
+    * re-read a file changed in place must unpersist first.
+    *
+    * The staleness check and the rebuild run inside ONE atomic
+    * `updateWith` on the per-session TrieMap, so two threads cannot both
+    * observe a cold entry and install different handles. Residual race:
+    * updateWith may re-evaluate its remapping function under CAS
+    * contention, briefly issuing a duplicate build() — benign, Spark's
+    * CacheManager dedupes the cache entry and only one handle wins. */
   def read(spark: SparkSession, path: String, l: Int): DataFrame = {
     memo.synchronized {
       val it = memo.entrySet().iterator()
@@ -52,11 +59,10 @@ object PointSource {
     }
     val bySession =
       memo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    val df = bySession.getOrElseUpdate((path, l), build(spark, path, l))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val fresh = build(spark, path, l)
-      bySession.put((path, l), fresh)
-      fresh
-    } else df
+    bySession.updateWith((path, l)) {
+      case Some(df) if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        Some(df)
+      case _ => Some(build(spark, path, l))
+    }.get
   }
 }

@@ -4,14 +4,15 @@ import graft.ops.Text
 
 class TextSpec extends SparkSpec {
 
-  test("simHash64: deterministic and locality-sensitive") {
+  test("simHash60: deterministic, 60-bit, and locality-sensitive") {
     val a = Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")
     val b = a.updated(3, "cat")                       // small edit
     val c = Seq("entirely", "different", "words", "here", "now", "ok", "fine", "yes", "done")
-    val ha = Text.simHash64(a)
-    assert(ha == Text.simHash64(a))
+    val ha = Text.simHash60(a)
+    assert(ha == Text.simHash60(a))
+    assert((ha >>> 60) == 0L)                         // bands split 4×15 exactly
     def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
-    assert(ham(ha, Text.simHash64(b)) < ham(ha, Text.simHash64(c)))
+    assert(ham(ha, Text.simHash60(b)) < ham(ha, Text.simHash60(c)))
   }
 
   test("rollingFingerprint: deterministic, shift-sensitive, window min stable") {
@@ -149,6 +150,49 @@ class TextSpec extends SparkSpec {
         .multiply(java.math.BigInteger.valueOf(b)).mod(bigM).longValue()
       assert(Text.mulMod(a, b) == expected, s"mulMod($a, $b)")
     }
+  }
+
+  test("simHash60: discriminative after the multiplicative spread") {
+    // the raw Karp-Rabin token hash leaves high bits zero for short words
+    // (5% of ALL sf0.001 doc pairs landed within hamming 3); the mixed
+    // hash must keep unrelated docs far apart and exact dupes at 0
+    val a = Seq("the", "quick", "brown", "fox", "jumps", "over", "a", "dog")
+    val b = Seq("some", "other", "text", "with", "no", "overlap", "at", "all")
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(Text.simHash60(a), Text.simHash60(b)) > 10)
+    assert(ham(Text.simHash60(a), Text.simHash60(a)) == 0)
+  }
+
+  test("decontaminate: flags exactly the training docs sharing a 13-gram with eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evalText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val contaminated = "lead in words " + (3 to 15).map(i => s"tok$i").mkString(" ") + " trailing"
+    val cleanDoc = (100 to 120).map(i => s"word$i").mkString(" ")
+    val shortDoc = "too short for any thirteen gram"
+    val docs = Seq(
+      (1L, "en", evalText),      // eval split
+      (2L, "en", contaminated),  // shares tok3..tok15 (a 13-gram) with eval
+      (3L, "en", cleanDoc),
+      (4L, "fr", shortDoc)
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.decontaminate(docs, col("doc_id") === 1L, n = 13)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("en") == ((2L, 1L)))   // docs 2+3 train, only 2 contaminated
+    assert(out("fr") == ((1L, 0L)))
+  }
+
+  test("q72 shards: positions are a permutation per shard and run-stable") {
+    val a = Text.qShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val b = Text.qShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.sorted.sameElements(b.sorted))                  // deterministic
+    val byShard = a.groupBy(_._2)
+    byShard.foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length), s"shard $shard")
+    }
+    assert(a.map(_._1).distinct.length == a.length)          // each doc once
   }
 
   test("starComponents: long-path and random graphs match union-find (diameter-independent)") {
