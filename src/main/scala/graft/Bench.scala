@@ -25,37 +25,57 @@ object Bench {
     // the first measured query doesn't pay JIT cost
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .limit(10000).groupBy("l_returnflag").count().collect()
-    // warm run (JIT + shuffle-file page cache) then measured run per query;
-    // the noop sink forces full plan execution both times. Operator-
-    // internal persists are released AFTER each query's measured run (the
-    // warm run materializes them, the measured run reuses them — the warm
-    // steady state), so a query's caches never occupy memory while later
-    // queries run and a full bench leaves the session's storage empty.
+    // warm run (JIT + shuffle-file page cache) then N measured runs per
+    // query, reporting the MEDIAN; the noop sink forces full plan execution
+    // every time. A single measured run let one bad scheduling window write
+    // a phantom 10-40x regression into the round artifact (BENCH_r05
+    // recorded q34 at 33 s against a 0.8 s steady state) — the median of 3
+    // is robust to one outlier window, and the per-run values are kept in
+    // the JSON ("runs") so dispersion is visible. Operator-internal
+    // persists are released AFTER each query's measured runs (the warm run
+    // materializes them, the measured runs reuse them — the warm steady
+    // state), so a query's caches never occupy memory while later queries
+    // run and a full bench leaves the session's storage empty.
+    val measuredRuns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try { once(); once() }
+      val runs = try { once(); Vector.fill(measuredRuns)(once()) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Vector(-1.0) }
       finally graft.core.InternalCaches.release(spark)
-      name -> t
+      name -> runs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val runsJson = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     // cold AND warm per workload: the BASELINE.md numbers are one-shot
     // runs that include JIT, so a warm-only report flatters the
     // comparison — the cold number keeps the claim honest. The golden
-    // anchors and the baseline bar stay on the warm (unsuffixed) keys.
-    def coldWarm(name: String, f: => Unit): String = {
-      val cold = time(f); val warm = time(f)
-      f""""${name}_cold":$cold%.3f,"${name}_warm":$warm%.3f,"$name":$warm%.3f"""
+    // anchors and the baseline bar stay on the warm (unsuffixed) keys;
+    // the warm figure is the median of `warmReps` runs (same noise
+    // defense as the gate queries) with per-run values reported.
+    def coldWarm(name: String, warmReps: Int = 3)(f: => Unit): String = {
+      val cold = time(f)
+      val warms = Vector.fill(warmReps)(time(f))
+      val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
+      f""""${name}_cold":$cold%.3f,"${name}_warm":${median(warms)}%.3f,""" +
+        f""""${name}_warm_runs":$runs%s,"$name":${median(warms)}%.3f"""
     }
     // BASELINE.md-comparable reference workloads (uber-100k, D=0.02 M=10):
     // published numbers are ExactOutliers 61 655 ms / MRApproxOutliers 960 ms
@@ -65,13 +85,13 @@ object Bench {
         val pts = graft.sources.PointSource.read(spark, uber, cpus.toInt)
         pts.count()
         var exactN = -1L
-        val exactJson = coldWarm("exact_outliers_uber100k",
-          { exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count() })
+        val exactJson = coldWarm("exact_outliers_uber100k") {
+          exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count() }
         var approxRows = Array.empty[org.apache.spark.sql.Row]
-        val approxJson = coldWarm("approx_outliers_uber100k",
-          { approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect() })
-        val fftJson = coldWarm("mrfft_k100_uber100k",
-          graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false))
+        val approxJson = coldWarm("approx_outliers_uber100k") {
+          approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect() }
+        val fftJson = coldWarm("mrfft_k100_uber100k") {
+          graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false) }
         // golden anchors from the reference's published uber-100k output
         // (Homework_1/Data/Example/output_uber100k_0.02_10_5_2.pdf): 673
         // exact outliers, 435 sure, 658 uncertain. The bench TIMES this
@@ -85,7 +105,6 @@ object Bench {
           throw new GoldenMismatch(
             s"uber-100k golden anchor MISMATCH: exact=$exactN (want 673) " +
             s"sure=$sure (want 435) uncertain=$unc (want 658)")
-        graft.core.InternalCaches.release(spark)
         s""","reference":{$exactJson,$approxJson,$fftJson}"""
       } catch {
         // only a genuine anchor mismatch fails the bench; non-fatal
@@ -95,7 +114,7 @@ object Bench {
         case e: GoldenMismatch => throw e
         case e if scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] uber-100k section dropped: $e"); ""
-      }
+      } finally graft.core.InternalCaches.release(spark)
     } else ""
     // Synthetic geometry anchor sections: generate the ArtificialPoints
     // twin, time MRFFT (radius = D) and MRApproxOutliers cold+warm, and
@@ -107,18 +126,19 @@ object Bench {
     // bench loudly; any transient failure degrades to an absent JSON
     // section so hours of already-validated timings are not discarded.
     def syntheticAnchors(tag: String, nClusterPts: Long, numPartitions: Int,
-                         k: Int, l: Int, withExact: Boolean): String = try {
+                         k: Int, l: Int, withExact: Boolean,
+                         warmReps: Int = 3): String = try {
       val pts = graft.sources.ArtificialPoints.generate(spark,
           nClusterPts = nClusterPts, numPartitions = numPartitions)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         pts.count()
         var radius = 0.0
-        val fftJson = coldWarm(s"mrfft_k${k}_$tag",
-          { radius = graft.ops.Geometry.mrFFT(pts, k = k, l = l)._1 })
+        val fftJson = coldWarm(s"mrfft_k${k}_$tag", warmReps) {
+          radius = graft.ops.Geometry.mrFFT(pts, k = k, l = l)._1 }
         var rows = Array.empty[org.apache.spark.sql.Row]
-        val approxJson = coldWarm(s"approx_outliers_$tag",
-          { rows = graft.ops.Geometry.approxOutliers(pts, radius, 10).collect() })
+        val approxJson = coldWarm(s"approx_outliers_$tag", warmReps) {
+          rows = graft.ops.Geometry.approxOutliers(pts, radius, 10).collect() }
         val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val sure = byCls.getOrElse("sure", 0L)
         val unc = byCls.getOrElse("uncertain", 0L)
@@ -128,8 +148,8 @@ object Bench {
             s"the planted outliers) uncertain=$unc (want 0) at D=$radius")
         val exactJson = if (!withExact) "" else {
           var exactN = -1L
-          val j = coldWarm(s"exact_outliers_$tag",
-            { exactN = graft.ops.Geometry.exactOutliers(pts, radius, 10).count() })
+          val j = coldWarm(s"exact_outliers_$tag", warmReps) {
+            exactN = graft.ops.Geometry.exactOutliers(pts, radius, 10).count() }
           if (exactN != 100L)
             throw new GoldenMismatch(
               s"artificial-$tag exact-outlier anchor MISMATCH: n=$exactN (want 100)")
@@ -148,16 +168,25 @@ object Bench {
     // blob is stripped, so the deterministic twin stands in).
     val ref1m = syntheticAnchors("1m", nClusterPts = 1000008L,
       numPartitions = 64, k = 200, l = 16, withExact = false)
+    // reference_10m (default-on): the artificial10M effectiveness workload —
+    // BASELINE.md TEST 2 row K=110 (`Filled TableHW2.docx`: radius
+    // 2.2207804, 97 sure / 3 uncertain on the original corpus; the
+    // deterministic twin plants 100 well-isolated outliers so the anchor is
+    // exactly 100 sure / 0 uncertain). This is the every-round mid-scale
+    // guard: a partition-strategy or kernel regression that only shows at
+    // 10x the 1M scale fails THIS bench, not a hypothetical big run.
+    val ref10m = syntheticAnchors("10m", nClusterPts = 10000008L,
+      numPartitions = 128, k = 110, l = 16, withExact = false)
     // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
     // >= 48g): the artificial100M scalability workload — BASELINE.md
     // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
     // MRApproxOutliers ≈ 2.95 s at M=10 K=110 L=16. Off by default so the
-    // per-round bench stays fast.
+    // per-round bench stays fast; one warm rep keeps the opt-in run bounded.
     val ref100m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1"))
       syntheticAnchors("100m", nClusterPts = 100000008L,
-        numPartitions = 256, k = 110, l = 16, withExact = true)
+        numPartitions = 256, k = 110, l = 16, withExact = true, warmReps = 1)
     else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ref$ref1m$ref100m}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$ref100m}""")
     spark.stop()
   }
 }

@@ -24,5 +24,6 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Geometry.oracles ++ Text.oracles ++
-      Embeddings.oracles ++ Events.oracles ++ Skew.oracles ++ Pipeline.oracles
+      Embeddings.oracles ++ Events.oracles ++ Skew.oracles ++
+      Pipeline.oracles ++ Ann.oracles
 }

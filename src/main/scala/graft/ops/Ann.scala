@@ -119,4 +119,91 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_ann_ivf" -> (qIvfKnn _),
   )
+
+  /** DuckDB oracle for q68. The IVF index has no randomness — the only
+    * "trained" state is the farthest-first centroid set, a deterministic
+    * function of the first `sampleN` vectors — so the whole pipeline is
+    * expressible in SQL by UNROLLING the FFT loop: 15 chained CTEs, each
+    * re-scanning the 256-row sample, picking the next center as the argmax
+    * of the running min-distance (exactly [[farthestFirst]]'s first-index
+    * tie-break: `ORDER BY md DESC, vec_id ASC`).
+    *
+    * Floating-point parity notes (each Scala accumulation is replicated
+    * form-for-form, not just value-for-value):
+    *  - FFT distance is the DIRECT form Σ(a−b)² ([[farthestFirst]]'s
+    *    `d2 += d*d`): `list_dot_product(diff, diff)` folds left-to-right
+    *    like the while loop.
+    *  - Assignment distance is NearestCells' EXPANSION form
+    *    `(‖x‖² − 2·x·c) + ‖c‖²` with the same parenthesization;
+    *    ties break (d2 ASC, cid ASC) exactly as the expression's strict-<
+    *    scan / selection sort (VectorExpressions.scala:234-256).
+    *  - Cosine rank rounds to 6 dp on both sides (the cross-engine float
+    *    rule), so the final row_number order is identical.
+    * Same left-to-right `list_dot_product` dependency as the q43 oracle
+    * (Embeddings.annLshOracle) — a divergence would fail VISIBLY. */
+  private def ivfOracle: String = {
+    val nlist = 16; val sampleN = 256; val nprobe = 4; val k = 5
+    // Σ(a−b)² via dot(diff, diff): left-to-right fold = the Scala loop
+    def dist2(a: String, b: String): String = {
+      val d = s"list_transform(list_zip($a, $b), p -> p[1] - p[2])"
+      s"list_dot_product($d, $d)"
+    }
+    // NearestCells' expansion-form distance to centroid c (cn = ‖c‖²)
+    def cellD2(x: String, c: String, cn: String): String =
+      s"(list_dot_product($x, $x) - 2.0 * list_dot_product($x, $c)) + $cn"
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      smp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $sampleN),
+      c0 AS MATERIALIZED (SELECT v FROM smp ORDER BY vec_id LIMIT 1),
+      d1 AS MATERIALIZED (SELECT s.vec_id, s.v, ${dist2("s.v", "c.v")} AS md
+             FROM smp s, c0 c)"""
+    for (i <- 1 until nlist) {
+      sb ++= s""",
+      c$i AS MATERIALIZED (SELECT v FROM d$i ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+      if (i < nlist - 1) sb ++= s""",
+      d${i + 1} AS MATERIALIZED (SELECT d.vec_id, d.v,
+                      least(d.md, ${dist2("d.v", "c.v")}) AS md
+                    FROM d$i d, c$i c)"""
+    }
+    val centUnion = (0 until nlist)
+      .map(i => s"SELECT $i AS cid, v, list_dot_product(v, v) AS cn FROM c$i")
+      .mkString("\n        UNION ALL ")
+    sb ++= s""",
+      cent AS MATERIALIZED (
+        $centUnion),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, v, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cellD2("e.v", "c.v", "c.cn")} ASC, c.cid ASC) AS rnk
+          FROM emb e CROSS JOIN cent c) t
+        WHERE rnk = 1),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, cid FROM (
+          SELECT e.vec_id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cellD2("e.v", "c.v", "c.cn")} ASC, c.cid ASC) AS rnk
+          FROM emb e CROSS JOIN cent c WHERE e.vec_id < 8) t
+        WHERE rnk <= $nprobe),
+      scored AS (
+        SELECT p.qid, a.vec_id AS nid,
+          round(list_dot_product(p.qv, a.v)
+                / (sqrt(list_dot_product(p.qv, p.qv))
+                   * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+        FROM probes p JOIN assigned a
+          ON p.cid = a.cid AND p.qid <> a.vec_id)
+      SELECT qid, rk, nid, sim FROM (
+        SELECT qid, nid, sim,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, nid ASC) AS rk
+        FROM scored) t
+      WHERE rk <= $k"""
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q68_ann_ivf" -> ivfOracle,
+  )
 }

@@ -16,6 +16,47 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2)  // kernel is per-row deterministic → layout-independent
   }
 
+  test("image kernel is a REAL codec round-trip: PNG encode → ImageIO decode") {
+    // the synthetic payload is a genuine PNG container (magic bytes), and
+    // the decoded block-mean features reproduce a hand-computed value
+    val png = Multimodal.syntheticPng(seed = 7L, w = 16, h = 12)
+    assert(png.take(8).sameElements(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 16 && img.getHeight == 12)
+    val feats = Multimodal.decodeImageFeatures(png, dim = 64)
+    // independent reference: block-mean luminance straight from the pixels
+    val side = 8
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val rgb = img.getRGB(x, y)
+      val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      val b = math.min(y * side / 12, side - 1) * side +
+        math.min(x * side / 16, side - 1)
+      sums(b) += lum; counts(b) += 1
+    }
+    val expected = (0 until 64).map(b =>
+      (sums(b).toDouble / (counts(b) * 255000.0)).toFloat)
+    assert(feats.toSeq == expected)
+    // a corrupted payload fails loudly, never silently fakes
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImageFeatures(Array[Byte](1, 2, 3), dim = 64)
+    }
+  }
+
+  test("image resize is a real pixel resample (decode → NN sample → PNG)") {
+    val png = Multimodal.syntheticPng(seed = 3L, w = 16, h = 12)
+    val resized = Multimodal.resizeImage(png, 8, 8)
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(out.getWidth == 8 && out.getHeight == 8)
+    // nearest-neighbor contract: each output pixel equals its source pixel
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((out.getRGB(x, y) & 0xffffff) ==
+        (src.getRGB(math.min(x * 16 / 8, 15), math.min(y * 12 / 8, 11)) & 0xffffff))
+  }
+
   test("frame sampling: only videos, stride positions, deterministic hashes") {
     val frames = Multimodal.sampleFrames(media, stride = 10, maxFrames = 4).collect()
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet

@@ -195,6 +195,81 @@ class TextSpec extends SparkSpec {
     assert(a.map(_._1).distinct.length == a.length)          // each doc once
   }
 
+  test("shardManifest: widths 16/256/4096 are consistent refinements of one order") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val Seq(m1, m2, m3) = Seq(1, 2, 3).map(len =>
+      Text.shardManifest(docs, len).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap)
+    assert(m1.keySet == m2.keySet && m2.keySet == m3.keySet)
+    // shard ids refine: every wider shard extends the narrower one
+    m3.keys.foreach { id =>
+      assert(m3(id)._1.startsWith(m2(id)._1) && m2(id)._1.startsWith(m1(id)._1))
+    }
+    // widening refines but never reorders: within a narrow shard, sorting
+    // by the wide (shard, pos) reproduces the narrow pos order exactly
+    def orderConsistent(narrow: Map[Long, (String, Int)],
+                        wide: Map[Long, (String, Int)]): Unit =
+      narrow.groupBy(_._2._1).values.foreach { grp =>
+        val byNarrow = grp.toSeq.sortBy(_._2._2).map(_._1)
+        val byWide = grp.keys.toSeq.sortBy(wide)
+        assert(byNarrow == byWide)
+      }
+    orderConsistent(m1, m2)
+    orderConsistent(m2, m3)
+  }
+
+  test("writeShards materializes the manifest as a shard-partitioned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    Text.writeShards(docs, dir, shardHexLen = 1)
+    // keep the recovered partition column a string ("07"-style values
+    // must not round-trip through int inference)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+      assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard=")))
+      val stored = spark.read.parquet(dir)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val manifest = Text.shardManifest(docs, 1).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(stored == manifest)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+  }
+
+  test("decontaminate: corpus-proportional eval split stays correct (shuffle-semi fallback)") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // the ~6% md5 split grows with the corpus — the shape the operator's
+    // broadcast claim does NOT cover; the semi-join must still be exact
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val out = Text.decontaminate(docs, md5(col("text")) < "10", n = 13)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent driver-side reference with STRING shingles
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 13) Set.empty
+      else t.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val isEval = rows.map { case (id, _, text) => id -> (md5hex(text) < "10") }.toMap
+    val evalSh = rows.filter(r => isEval(r._1)).flatMap(r => shingles(r._3)).toSet
+    val expected = rows.filter(r => !isEval(r._1)).groupBy(_._2).map { case (lang, grp) =>
+      lang -> ((grp.length.toLong,
+                grp.count(r => shingles(r._3).exists(evalSh)).toLong))
+    }
+    assert(out == expected)
+    // plan shape: still a left-semi join (shuffle or broadcast — AQE's
+    // call), never a rewrite that loses the semantics
+    val plan = Text.decontaminate(docs, md5(col("text")) < "10", n = 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"))
+  }
+
   test("starComponents: long-path and random graphs match union-find (diameter-independent)") {
     import spark.implicits._
     // a 61-node path (diameter 60): min-label propagation needs 60 rounds,
