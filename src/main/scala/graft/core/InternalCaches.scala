@@ -34,17 +34,26 @@ import org.apache.spark.storage.StorageLevel
 object InternalCaches {
 
   private val bySession = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[SparkSession, java.util.ArrayList[DataFrame]]())
+    new java.util.IdentityHashMap[SparkSession, java.util.HashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]]())
 
   /** Persist `df` (MEMORY_AND_DISK — lazy, fuses into the first consuming
-    * job) and register it for a later [[release]]. Returns `df`. */
+    * job) and register it for a later [[release]]. Returns `df`.
+    *
+    * Registrations are deduped by canonicalized logical plan — the same
+    * key Spark's CacheManager matches persisted plans on — so a caller
+    * that loops the same query without ever releasing holds ONE handle
+    * per distinct plan, not one per invocation (the executor-storage side
+    * was always deduped by the CacheManager; this bounds the driver-side
+    * handle list the same way). */
   def persist(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
+    val key = df.queryExecution.analyzed.canonicalized
     bySession.synchronized {
       val it = bySession.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       bySession.computeIfAbsent(df.sparkSession,
-        _ => new java.util.ArrayList[DataFrame]()).add(df)
+        _ => new java.util.HashMap()).putIfAbsent(key, df)
     }
     df
   }
@@ -55,13 +64,19 @@ object InternalCaches {
     * re-persists). Idempotent — repeat handles of the same plan-keyed
     * cache entry unpersist as no-ops after the first. */
   def release(spark: SparkSession): Unit = {
-    val list = bySession.synchronized(bySession.remove(spark))
-    if (list != null) {
-      val it = list.iterator()
+    val map = bySession.synchronized(bySession.remove(spark))
+    if (map != null) {
+      val it = map.values().iterator()
       while (it.hasNext) {
         try it.next().unpersist(blocking = false)
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+  }
+
+  /** Number of registered handles for `spark` — 0 after a [[release]].
+    * Test/diagnostic surface. */
+  def registeredCount(spark: SparkSession): Int = bySession.synchronized {
+    val m = bySession.get(spark); if (m == null) 0 else m.size()
   }
 }

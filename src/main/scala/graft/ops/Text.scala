@@ -244,9 +244,16 @@ object Text {
   def simHash60(tokens: Seq[String]): Long = {
     val acc = new Array[Int](60)
     tokens.foreach { tok =>
+      // fold UNICODE CODE POINTS, not UTF-16 units: the q36 oracle folds
+      // DuckDB ascii(c) over a per-character split, which yields code
+      // points — a non-BMP char (emoji) would otherwise diverge silently
       var h = 0L
       var i = 0
-      while (i < tok.length) { h = (mulMod(h, 257L) + tok.charAt(i)) % Mod61; i += 1 }
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h = (mulMod(h, 257L) + cp) % Mod61
+        i += Character.charCount(cp)
+      }
       h = mulMod(h, SimHashMix)
       var b = 0
       while (b < 60) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
@@ -280,29 +287,34 @@ object Text {
   }
 
   /** Rolling polynomial fingerprint (Karp-Rabin, base 257 mod 2^61−1) of the
-    * full text + winnowing min-fingerprint of 8-char windows. */
+    * full text + winnowing min-fingerprint of 8-character windows.
+    * Characters are UNICODE CODE POINTS — the unit the q37 oracle uses
+    * (DuckDB `ascii` over a per-character split, code-point `length`/
+    * `substr`) — so the hash match holds beyond the BMP, not just on
+    * ASCII corpora. */
   def rollingFingerprint(text: String): (Long, Long) = {
+    val cps = text.codePoints().toArray
     val Mod = Mod61
     val Base = 257L
     var full = 0L
     var i = 0
-    while (i < text.length) {
-      full = (mulMod(full, Base) + text.charAt(i)) % Mod
+    while (i < cps.length) {
+      full = (mulMod(full, Base) + cps(i)) % Mod
       i += 1
     }
     // winnowing: min hash over all 8-grams
     var minW = Long.MaxValue
-    if (text.length >= 8) {
+    if (cps.length >= 8) {
       var pow = 1L
       var k = 0
       while (k < 7) { pow = mulMod(pow, Base); k += 1 }
       var h = 0L
       i = 0
-      while (i < text.length) {
-        h = (mulMod(h, Base) + text.charAt(i)) % Mod
+      while (i < cps.length) {
+        h = (mulMod(h, Base) + cps(i)) % Mod
         if (i >= 7) {
           if (h < minW) minW = h
-          h = (h - mulMod(text.charAt(i - 7).toLong, pow) % Mod + Mod) % Mod
+          h = (h - mulMod(cps(i - 7).toLong, pow) % Mod + Mod) % Mod
         }
         i += 1
       }

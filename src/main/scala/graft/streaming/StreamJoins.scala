@@ -10,11 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoins {
 
-  /** Inner stream-stream join: click events to purchase events by user,
-    * purchase within [click, click + window]. Both sides watermarked; the
-    * range condition bounds state retention on both stores. */
+  /** Stream-stream join: click events to purchase events by user, purchase
+    * within [click, click + window]. Both sides watermarked; the range
+    * condition bounds state retention on both stores.
+    *
+    * `joinType` "inner" (default) or "left_outer". Event-time semantics
+    * (asserted row-exactly in StreamingSpec):
+    *  - a row older than the watermark on EITHER side is dropped before
+    *    the join — a late click/purchase pair that would have matched
+    *    produces nothing;
+    *  - left-outer emits the null-extended row for an unmatched click only
+    *    once the watermark passes `c_ts + joinWindow` (no match can still
+    *    arrive), i.e. in a LATER micro-batch than the click itself — the
+    *    state-eviction point, which is also what keeps the store bounded;
+    *  - unmatched purchases never emit under left-outer (right side is
+    *    the probe, not the preserved side). */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
-                      watermark: String = "1 hour", joinWindow: String = "30 minutes"): DataFrame = {
+                      watermark: String = "1 hour", joinWindow: String = "30 minutes",
+                      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
     val p = purchases.withWatermark("ts", watermark)
@@ -22,7 +35,8 @@ object StreamJoins {
     c.join(p,
       col("c_user") === col("p_user") &&
       col("p_ts") >= col("c_ts") &&
-      col("p_ts") <= col("c_ts") + expr(s"INTERVAL $joinWindow"))
+      col("p_ts") <= col("c_ts") + expr(s"INTERVAL $joinWindow"),
+      joinType)
   }
 
   /** Stream-static enrichment: a stream joined to a broadcastable static

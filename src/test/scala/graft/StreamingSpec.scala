@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{DistributedSketches, FrequentItemsJob, Sketches, WindowedAnalytics}
+import graft.streaming.{DistributedSketches, FrequentItemsJob, Sketches, StreamJoins, WindowedAnalytics}
 
 class StreamingSpec extends SparkSpec {
 
@@ -228,6 +228,83 @@ class StreamingSpec extends SparkSpec {
       ("2023-12-31 23:30:00.0", "click", 1L),
       ("2023-12-31 23:45:00.0", "click", 1L),
       ("2024-01-01 00:00:00.0", "click", 1L)), s"got $rows")
+  }
+
+  test("stream-stream inner join: watermark drops late rows on BOTH sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamJoins.clickToPurchase(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      watermark = "10 minutes", joinWindow = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj_late")
+      .outputMode("append").start()
+    // batch 1: user 1 click+purchase match; users 98/99 only advance
+    // event time on their side (watermark after the batch: 01:50)
+    clicks.addData((1L, 1L, ts("00:00:00")), (2L, 98L, ts("02:00:00")))
+    purchases.addData((100L, 1L, ts("00:10:00")), (101L, 99L, ts("02:00:00")))
+    q.processAllAvailable()
+    // batch 2: a LATE click and a LATE purchase for user 2 that WOULD
+    // match each other — both are behind the 01:50 watermark and must be
+    // dropped before the join, on their respective sides
+    clicks.addData((3L, 2L, ts("00:20:00")))
+    purchases.addData((102L, 2L, ts("00:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_late").select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L)), s"got $rows")
+  }
+
+  test("stream-stream left-outer join: null rows emit at eviction, late right dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamJoins.clickToPurchase(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      watermark = "10 minutes", joinWindow = "30 minutes",
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    // batch 1: u1 matches; u3's click has no purchase; u98/u99 advance
+    // event time (watermark after batch 1: 01:50)
+    clicks.addData((1L, 1L, ts("00:00:00")), (2L, 3L, ts("00:05:00")),
+                   (3L, 98L, ts("02:00:00")))
+    purchases.addData((100L, 1L, ts("00:10:00")), (101L, 99L, ts("02:00:00")))
+    q.processAllAvailable()
+    // batch 2: u3's click (00:05, horizon 00:35) is now past the 01:50
+    // watermark → its NULL row must emit here, not in batch 1. The late
+    // u3 purchase at 00:15 would have matched it — dropped, never joins.
+    // u98/u99 rows advance the watermark to 02:50.
+    clicks.addData((4L, 98L, ts("03:00:00")))
+    purchases.addData((102L, 3L, ts("00:15:00")), (103L, 99L, ts("03:00:00")))
+    q.processAllAvailable()
+    // batch 3: watermark 02:50 passes u98's 02:00 click horizon (02:30) →
+    // its null row emits. The 03:20 rows only move the watermark to 03:10,
+    // short of the 03:00 click's horizon (03:30), so that click stays in
+    // state — even through the extra no-data batch Spark runs after a
+    // watermark advance — and the query ends with it unemitted.
+    clicks.addData((5L, 98L, ts("03:20:00")))
+    purchases.addData((104L, 99L, ts("03:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_outer")
+      .select("click_id", "c_user", "purchase_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows == Set(
+      (1L, 1L, Some(100L)),   // matched pair, emitted inner-style
+      (2L, 3L, None),         // unmatched click → null row at eviction
+      (3L, 98L, None)         // watermark-driver click, evicted unmatched
+    ), s"got $rows")
+    // unmatched purchases (u99) never emit: right side is not preserved
   }
 
   test("session windows: gap splits sessions, counts per session emitted on close") {

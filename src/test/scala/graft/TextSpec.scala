@@ -27,6 +27,22 @@ class TextSpec extends SparkSpec {
     assert(wb <= wa)  // the min over a superset of windows can only be <=
   }
 
+  test("code-point folding: non-BMP characters hash like the DuckDB oracle") {
+    // "a😀b" is 4 UTF-16 units but 3 code points (97, 128512, 98); the
+    // oracle folds DuckDB ascii() over a per-character split = code
+    // points. Pinned value cross-checked against DuckDB directly:
+    //   list_reduce(... (acc,x) -> (acc*257+x) % (2^61-1)) = 39434435
+    val (full, win) = Text.rollingFingerprint("a😀b")
+    assert(full == 39434435L)
+    assert(win == 39434435L) // < 8 code points → winnow falls back to full
+    // simHash60 folds the same unit: one code point (128512), not two
+    // surrogate units — a single-token signature is just the spread
+    // token hash's low 60 bits, computable independently
+    val one = Text.simHash60(Seq("😀"))
+    val spread = Text.mulMod(128512L, 2004640138488879447L) // SimHashMix
+    assert(one == (spread & ((1L << 60) - 1)))
+  }
+
   test("minhash LSH pairs equal all-pairs jaccard pairs at sf0.001 (J >= 0.5)") {
     val lsh = Text.qMinHashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
