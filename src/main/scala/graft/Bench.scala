@@ -36,8 +36,14 @@ object Bench {
     // materializes them, the measured runs reuse them — the warm steady
     // state), so a query's caches never occupy memory while later queries
     // run and a full bench leaves the session's storage empty.
-    val measuredRuns =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // toIntOption: a malformed override (e.g. "3x") must not crash the whole
+    // bench before any timing runs; fall back to 3 and cap at 9 runs.
+    val measuredRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap { v =>
+        val p = v.toIntOption
+        if (p.isEmpty) System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_BENCH_RUNS='$v'")
+        p
+      }.getOrElse(3).max(1).min(9)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
@@ -64,16 +70,26 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Compact (name -> warm median) pairs per reference section. The round
+    // driver captures only the LAST ~2000 chars of stdout, so the final
+    // contract line must stay short — full per-run/cold detail goes to a
+    // separate earlier line and BENCH_DETAIL.json, while the contract line
+    // carries just the warm medians the BASELINE.md bar is graded on.
+    val compactRef =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[(String, String)]]
+    def addCompact(section: String, name: String, v: String): Unit =
+      compactRef(section) = compactRef.getOrElse(section, Vector.empty) :+ (name -> v)
     // cold AND warm per workload: the BASELINE.md numbers are one-shot
     // runs that include JIT, so a warm-only report flatters the
     // comparison — the cold number keeps the claim honest. The golden
     // anchors and the baseline bar stay on the warm (unsuffixed) keys;
     // the warm figure is the median of `warmReps` runs (same noise
     // defense as the gate queries) with per-run values reported.
-    def coldWarm(name: String, warmReps: Int = 3)(f: => Unit): String = {
+    def coldWarm(section: String, name: String, warmReps: Int = 3)(f: => Unit): String = {
       val cold = time(f)
       val warms = Vector.fill(warmReps)(time(f))
       val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
+      addCompact(section, name, f"${median(warms)}%.2f")
       f""""${name}_cold":$cold%.3f,"${name}_warm":${median(warms)}%.3f,""" +
         f""""${name}_warm_runs":$runs%s,"$name":${median(warms)}%.3f"""
     }
@@ -85,12 +101,12 @@ object Bench {
         val pts = graft.sources.PointSource.read(spark, uber, cpus.toInt)
         pts.count()
         var exactN = -1L
-        val exactJson = coldWarm("exact_outliers_uber100k") {
+        val exactJson = coldWarm("reference", "exact_outliers_uber100k") {
           exactN = graft.ops.Geometry.exactOutliers(pts, 0.02, 10).count() }
         var approxRows = Array.empty[org.apache.spark.sql.Row]
-        val approxJson = coldWarm("approx_outliers_uber100k") {
+        val approxJson = coldWarm("reference", "approx_outliers_uber100k") {
           approxRows = graft.ops.Geometry.approxOutliers(pts, 0.02, 10).collect() }
-        val fftJson = coldWarm("mrfft_k100_uber100k") {
+        val fftJson = coldWarm("reference", "mrfft_k100_uber100k") {
           graft.ops.Geometry.mrFFT(pts, k = 100, l = 16, deterministic = false) }
         // golden anchors from the reference's published uber-100k output
         // (Homework_1/Data/Example/output_uber100k_0.02_10_5_2.pdf): 673
@@ -113,7 +129,8 @@ object Bench {
         // line printed from a heap in unknown state is worth nothing)
         case e: GoldenMismatch => throw e
         case e if scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] uber-100k section dropped: $e"); ""
+          System.err.println(s"[bench] uber-100k section dropped: $e")
+          compactRef.remove("reference"); ""
       } finally graft.core.InternalCaches.release(spark)
     } else ""
     // Synthetic geometry anchor sections: generate the ArtificialPoints
@@ -134,10 +151,10 @@ object Bench {
       try {
         pts.count()
         var radius = 0.0
-        val fftJson = coldWarm(s"mrfft_k${k}_$tag", warmReps) {
+        val fftJson = coldWarm(s"reference_$tag", s"mrfft_k${k}_$tag", warmReps) {
           radius = graft.ops.Geometry.mrFFT(pts, k = k, l = l)._1 }
         var rows = Array.empty[org.apache.spark.sql.Row]
-        val approxJson = coldWarm(s"approx_outliers_$tag", warmReps) {
+        val approxJson = coldWarm(s"reference_$tag", s"approx_outliers_$tag", warmReps) {
           rows = graft.ops.Geometry.approxOutliers(pts, radius, 10).collect() }
         val byCls = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
         val sure = byCls.getOrElse("sure", 0L)
@@ -148,7 +165,7 @@ object Bench {
             s"the planted outliers) uncertain=$unc (want 0) at D=$radius")
         val exactJson = if (!withExact) "" else {
           var exactN = -1L
-          val j = coldWarm(s"exact_outliers_$tag", warmReps) {
+          val j = coldWarm(s"reference_$tag", s"exact_outliers_$tag", warmReps) {
             exactN = graft.ops.Geometry.exactOutliers(pts, radius, 10).count() }
           if (exactN != 100L)
             throw new GoldenMismatch(
@@ -160,7 +177,8 @@ object Bench {
     } catch {
       case e: GoldenMismatch => throw e
       case e if scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] reference_$tag section dropped: $e"); ""
+        System.err.println(s"[bench] reference_$tag section dropped: $e")
+        compactRef.remove(s"reference_$tag"); ""
     }
     // reference_1m: the published artificial1M workload (1 000 108 pts,
     // M=10 K=200 L=16 — BASELINE.md: MRFFT R1+R2+R3 ≈ 1.13 s, Radius
@@ -186,7 +204,40 @@ object Bench {
       syntheticAnchors("100m", nClusterPts = 100000008L,
         numPartitions = 256, k = 110, l = 16, withExact = true, warmReps = 1)
     else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$ref100m}""")
+    // Two output lines + a detail file. The round driver keeps only the last
+    // ~2000 chars of stdout, so the LAST line is the compact contract line
+    // (metric/value/queries medians/warm reference medians — everything the
+    // BASELINE.md comparison grades) and MUST fit that window. The full
+    // record (per-run values, cold times, radii) goes on an earlier line and
+    // into BENCH_DETAIL.json in the working directory for human inspection.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$ref100m}"""
+    try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e if scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail file not written: $e") }
+    println(detail)
+    def renderCompactRef(m: collection.Map[String, Vector[(String, String)]]): String =
+      m.map { case (sec, kvs) =>
+        s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
+      }.mkString
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.2f" }
+      .mkString("{", ",", "}")
+    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir""""
+    val withRef = head + renderCompactRef(compactRef) + "}"
+    // If the query inventory ever grows past the window, shed the reference
+    // sections first (they live in the detail line), then it's on the human
+    // to split the inventory — warn loudly either way.
+    val compact =
+      if (withRef.length <= 1800) withRef
+      else {
+        System.err.println(s"[bench] compact line ${withRef.length} chars > 1800; dropping reference sections from it (see BENCH_DETAIL.json)")
+        head + "}"
+      }
+    if (compact.length > 1800)
+      System.err.println(s"[bench] compact line STILL ${compact.length} chars — driver tail may truncate it")
+    println(compact)
     spark.stop()
   }
 }

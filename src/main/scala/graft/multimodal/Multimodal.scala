@@ -145,7 +145,13 @@ object Multimodal {
 
   /** REAL image resize: decode via ImageIO, explicit nearest-neighbor
     * resample (integer index arithmetic — deterministic, no Graphics2D
-    * filtering-hint variance), re-encode as PNG. */
+    * filtering-hint variance), re-encode as PNG.
+    *
+    * Determinism boundary: the resampled PIXELS are deterministic across
+    * JVMs, but the re-encoded PNG BYTES are whatever the running JDK's PNG
+    * writer emits (compression choices are not pinned across JDK versions).
+    * Hash decoded pixels in any cross-JVM check — never the resized
+    * payload bytes. */
   private[graft] def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     imageIoInit
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))

@@ -140,7 +140,16 @@ object Ann {
     *  - Cosine rank rounds to 6 dp on both sides (the cross-engine float
     *    rule), so the final row_number order is identical.
     * Same left-to-right `list_dot_product` dependency as the q43 oracle
-    * (Embeddings.annLshOracle) — a divergence would fail VISIBLY. */
+    * (Embeddings.annLshOracle) — a divergence would fail VISIBLY.
+    *
+    * PRECONDITION: the corpus must have at least `nlist` (16) vectors. The
+    * SQL unrolls exactly 16 centroid CTEs and probes a fixed nprobe=4,
+    * while the Scala path adapts (farthestFirst caps k at n; ivfKnn caps
+    * nprobe at the centroid count) — on a tinier corpus the oracle would
+    * fabricate duplicate centroids whose cells crowd the probe set and
+    * diverge from Spark. Every shipped SF (0.001 has 100 vectors) satisfies
+    * this; a future tiny-SF gate run that violates it fails here, loudly,
+    * not as a mystery hash mismatch. */
   private def ivfOracle: String = {
     val nlist = 16; val sampleN = 256; val nprobe = 4; val k = 5
     // Σ(a−b)² via dot(diff, diff): left-to-right fold = the Scala loop

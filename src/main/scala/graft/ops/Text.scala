@@ -669,7 +669,13 @@ object Text {
     * global order is (md5, doc_id) at every width, so a narrow shard is
     * the ordered concatenation of its 16 refinements (asserted in
     * TextSpec). */
-  def shardManifest(docs: DataFrame, shardHexLen: Int = 2): DataFrame = {
+  /** Shared shard/position rule for shardManifest and writeShards: adds
+    * `h` (md5 of text), `shard` (first `shardHexLen` hex chars of h) and
+    * `pos` (rank within shard by (h, doc_id)). ONE definition on purpose —
+    * if manifest and layout computed it independently, a tie-break or
+    * prefix-rule change in one would silently desynchronize the
+    * materialized layout from the manifest the tests and oracle pin. */
+  private def withShardPos(docs: DataFrame, shardHexLen: Int): DataFrame = {
     require(shardHexLen >= 1 && shardHexLen <= 8,
       s"shardHexLen must be in [1, 8], got $shardHexLen")
     import org.apache.spark.sql.expressions.Window
@@ -677,8 +683,11 @@ object Text {
       .withColumn("h", md5(col("text")))
       .withColumn("shard", substring(col("h"), 1, shardHexLen))
     val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
-    d.select(col("doc_id"), col("shard"), row_number().over(w).as("pos"))
+    d.withColumn("pos", row_number().over(w))
   }
+
+  def shardManifest(docs: DataFrame, shardHexLen: Int = 2): DataFrame =
+    withShardPos(docs, shardHexLen).select(col("doc_id"), col("shard"), col("pos"))
 
   /** Materialize the sharded layout itself, not just the mapping: the full
     * rows written as shard=XX/ parquet directories (Hive partition pruning
@@ -687,12 +696,7 @@ object Text {
     * directories in any per-shard-sequential schedule without ever sorting
     * the corpus globally. */
   def writeShards(docs: DataFrame, path: String, shardHexLen: Int = 2): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs
-      .withColumn("h", md5(col("text")))
-      .withColumn("shard", substring(col("h"), 1, shardHexLen))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
-    val sharded = d.withColumn("pos", row_number().over(w)).drop("h")
+    val sharded = withShardPos(docs, shardHexLen).drop("h")
     graft.sources.PartitionedSink.write(
       sharded.repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col("pos")),

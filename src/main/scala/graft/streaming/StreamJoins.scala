@@ -28,6 +28,10 @@ object StreamJoins {
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
                       watermark: String = "1 hour", joinWindow: String = "30 minutes",
                       joinType: String = "inner"): DataFrame = {
+    // fail at construction, not at stream start: only these two types have
+    // the watermark/state semantics this operator documents
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be 'inner' or 'left_outer', got '$joinType'")
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
     val p = purchases.withWatermark("ts", watermark)
