@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   * decoded back to pixels inside the executors, with features computed from
   * block-mean luminance and resize done by an explicit nearest-neighbor
   * resample (arithmetic we control — deterministic on any JVM, unlike
-  * Graphics2D filtering hints). AUDIO/VIDEO payloads keep clearly-marked
-  * deterministic fakes (`fakeDecode*`): the JDK has no audio/video codecs,
-  * and the Spark-side contract — schema, partitioning, batch iteration,
-  * output shape — is identical either way, so swapping a JNI/FFI decoder in
+  * Graphics2D filtering hints). The AUDIO path is equally real: payloads are
+  * genuine RIFF/WAVE containers (16-bit PCM, written and parsed by
+  * `javax.sound.sampled`, also JDK-shipped), features are per-block RMS
+  * energy over the decoded samples, and resize maps to a nearest-neighbor
+  * PCM resample. Only VIDEO keeps a clearly-marked deterministic fake
+  * (`fakeDecode*`/`fakeFrameHash`): the JDK has no video codec, and the
+  * Spark-side contract — schema, partitioning, batch iteration, output
+  * shape — is identical either way, so swapping a JNI/FFI decoder in
   * changes no plumbing.
   */
 object Multimodal {
@@ -88,10 +92,109 @@ object Multimodal {
     out
   }
 
-  /** STUB decode kernel for AUDIO/VIDEO payloads (the JDK has no codecs
-    * for them — a real build links one here; images use the real
-    * [[decodeImageFeatures]] above). The fake is deterministic in the
-    * payload bytes so tests are stable. */
+  /** REAL audio decode kernel: RIFF/WAVE (16-bit PCM) via the JDK's
+    * `javax.sound.sampled`. Features are `dim` blocks of RMS energy over the
+    * decoded sample stream, scaled to [0,1] (sum of squares kept exact in
+    * Long, one divide + sqrt per block — order-fixed arithmetic, so output
+    * is bit-deterministic across JVMs and partitionings; PCM decode itself
+    * is exact byte→short reassembly). */
+  private[graft] def decodeAudioFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val samples = decodeWavSamples(payload)._1
+    val n = samples.length
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val b = math.min((i.toLong * dim / n).toInt, dim - 1)
+      val s = samples(i).toLong
+      sums(b) += s * s; counts(b) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var b = 0
+    while (b < dim) {
+      // RMS scaled by the 16-bit full scale; empty blocks (clip shorter
+      // than the grid) read as 0 rather than NaN
+      out(b) = if (counts(b) == 0) 0.0f
+               else (math.sqrt(sums(b).toDouble / counts(b)) / 32768.0).toFloat
+      b += 1
+    }
+    out
+  }
+
+  /** Decode a WAV payload to (samples, sampleRate). Mono 16-bit PCM only —
+    * the contract [[syntheticWav]] writes; anything else fails loudly
+    * (never silently fakes). */
+  private def decodeWavSamples(payload: Array[Byte]): (Array[Short], Int) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          "graft multimodal: payload is not a decodable audio container", e) }
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"graft multimodal: expected mono 16-bit PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    if (fmt.isBigEndian)
+      while (i < n) {
+        samples(i) = (((bytes(2 * i).toInt) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+        i += 1
+      }
+    else
+      while (i < n) {
+        samples(i) = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort
+        i += 1
+      }
+    (samples, fmt.getSampleRate.toInt)
+  }
+
+  /** REAL audio resample: decode PCM, nearest-neighbor sample pick to the
+    * target rate (same integer index rule as the image resample), re-encode
+    * as WAV. WAV is an uncompressed fixed-layout container, so — unlike the
+    * PNG writer — the re-encoded BYTES are deterministic across JDKs, not
+    * just the samples. */
+  private[graft] def resampleWav(payload: Array[Byte], targetRate: Int): Array[Byte] = {
+    val (samples, srcRate) = decodeWavSamples(payload)
+    val n = samples.length
+    val outN = math.max(1, (n.toLong * targetRate / srcRate).toInt)
+    val out = new Array[Short](outN)
+    var j = 0
+    while (j < outN) {
+      out(j) = samples(math.min((j.toLong * n / outN).toInt, n - 1))
+      j += 1
+    }
+    encodeWav(out, targetRate)
+  }
+
+  /** Encode mono 16-bit little-endian PCM as a RIFF/WAVE container via the
+    * JDK writer. */
+  private def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode kernel for VIDEO payloads (the JDK has no video codec — a
+    * real build links one here; images and audio use the real kernels
+    * above). The fake is deterministic in the payload bytes so tests are
+    * stable. */
   private[multimodal] def fakeDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -120,16 +223,19 @@ object Multimodal {
   }
 
   /** Feature extraction: batched per-partition pass over binary payloads.
-    * Images run the REAL ImageIO decode; audio/video fall back to the
-    * labeled stub kernel. Output is an embedding-like column ready for the
-    * similarity operators in [[graft.ops.Embeddings]]. */
+    * Images run the REAL ImageIO decode, audio the REAL WAV decode; only
+    * video falls back to the labeled stub kernel. Output is an
+    * embedding-like column ready for the similarity operators in
+    * [[graft.ops.Embeddings]]. */
   def extractImageFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val feats =
-          if (r.kind == "image") decodeImageFeatures(r.payload, dim)
-          else fakeDecodeFeatures(r.payload, dim)
+        val feats = r.kind match {
+          case "image" => decodeImageFeatures(r.payload, dim)
+          case "audio" => decodeAudioFeatures(r.payload, dim)
+          case _       => fakeDecodeFeatures(r.payload, dim)
+        }
         ImageFeatures(r.media_id, r.width, r.height, feats)
       }
     }
@@ -175,16 +281,27 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Resize: real pixel resample for images; truncation stub for
-    * audio/video (no JDK codec — see class doc). */
+  /** Resize: real pixel resample for images; real PCM resample for audio
+    * (rate halves, nearest-neighbor sample pick — the audio analogue of
+    * shrinking an image); truncation stub for video (no JDK codec — see
+    * class doc). */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => r.copy(width = w, height = h,
-      payload = if (r.kind == "image") resizeImage(r.payload, w, h)
-                else fakeResize(r.payload, w, h)))
+    media.map { r =>
+      r.kind match {
+        case "image" => r.copy(width = w, height = h,
+          payload = resizeImage(r.payload, w, h))
+        case "audio" =>
+          val rate = math.max(1, r.sample_rate / 2)
+          r.copy(width = w, height = h, sample_rate = rate,
+            payload = resampleWav(r.payload, rate))
+        case _ => r.copy(width = w, height = h,
+          payload = fakeResize(r.payload, w, h))
+      }
+    }
   }
 
-  /** STUB pixel resample for audio/video — deterministic truncation. */
+  /** STUB pixel resample for video — deterministic truncation. */
   private[multimodal] def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val target = math.max(1, math.min(payload.length, w * h / 64))
     java.util.Arrays.copyOf(payload, target)
@@ -214,31 +331,51 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV: seeded pseudo-random 16-bit PCM samples
+    * in a genuine RIFF/WAVE container, so the decode path in
+    * [[decodeAudioFeatures]]/[[resampleWav]] exercises a real codec round
+    * trip. */
+  private[graft] def syntheticWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val h = graft.functions.BitMix.splitmix64(
+        seed * 0x9e3779b97f4a7c15L + i)
+      samples(i) = (h & 0xffff).toShort
+      i += 1
+    }
+    encodeWav(samples, sampleRate)
+  }
+
   /** Deterministic synthetic media table for tests/demos. Image rows carry
-    * REAL PNG payloads (decoded by the real kernel); audio/video payloads
-    * are seeded bytes for the labeled stubs. */
+    * REAL PNG payloads, audio rows REAL WAV payloads (both decoded by the
+    * real kernels); video payloads are seeded bytes for the labeled stub. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val kind = Seq("image", "audio", "video")(i.toInt % 3)
-      if (kind == "image") {
-        val w = 16 + (i % 5).toInt; val h = 12 + (i % 3).toInt
-        MediaRow(i, kind, syntheticPng(i, w, h), w, h, 0)
-      } else {
-        val rng = new scala.util.Random(i)
-        val payload = new Array[Byte](256 + (i % 64).toInt)
-        rng.nextBytes(payload)
-        MediaRow(i, kind, payload, 640, 480, 16000)
+      Seq("image", "audio", "video")(i.toInt % 3) match {
+        case "image" =>
+          val w = 16 + (i % 5).toInt; val h = 12 + (i % 3).toInt
+          MediaRow(i, "image", syntheticPng(i, w, h), w, h, 0)
+        case "audio" =>
+          MediaRow(i, "audio", syntheticWav(i, 16000, 400 + (i % 64).toInt * 4),
+            0, 0, 16000)
+        case _ =>
+          val rng = new scala.util.Random(i)
+          val payload = new Array[Byte](256 + (i % 64).toInt)
+          rng.nextBytes(payload)
+          MediaRow(i, "video", payload, 640, 480, 0)
       }
     }
   }
 
   /** Gate query: the full multimodal flow — synthetic media → batched
     * feature extraction → frame sampling — rolled up per kind. Rows-only
-    * check (a real PNG codec round-trip is not ANSI SQL), but the output
-    * is fully deterministic and partitioning-independent: the image path
-    * is a lossless encode→decode→block-mean pipeline with order-fixed
-    * integer arithmetic, feature norms are rounded then decimal-summed,
+    * check (real PNG/WAV codec round-trips are not ANSI SQL), but the
+    * output is fully deterministic and partitioning-independent: the image
+    * path is a lossless encode→decode→block-mean pipeline and the audio
+    * path a PCM encode→decode→block-RMS pipeline, both with order-fixed
+    * integer arithmetic; feature norms are rounded then decimal-summed,
     * frame hashes are xor-folded, so the driver's byte-determinism check
     * holds.
     * The `sfDir` argument is unused (media is synthesized — the parquet
