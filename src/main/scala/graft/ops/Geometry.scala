@@ -391,11 +391,22 @@ object Geometry {
   def qExactOutliers(s: SparkSession, dir: String): DataFrame =
     exactOutliers(customerPoints(s, dir), D2, M2)
 
-  /** FFT centers (deterministic path) — not SQL-expressible; rows-only check. */
+  /** FFT centers (deterministic path), hash-matched against an unrolled
+    * Gonzalez traversal in SQL ([[fftOracleSql]]). L = 1 makes the whole
+    * 3-round pipeline a pure function of the point SET — with one
+    * partition, R1's canonical kernel IS the full traversal, and R2's
+    * re-traversal of the coreset re-selects it in R1 order (greedy
+    * permutations are prefix-stable: at step j the R1 pick maximized
+    * min-dist over ALL points, so it still wins over the later coreset
+    * points, ties resolving to it by both tiebreak rules) — so the SQL
+    * twin needs only one unrolled phase. The multi-partition path (where
+    * partition membership depends on Spark's internal hash, inexpressible
+    * in ANSI SQL) stays covered by q26, the bench anchors, and the pinned
+    * 1M-point radii in GeometrySpec. */
   def qFftCenters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (radius, centers) = mrFFT(
-      customerPoints(s, dir), k = 16, l = 8, deterministic = true)
+      customerPoints(s, dir), k = 16, l = 1, deterministic = true)
     centers.zipWithIndex
       .map { case ((x, y), i) => (i, x, y, radius) }.toSeq
       .toDF("center_idx", "x", "y", "radius")
@@ -417,6 +428,37 @@ object Geometry {
   }
 
   private val LambdaSql = "(500.0 / (2.0 * sqrt(2.0)))"
+
+  /** The q25 oracle: Gonzalez farthest-first traversal unrolled as K
+    * materialized CTE steps (DuckDB has no iteration over state, but K is a
+    * query constant, so the loop unrolls). Step i picks the point with max
+    * min-distance² to the i centers so far, ties toward the
+    * lexicographically smaller (x, y) — exactly the canonical kernel's
+    * rule. All arithmetic is the same IEEE double expression shape the
+    * Scala kernel evaluates ((px-cx)² + (py-cy)², min, max, one final
+    * sqrt), so the match is bit-exact, verified at sf0.001/0.01/0.1.
+    * MATERIALIZED is load-bearing: without it DuckDB inlines each CTE into
+    * every reference and the unrolled chain re-scans the parquet O(K²)
+    * times. */
+  private def fftOracleSql(k: Int): String = {
+    val steps = (1 until k).map { i =>
+      s"""cs$i AS MATERIALIZED (SELECT * FROM cs${i - 1} UNION ALL
+         SELECT * FROM (
+           SELECT $i AS center_idx, x, y FROM (
+             SELECT p.x, p.y, min((p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y)) AS md
+             FROM pts p CROSS JOIN cs${i - 1} c GROUP BY p.x, p.y)
+           ORDER BY md DESC, x, y LIMIT 1))"""
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED (
+         SELECT c_acctbal AS x, CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer),
+       cs0 AS MATERIALIZED (SELECT 0 AS center_idx, x, y FROM pts ORDER BY x, y LIMIT 1),
+       $steps,
+       centers AS MATERIALIZED (SELECT * FROM cs${k - 1}),
+       rad AS (SELECT sqrt(max(md)) AS radius FROM (
+         SELECT min((p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y)) AS md
+         FROM pts p CROSS JOIN centers c GROUP BY p.x, p.y))
+       SELECT center_idx, x, y, radius FROM centers CROSS JOIN rad"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cell_histogram"   -> (qCellHistogram _),
@@ -472,5 +514,6 @@ object Geometry {
            ON abs(a.x - b.x) <= 60.0 AND abs(a.y - b.y) <= 60.0
          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600.0
          GROUP BY a.id HAVING count(*) <= 6""",
+    "q25_fft_centers" -> fftOracleSql(16),
   )
 }
