@@ -707,6 +707,92 @@ object Text {
   def qShards(s: SparkSession, dir: String): DataFrame =
     shardManifest(Tables.documents(s, dir), shardHexLen = 2)
 
+  // ------------------------------------------------------- PII + sampling
+
+  /** Email/phone patterns restricted to the regex subset where Java
+    * (Spark) and RE2 (DuckDB, the oracle) agree exactly: character
+    * classes, bounded quantifiers, optional groups — no lookaround, no
+    * backreferences. */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """(\+\d{1,2}[ -])?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}"""
+
+  /** PII redaction: replace email addresses and phone numbers with typed
+    * placeholder tokens — the standard pre-training scrub. A pure
+    * regexp_replace projection: whole-stage-codegen'd, zero shuffle, one
+    * pass over the corpus at any scale. Emails first, then phones (fixed
+    * order so the two rules compose deterministically). */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"))
+
+  /** Stratified deterministic sampling: per-stratum keep-rates applied via
+    * a content-hash threshold — `df.stat.sampleBy` semantics with the
+    * reproducibility rand() lacks (the kept set is a pure function of the
+    * row content, independent of partitioning, engine, and run; same
+    * argument as [[qHashSample]]). A row survives iff the first 8 hex
+    * chars of md5(key) fall below its stratum's threshold
+    * (rate × 2³²); strata absent from `rates` are dropped. One codegen'd
+    * filter, no shuffle — the lever that rebalances a skewed-language
+    * corpus in a single pass at 100 TB. */
+  def stratifiedHashSample(docs: DataFrame, strataCol: String,
+                           rates: Map[String, Double], key: Column): DataFrame = {
+    docs.filter(substring(md5(key), 1, 8) < sampleThresholds(strataCol, rates))
+  }
+
+  /** The per-stratum hex-threshold CASE column; rate 1.0 maps to "g"
+    * (lexicographically above every hex digit) so it keeps all rows. */
+  private def sampleThresholds(strataCol: String, rates: Map[String, Double]): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit("00000000")) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(rateToHex(r))).otherwise(acc)
+    }
+
+  private def rateToHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"sample rate must be in [0, 1], got $rate")
+    val t = math.round(rate * 4294967296.0)
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+
+  /** Gate query: scrub planted PII — every document gets a unique email
+    * and phone appended (the same construction the oracle plants), then
+    * the redacted corpus is rolled up per language. sum_len pins every
+    * redacted byte (a single missed or mangled replacement shifts a
+    * document's length); the n_emails/n_phones occurrence counts pin that
+    * each document was redacted once per pattern. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).withColumn("text",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1 555-123-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" now")))
+    redactPii(planted)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("sum_len"),
+        sum((length(col("text")) - length(expr("replace(text, '[EMAIL]', '')"))) / 7)
+          .cast(LongType).as("n_emails"),
+        sum((length(col("text")) - length(expr("replace(text, '[PHONE]', '')"))) / 7)
+          .cast(LongType).as("n_phones"))
+  }
+
+  /** The q74 rates: rebalance toward the minority languages, and leave zh
+    * out of the map to pin the drop-unlisted-strata path. */
+  private[graft] val StratRates =
+    Map("en" -> 0.5, "fr" -> 0.25, "es" -> 0.125, "de" -> 0.0625)
+
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedHashSample(Tables.documents(s, dir), "lang", StratRates, col("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+
+  /** DuckDB CASE over the same rates map — one definition of the
+    * thresholds on purpose (same reasoning as [[withShardPos]]). */
+  private def stratOracleCase: String =
+    StratRates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN '${rateToHex(r)}'"
+    }.mkString("CASE lang ", " ", " ELSE '00000000' END")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -725,6 +811,8 @@ object Text {
     "q37_fingerprint"   -> (qFingerprint _),
     "q71_decontaminate" -> (qDecontaminate _),
     "q72_shards"        -> (qShards _),
+    "q73_pii_redact"    -> (qPiiRedact _),
+    "q74_stratified_sample" -> (qStratifiedSample _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -845,6 +933,27 @@ object Text {
            row_number() OVER (PARTITION BY substr(md5(text), 1, 2)
                               ORDER BY md5(text) ASC, doc_id ASC) AS pos
          FROM documents""",
+    "q73_pii_redact" ->
+      s"""WITH planted AS (SELECT lang,
+            text || ' contact user' || doc_id || '@mail.example.com or +1 555-123-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS text
+          FROM documents),
+          red AS (SELECT lang,
+            regexp_replace(
+              regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+              '$PhoneRe', '[PHONE]', 'g') AS text
+          FROM planted)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(length(text)) AS BIGINT) AS sum_len,
+            CAST(sum((length(text) - length(replace(text, '[EMAIL]', ''))) / 7) AS BIGINT) AS n_emails,
+            CAST(sum((length(text) - length(replace(text, '[PHONE]', ''))) / 7) AS BIGINT) AS n_phones
+          FROM red GROUP BY lang""",
+    "q74_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents
+          WHERE substr(md5(text), 1, 8) < $stratOracleCase
+          GROUP BY lang""",
     "q57_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),

@@ -304,4 +304,44 @@ class TextSpec extends SparkSpec {
     assert(distributed == driver)
     assert((0L to 60L).forall(n => distributed(n) == 0L))
   }
+
+  test("redactPii: emails and phone variants scrubbed, everything else untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b-c%d+e@sub.example.co.uk then +1 555-123-4567 done"),
+      (2L, "two mails x@y.org and z@w.io plus (555) 123-4567 and 555-123-4567"),
+      (3L, "no pii here, just words 123 and 4567-89"),
+      (4L, "version 1.2.3 at host.example.com is not an email")
+    ).toDF("doc_id", "text")
+    val out = Text.redactPii(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail [EMAIL] then [PHONE] done")
+    assert(out(2L) == "two mails [EMAIL] and [EMAIL] plus [PHONE] and [PHONE]")
+    assert(out(3L) == "no pii here, just words 123 and 4567-89")
+    assert(out(4L) == "version 1.2.3 at host.example.com is not an email")
+  }
+
+  test("stratifiedHashSample: rate endpoints, determinism, approximate rates") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // rate 1.0 keeps the whole stratum; an unlisted stratum is dropped
+    val ends = Text.stratifiedHashSample(docs, "lang",
+      Map("en" -> 1.0, "fr" -> 0.0), col("text"))
+    val byLang = ends.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nEn = docs.filter(col("lang") === "en").count()
+    assert(byLang.get("en").contains(nEn))
+    assert(!byLang.contains("fr") && !byLang.contains("zh"))
+    // the kept set is a pure function of content: partitioning-independent
+    val keep = Text.stratifiedHashSample(docs, "lang", Text.StratRates, col("text"))
+    val ids1 = keep.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Text.stratifiedHashSample(docs.repartition(13), "lang",
+      Text.StratRates, col("text")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // md5 uniformity: realized rates land near the target (loose bound —
+    // the strata are small at test SF)
+    val total = docs.filter(col("lang") === "en").count().toDouble
+    val kept = keep.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(kept / total - 0.5) < 0.15)
+  }
 }
