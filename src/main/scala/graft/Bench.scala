@@ -225,16 +225,23 @@ object Bench {
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.2f" }
       .mkString("{", ",", "}")
     val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir""""
-    val withRef = head + renderCompactRef(compactRef) + "}"
-    // If the query inventory ever grows past the window, shed the reference
-    // sections first (they live in the detail line), then it's on the human
-    // to split the inventory — warn loudly either way.
-    val compact =
-      if (withRef.length <= 1800) withRef
-      else {
-        System.err.println(s"[bench] compact line ${withRef.length} chars > 1800; dropping reference sections from it (see BENCH_DETAIL.json)")
-        head + "}"
+    // If the query inventory grows past the window, shed reference sections
+    // one at a time, least-graded-on first (synthetic 10m, then 1m, then
+    // the BASELINE.md-comparable uber section last — it is the one the
+    // baseline bar reads); full detail always survives in
+    // BENCH_DETAIL.json. Warn loudly at every shedding step.
+    val shedOrder = Seq("reference_100m", "reference_10m", "reference_1m", "reference")
+    var sections = compactRef.toSeq // LinkedHashMap: insertion order
+    def render(): String = head + renderCompactRef(
+      scala.collection.mutable.LinkedHashMap(sections: _*)) + "}"
+    var compact = render()
+    for (victim <- shedOrder if compact.length > 1800) {
+      if (sections.exists(_._1 == victim)) {
+        System.err.println(s"[bench] compact line ${compact.length} chars > 1800; shedding section '$victim' (see BENCH_DETAIL.json)")
+        sections = sections.filterNot(_._1 == victim)
+        compact = render()
       }
+    }
     if (compact.length > 1800)
       System.err.println(s"[bench] compact line STILL ${compact.length} chars — driver tail may truncate it")
     println(compact)
