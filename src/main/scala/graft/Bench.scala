@@ -195,6 +195,35 @@ object Bench {
     // 10x the 1M scale fails THIS bench, not a hypothetical big run.
     val ref10m = syntheticAnchors("10m", nClusterPts = 10000008L,
       numPartitions = 128, k = 110, l = 16, withExact = false)
+    // reference_text (default-on): the dedup-path scale anchor — the text
+    // analogue of the geometry sections. 300k deterministic docs (~600×
+    // the sf0.1 gate corpus) with 1500 planted near-dup pairs
+    // (SyntheticDocs: shingle Jaccard ≈ 0.85 each, banding miss
+    // probability ~1e-9); MinHash+LSH must return EXACTLY 1500 pairs —
+    // misses show as fewer (recall), and the operator's re-verify stage
+    // bounds false positives by actual Jaccard, so a count match is a
+    // recall+precision assert. One warm rep keeps the section bounded;
+    // the 100k-doc spec test additionally pins full SET equality.
+    val refText = try {
+      val docs = graft.sources.SyntheticDocs.planted(spark,
+          nBase = 300000L, nPlant = 1500L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        docs.count()
+        var nPairs = -1L
+        val lshJson = coldWarm("reference_text", "minhash_lsh_300k", warmReps = 1) {
+          nPairs = graft.ops.Text.minHashLshPairs(docs).count() }
+        if (nPairs != 1500L)
+          throw new GoldenMismatch(
+            s"text dedup anchor MISMATCH: $nPairs LSH pairs (want the 1500 planted)")
+        s""","reference_text":{$lshJson}"""
+      } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+    } catch {
+      case e: GoldenMismatch => throw e
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] reference_text section dropped: $e")
+        compactRef.remove("reference_text"); ""
+    }
     // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
     // >= 48g): the artificial100M scalability workload — BASELINE.md
     // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
@@ -210,7 +239,7 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -230,19 +259,25 @@ object Bench {
     // the BASELINE.md-comparable uber section last — it is the one the
     // baseline bar reads); full detail always survives in
     // BENCH_DETAIL.json. Warn loudly at every shedding step.
-    val shedOrder = Seq("reference_100m", "reference_10m", "reference_1m", "reference")
+    // Line budget: the driver keeps the last ~2000 stdout chars; the
+    // compact line loses 7 to sbt's "[info] " prefix and ~75 to the
+    // trailing "[success] Total time: …" line, so ≤ 1916 survives intact.
+    // 1860 leaves slack for a noisy window widening a few medians to
+    // double digits.
+    val budget = 1860
+    val shedOrder = Seq("reference_100m", "reference_text", "reference_10m", "reference_1m", "reference")
     var sections = compactRef.toSeq // LinkedHashMap: insertion order
     def render(): String = head + renderCompactRef(
       scala.collection.mutable.LinkedHashMap(sections: _*)) + "}"
     var compact = render()
-    for (victim <- shedOrder if compact.length > 1800) {
+    for (victim <- shedOrder if compact.length > budget) {
       if (sections.exists(_._1 == victim)) {
-        System.err.println(s"[bench] compact line ${compact.length} chars > 1800; shedding section '$victim' (see BENCH_DETAIL.json)")
+        System.err.println(s"[bench] compact line ${compact.length} chars > $budget; shedding section '$victim' (see BENCH_DETAIL.json)")
         sections = sections.filterNot(_._1 == victim)
         compact = render()
       }
     }
-    if (compact.length > 1800)
+    if (compact.length > budget)
       System.err.println(s"[bench] compact line STILL ${compact.length} chars — driver tail may truncate it")
     println(compact)
     spark.stop()

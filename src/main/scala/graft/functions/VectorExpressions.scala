@@ -109,6 +109,45 @@ case class DotProduct(left: Expression, right: Expression)
   * at all. CodegenFallback: the per-row work is a single tight loop, so
   * codegen would only inline the call.
   */
+object ShingleHashes {
+  /** ONE definition of the shingle mix for the expression and the
+    * JVM-side callers (streaming decontamination) — if the two hashed
+    * independently, a rule change in one would silently desynchronize
+    * ingest-time flags from the batch operator's. */
+  private[functions] def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Early-exit membership: does any n-gram shingle of `toks` hash into
+    * the SORTED set? Token hashing goes through UTF8String so the values
+    * are identical to the expression's (which hashes Spark's internal
+    * UTF8 representation). Binary search per shingle: O(t · log m), no
+    * per-row allocation beyond the token-hash array. */
+  def anyShingleIn(toks: Array[String], n: Int, sorted: Array[Long]): Boolean = {
+    val len = toks.length
+    if (len < n || sorted.length == 0) return false
+    val tokHash = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      tokHash(i) = mix(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)).hashCode().toLong)
+      i += 1
+    }
+    i = 0
+    while (i <= len - n) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { h = mix(h ^ tokHash(i + j)); j += 1 }
+      if (java.util.Arrays.binarySearch(sorted, h) >= 0) return true
+      i += 1
+    }
+    false
+  }
+}
+
 case class ShingleHashes(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -122,12 +161,7 @@ case class ShingleHashes(child: Expression, n: Int)
       s"graft_shingles expects array<string>, got ${other.simpleString}")
   }
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = ShingleHashes.mix(z0)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthetic document corpus with planted near-duplicates —
+  * ground truth by construction for the dedup path, the text analogue of
+  * [[ArtificialPoints]] (which plants geometric outliers).
+  *
+  * Layout: `nBase` base documents of `nTok` tokens hash-drawn from a
+  * `vocab`-token vocabulary (two random docs share essentially no 3-token
+  * shingles at these parameters), plus `nPlant` near-dups: doc
+  * `nBase + i` copies doc `i` with ONE mid-document token swapped
+  * (shingle Jaccard ≈ 0.85 at nTok = 40 — above any dedup threshold worth
+  * running, below exact equality). Every row is a pure function of
+  * (doc_id, the parameters): partitioning-, order- and run-independent.
+  */
+object SyntheticDocs {
+
+  def planted(spark: SparkSession, nBase: Long, nPlant: Long,
+              nTok: Int = 40, vocab: Int = 5000): DataFrame = {
+    import spark.implicits._
+    require(nPlant <= nBase, s"cannot plant $nPlant near-dups into $nBase docs")
+    def tok(h: Long): String = "t" + java.lang.Long.remainderUnsigned(h, vocab.toLong)
+    spark.range(nBase + nPlant).map { jid =>
+      val id: Long = jid
+      val base = if (id < nBase) id else id - nBase
+      val words = new Array[String](nTok)
+      var j = 0
+      while (j < nTok) {
+        words(j) = tok(graft.functions.BitMix.splitmix64(base * 64 + j))
+        j += 1
+      }
+      if (id >= nBase) words(nTok / 2) = tok(graft.functions.BitMix.splitmix64(-id))
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+}

@@ -48,4 +48,48 @@ object StreamJoins {
     * per micro-batch (so a refreshed dim parquet is picked up). */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), key)
+
+  /** Streaming decontamination: the ingest-time twin of
+    * [[graft.ops.Text.decontaminate]]. Each arriving document (doc_id,
+    * text) is flagged `contaminated` iff it shares at least one n-token
+    * shingle with the STATIC eval corpus, so a training pipeline can
+    * divert contaminated docs at ingest instead of re-scanning the corpus
+    * later. Emits (doc_id, text, contaminated) — the caller filters or
+    * routes.
+    *
+    * Shape: the distinct eval shingle set is computed ONCE (batch side,
+    * at stream construction), sorted, and broadcast; each arriving row is
+    * flagged by an early-exit binary-search membership scan using the
+    * SAME hash kernel as the batch operator
+    * ([[graft.functions.ShingleHashes.anyShingleIn]] — one definition, so
+    * ingest-time flags can never diverge from a later batch sweep). This
+    * is a stateless per-row map: no state store, no join state, no
+    * watermark needed — throughput is pure per-batch map cost, and the
+    * broadcast is benchmark-sized (the same tiny-eval argument as the
+    * batch operator's broadcast semi-join). A shingle-explode + semi-join
+    * per micro-batch would flag identically but re-shuffle every batch;
+    * flag-and-route wants the O(tokens · log evalShingles) row scan. */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val evalSh = evalDocs
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= n)
+      .select(explode(expr(s"graft_shingles(t, $n)")).as("h"))
+      .distinct().as[Long].collect()
+    java.util.Arrays.sort(evalSh)
+    val bc = spark.sparkContext.broadcast(evalSh)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val sorted = bc.value
+        it.map { case (id, text) =>
+          // split with limit -1: identical semantics to Spark's split()
+          // used by the batch tokenizer (trailing empties kept)
+          val toks = text.split(" ", -1)
+          (id, text,
+            graft.functions.ShingleHashes.anyShingleIn(toks, n, sorted))
+        }
+      }.toDF("doc_id", "text", "contaminated")
+  }
 }

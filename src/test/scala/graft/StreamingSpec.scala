@@ -331,4 +331,34 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 1L, 2L),
       ("2024-01-01 01:00:00.0", "2024-01-01 01:30:00.0", 1L, 1L)), s"got $rows")
   }
+
+  test("decontaminateStream: ingest-time flags match the batch operator's rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val contaminated = "lead in words " + (3 to 15).map(i => s"tok$i").mkString(" ") + " trailing"
+    val cleanDoc = (100 to 120).map(i => s"word$i").mkString(" ")
+    val shortDoc = "too short for any thirteen gram"
+    val evalDocs = Seq((1L, evalText)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((2L, contaminated), (3L, cleanDoc))
+    mem.addData((4L, shortDoc), (5L, evalText))   // 5 = verbatim eval copy
+    val flagged = graft.streaming.StreamJoins.decontaminateStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")), evalDocs)
+    val q = flagged.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("decontam").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(2L -> true, 3L -> false, 4L -> false, 5L -> true))
+    // cross-check against the BATCH operator on the same corpus: the
+    // per-lang contaminated count it reports must equal the stream flags
+    val batchDocs = Seq((1L, "en", evalText), (2L, "en", contaminated),
+      (3L, "en", cleanDoc), (4L, "en", shortDoc), (5L, "en", evalText))
+      .toDF("doc_id", "lang", "text")
+    val batch = graft.ops.Text.decontaminate(batchDocs, col("doc_id") === 1L, n = 13)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(batch("en") == out.values.count(identity).toLong)
+  }
 }

@@ -63,21 +63,8 @@ class TextSpec extends SparkSpec {
     // guarantees no false positives. 200× the gate corpus: the scale
     // check for the dedup path, with ground truth by construction.
     import org.apache.spark.sql.functions.col
-    val nBase = 100000L; val nTok = 40; val vocab = 5000
-    def tok(h: Long): String = "t" + java.lang.Long.remainderUnsigned(h, vocab.toLong)
-    val docs = spark.range(nBase + 1000L).map { jid =>
-      val id: Long = jid
-      val base = if (id < nBase) id else id - nBase
-      val words = new Array[String](nTok)
-      var j = 0
-      while (j < nTok) {
-        words(j) = tok(graft.functions.BitMix.splitmix64(base * 64 + j))
-        j += 1
-      }
-      // planted near-dup: swap one mid-document token
-      if (id >= nBase) words(nTok / 2) = tok(graft.functions.BitMix.splitmix64(-id))
-      (id, words.mkString(" "))
-    }.toDF("doc_id", "text")
+    val nBase = 100000L
+    val docs = graft.sources.SyntheticDocs.planted(spark, nBase, nPlant = 1000L)
     val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val planted = (0L until 1000L).map(i => (i, nBase + i)).toSet
