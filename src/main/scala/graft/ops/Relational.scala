@@ -329,7 +329,50 @@ object Relational {
               col("n_distinct"), col("min_v"), col("max_v"))
   }
 
+  /** Bucketed range join: points joined to OVERLAPPING [lo, hi) intervals
+    * without a nested-loop plan. Spark's native strategy for an
+    * inequality-only join is BroadcastNestedLoopJoin — O(points ×
+    * intervals) work and a broadcast of one whole side, both
+    * scale-killers. Bucketizing restores an equi-join: each interval
+    * explodes into the ceil(len/w)+1 width-`w` buckets it covers
+    * (sequence + explode, codegen'd), each point maps to exactly ONE
+    * bucket, and the bucket equi-join + residual v ∈ [lo, hi) filter is
+    * shuffle-partitioned like any other join — AQE handles hot buckets.
+    * Size `bucketWidth` near the typical interval length: too narrow
+    * multiplies interval replicas, too wide multiplies residual-filter
+    * fan-out. Intervals of unbounded length belong in a coarser bucket
+    * tier, not this operator (documented precondition). */
+  def rangeJoin(points: DataFrame, pointVal: Column, intervals: DataFrame,
+                lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val pb = points.withColumn("_bkt", floor(pointVal / bucketWidth).cast(LongType))
+    val ib = intervals.withColumn("_bkt",
+      explode(sequence(floor(lo / bucketWidth).cast(LongType),
+                       floor(hi / bucketWidth).cast(LongType))))
+    pb.join(ib, pb("_bkt") === ib("_bkt") && pointVal >= lo && pointVal < hi)
+      .drop("_bkt")
+  }
+
+  /** Range-join gate: lineitem prices against 200 overlapping synthetic
+    * price bands (len 500–2400, bucket width 1000) derived from supplier
+    * keys with arithmetic the oracle replays verbatim. The oracle is the
+    * plain inequality join — bit-identical results prove the bucketed
+    * plan is a pure physical rewrite. */
+  def q75RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val iv = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") < 200)
+      .select(col("s_suppkey").as("iid"),
+        ((col("s_suppkey") * 97) % 50000 + 900.0).as("lo"))
+      .withColumn("hi", col("lo") + 500.0 + (col("iid") % 7).cast(DoubleType) * 250.0)
+    rangeJoin(pts, col("v"), iv, col("lo"), col("hi"), bucketWidth = 1000.0)
+      .groupBy(col("iid"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_points"),
+           dsum(col("v")).as("sum_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_range_join"     -> (q75RangeJoin _),
     "q59_stats"          -> (q59Stats _),
     "q67_approx_sketches" -> (q67ApproxSketches _),
     "q69_profile"        -> (q69Profile _),
@@ -360,6 +403,16 @@ object Relational {
 
   /** DuckDB-dialect oracle SQL, value-identical to the queries above. */
   val oracles: Map[String, String] = Map(
+    "q75_range_join" ->
+      """WITH iv AS (SELECT s_suppkey AS iid,
+           (s_suppkey * 97) % 50000 + 900.0 AS lo,
+           ((s_suppkey * 97) % 50000 + 900.0) + 500.0 + CAST(s_suppkey % 7 AS DOUBLE) * 250.0 AS hi
+         FROM supplier WHERE s_suppkey < 200)
+         SELECT iid, lo, hi, count(*) AS n_points,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM lineitem JOIN iv
+           ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY iid, lo, hi""",
     "q59_stats" ->
       """WITH m AS (SELECT
            CAST(count(*) AS DOUBLE) AS n,

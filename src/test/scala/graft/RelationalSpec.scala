@@ -88,4 +88,32 @@ class RelationalSpec extends SparkSpec {
     assert(ann.nonEmpty)
     assert(hits >= 1 || ann.isEmpty)
   }
+
+  test("rangeJoin: equals the naive inequality join, never a nested-loop plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // overlapping intervals incl. negative values and bucket-boundary
+    // endpoints; points at boundaries (lo inclusive, hi exclusive)
+    val pts = Seq(-150.0, -100.0, 0.0, 99.9, 100.0, 250.0, 999.9, 1000.0, 2500.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+    val iv = Seq(
+      (1L, -200.0, 0.0), (2L, -100.0, 150.0), (3L, 100.0, 100.0), // empty [100,100)
+      (4L, 0.0, 1000.0), (5L, 900.0, 2600.0)).toDF("iid", "lo", "hi")
+    val joined = graft.ops.Relational.rangeJoin(
+      pts, col("v"), iv, col("lo"), col("hi"), bucketWidth = 300.0)
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(naive.contains((0L, 1L)) && naive.contains((4L, 2L))) // spot-check shape
+    // the scale contract: a bucket equi-join, not BroadcastNestedLoopJoin
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join planned as a nested loop:\n$plan")
+    // ...while the naive formulation IS the nested loop we refuse to ship
+    assert(pts.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+      .queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+  }
 }
