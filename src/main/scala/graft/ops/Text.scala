@@ -654,6 +654,47 @@ object Text {
   def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir), col("doc_id") < 32, n = 13)
 
+  /** Bloom-pruned decontamination: identical OUTPUT to [[decontaminate]]
+    * (asserted in TextSpec), different physical strategy for the regime
+    * where the eval split is too large for an exact broadcast but the
+    * corpus is far larger still. A compact bloom filter of the eval
+    * shingles (distributed build via `stat.bloomFilter`; ~1.2 bytes/item
+    * at 1% fpp, so 10⁹ eval shingles ≈ 1.2 GB where the exact distinct
+    * longs would be 8 GB + hash-set overhead) broadcasts to every task
+    * and PRE-FILTERS the training shingles in their scan — ~99% of
+    * non-members never enter the shuffle. The exact semi-join then runs
+    * over the ~fpp-sized survivor stream to remove bloom false positives:
+    * the filter prunes, the join decides, so the result is exact for any
+    * fpp. This is bloom-filter join pruning — the same move Spark's
+    * runtime row-group filtering makes, applied where the optimizer
+    * cannot see the semantics. */
+  private[graft] def decontaminateBloom(docs: DataFrame, evalPred: Column, n: Int,
+                                        fpp: Double = 0.01): DataFrame = {
+    val tok = withTokens(docs).withColumn("is_eval", evalPred)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = tok.filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("lang"), col("is_eval"),
+        explode(expr(s"graft_shingles(t, $n)")).as("h"))
+    val evalSh = graft.core.InternalCaches.persist(
+      sh.filter(col("is_eval")).select(col("h")).distinct())
+    // distributed bloom build (treeAggregate under stat.bloomFilter); the
+    // count sizes the filter — one cheap agg over the cached distinct set
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("h", nEval, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val contam = sh.filter(!col("is_eval"))
+      .filter(mightContain(col("h")))       // bloom prune BEFORE the shuffle
+      .join(evalSh, Seq("h"), "left_semi")  // exact: false positives removed
+      .select(col("doc_id"), col("lang")).distinct()
+    val trainCounts = tok.filter(!col("is_eval"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+    val contamCounts = contam.groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+    trainCounts.join(contamCounts, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   /** Deterministic shuffle-and-shard manifest: shard = first `shardHexLen`
     * hex chars of md5(text) (16^shardHexLen shards), position = rank within
     * the shard by (md5(text), doc_id). The training-data shuffle that is

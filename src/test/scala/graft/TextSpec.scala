@@ -292,6 +292,24 @@ class TextSpec extends SparkSpec {
     assert((0L to 60L).forall(n => distributed(n) == 0L))
   }
 
+  test("decontaminateBloom: identical output to the exact operator (both split shapes)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      // fixed benchmark-sized split (the q71 gate shape)
+      assert(rows(Text.decontaminateBloom(docs, col("doc_id") < 32, n = 13)) ==
+             rows(Text.decontaminate(docs, col("doc_id") < 32, n = 13)))
+      // corpus-proportional split; tight fpp AND a sloppy one — the
+      // semi-join must erase the false-positive rate from the OUTPUT
+      val pred = md5(col("text")) < "10"
+      val exact = rows(Text.decontaminate(docs, pred, n = 13))
+      assert(rows(Text.decontaminateBloom(docs, pred, n = 13)) == exact)
+      assert(rows(Text.decontaminateBloom(docs, pred, n = 13, fpp = 0.5)) == exact)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("redactPii: emails and phone variants scrubbed, everything else untouched") {
     import spark.implicits._
     val rows = Seq(
