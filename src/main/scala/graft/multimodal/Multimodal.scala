@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   * genuine RIFF/WAVE containers (16-bit PCM, written and parsed by
   * `javax.sound.sampled`, also JDK-shipped), features are per-block RMS
   * energy over the decoded samples, and resize maps to a nearest-neighbor
-  * PCM resample. Only VIDEO keeps a clearly-marked deterministic fake
-  * (`fakeDecode*`/`fakeFrameHash`): the JDK has no video codec, and the
-  * Spark-side contract — schema, partitioning, batch iteration, output
-  * shape — is identical either way, so swapping a JNI/FFI decoder in
-  * changes no plumbing.
+  * PCM resample. The VIDEO path decodes a real multi-frame container too:
+  * animated GIF (the one video-adjacent format the JDK reads AND writes),
+  * with per-frame pixel hashing, frame sampling from the actual frame
+  * count, spatiotemporal pooled features, and per-frame resize. Grayscale
+  * synthesis keeps the palette round trip lossless, so every kernel is a
+  * pure function of the decoded pixels. A production build would link an
+  * FFI codec for H.264/VP9 — the Spark-side contract (schema,
+  * partitioning, batch iteration, output shape) would not change.
   */
 object Multimodal {
 
@@ -191,42 +194,92 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode kernel for VIDEO payloads (the JDK has no video codec — a
-    * real build links one here; images and audio use the real kernels
-    * above). The fake is deterministic in the payload bytes so tests are
-    * stable. */
-  private[multimodal] def fakeDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Decode an animated-GIF payload into its frames. GIF is the one
+    * multi-frame (video-adjacent) container the JDK can both write and
+    * read; frames synthesized from ≤256 distinct colors (ours are
+    * grayscale) round-trip losslessly through the palette, so the decoded
+    * pixels are exact. A production build would link an FFI codec for
+    * H.264/VP9 here — the surrounding plumbing (batch iteration, frame
+    * indexing, hashing) would not change. */
+  private def decodeGifFrames(payload: Array[Byte]): Vector[java.awt.image.BufferedImage] = {
+    imageIoInit
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "graft multimodal: no GIF reader in this JVM")
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, "graft multimodal: payload is not a decodable GIF video")
+      (0 until n).map(reader.read).toVector
+    } catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(
+        "graft multimodal: payload is not a decodable GIF video", e)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** REAL video decode kernel: block-mean luminance per frame (the image
+    * kernel's grid), averaged across frames in exact integer arithmetic —
+    * a spatiotemporal pooled feature. Deterministic: grayscale GIF frames
+    * decode losslessly and the accumulation order is fixed. */
+  private[graft] def decodeVideoFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val side = math.sqrt(dim.toDouble).toInt
+    require(side * side == dim,
+      s"graft multimodal: feature dim must be a perfect square, got $dim")
+    val frames = decodeGifFrames(payload)
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    frames.foreach { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val by = math.min(y * side / h, side - 1)
+        var x = 0
+        while (x < w) {
+          val bx = math.min(x * side / w, side - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)
+          val b = by * side + bx
+          sums(b) += lum; counts(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+    }
     val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    i = 0
-    while (i < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(i) = ((h >>> 40).toInt % 1000) / 1000.0f
-      i += 1
+    var b = 0
+    while (b < dim) {
+      out(b) = if (counts(b) == 0) 0.0f
+               else (sums(b).toDouble / (counts(b) * 255000.0)).toFloat
+      b += 1
     }
     out
   }
 
-  /** STUB frame hash: a real build decodes the container and hashes pixels. */
-  private[multimodal] def fakeFrameHash(payload: Array[Byte], frameIdx: Int): Long = {
-    var h = 0xcbf29ce484222325L ^ frameIdx.toLong
-    var i = frameIdx % math.max(payload.length, 1)
-    var n = 0
-    while (n < 64 && payload.length > 0) {
-      h = (h ^ (payload(i) & 0xff)) * 0x100000001b3L
-      i = (i + 7) % payload.length
-      n += 1
+  /** REAL frame hash: FNV-1a over the frame's row-major pixel RGB values.
+    * Pure function of the decoded pixels (exact for our grayscale GIFs). */
+  private[graft] def frameHash(img: java.awt.image.BufferedImage): Long = {
+    var h = 0xcbf29ce484222325L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h = (h ^ (img.getRGB(x, y) & 0xffffff).toLong) * 0x100000001b3L
+        x += 1
+      }
+      y += 1
     }
     h
   }
 
   /** Feature extraction: batched per-partition pass over binary payloads.
-    * Images run the REAL ImageIO decode, audio the REAL WAV decode; only
-    * video falls back to the labeled stub kernel. Output is an
-    * embedding-like column ready for the similarity operators in
-    * [[graft.ops.Embeddings]]. */
+    * Every kind runs a REAL JDK codec: ImageIO PNG for images,
+    * javax.sound WAV for audio, multi-frame GIF for video. An unknown
+    * kind fails loudly — the media contract is closed, nothing silently
+    * fakes. Output is an embedding-like column ready for the similarity
+    * operators in [[graft.ops.Embeddings]]. */
   def extractImageFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -234,18 +287,26 @@ object Multimodal {
         val feats = r.kind match {
           case "image" => decodeImageFeatures(r.payload, dim)
           case "audio" => decodeAudioFeatures(r.payload, dim)
-          case _       => fakeDecodeFeatures(r.payload, dim)
+          case "video" => decodeVideoFeatures(r.payload, dim)
+          case other => throw new IllegalArgumentException(
+            s"graft multimodal: unknown media kind '$other'")
         }
         ImageFeatures(r.media_id, r.width, r.height, feats)
       }
     }
   }
 
-  /** Frame sampling: every `stride`-th frame up to `maxFrames` per video. */
+  /** Frame sampling: every `stride`-th DECODED frame up to `maxFrames`
+    * per video, hashed by pixel content — only frames the container
+    * actually holds are emitted. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 10, maxFrames: Int = 8): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      (0 until maxFrames).iterator.map(k => FrameSample(r.media_id, k * stride, fakeFrameHash(r.payload, k * stride)))
+      val frames = decodeGifFrames(r.payload)
+      (0 until maxFrames).iterator
+        .map(_ * stride)
+        .filter(_ < frames.length)
+        .map(idx => FrameSample(r.media_id, idx, frameHash(frames(idx))))
     }
   }
 
@@ -283,8 +344,8 @@ object Multimodal {
 
   /** Resize: real pixel resample for images; real PCM resample for audio
     * (rate halves, nearest-neighbor sample pick — the audio analogue of
-    * shrinking an image); truncation stub for video (no JDK codec — see
-    * class doc). */
+    * shrinking an image); real per-frame pixel resample + GIF re-encode
+    * for video. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
@@ -295,16 +356,57 @@ object Multimodal {
           val rate = math.max(1, r.sample_rate / 2)
           r.copy(width = w, height = h, sample_rate = rate,
             payload = resampleWav(r.payload, rate))
-        case _ => r.copy(width = w, height = h,
-          payload = fakeResize(r.payload, w, h))
+        case "video" => r.copy(width = w, height = h,
+          payload = resizeGif(r.payload, w, h))
+        case other => throw new IllegalArgumentException(
+          s"graft multimodal: unknown media kind '$other'")
       }
     }
   }
 
-  /** STUB pixel resample for video — deterministic truncation. */
-  private[multimodal] def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val target = math.max(1, math.min(payload.length, w * h / 64))
-    java.util.Arrays.copyOf(payload, target)
+  /** REAL video resize: decode every frame, nearest-neighbor resample
+    * (same integer index rule as the image path), re-encode as GIF.
+    * Resampling preserves the grayscale palette, so the round trip stays
+    * lossless; like PNG, the re-encoded BYTES are the running JDK's —
+    * hash decoded pixels, not payloads, in cross-JVM checks. */
+  private[graft] def resizeGif(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val resized = decodeGifFrames(payload).map { img =>
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(y * sh / h, sh - 1)
+        var x = 0
+        while (x < w) {
+          val sx = math.min(x * sw / w, sw - 1)
+          out.getRaster.setSample(x, y, 0, img.getRGB(sx, sy) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    encodeGif(resized)
+  }
+
+  /** Encode frames as an animated GIF via the JDK writer. */
+  private def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    imageIoInit
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "graft multimodal: no GIF writer in this JVM")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Deterministic synthetic PNG: seeded pseudo-random RGB pixels encoded
@@ -347,9 +449,32 @@ object Multimodal {
     encodeWav(samples, sampleRate)
   }
 
+  /** Deterministic synthetic animated GIF: `nFrames` seeded grayscale
+    * frames (≤256 distinct colors → the palette round trip is lossless,
+    * so [[decodeGifFrames]] recovers the exact pixels). */
+  private[graft] def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { k =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val hsh = graft.functions.BitMix.splitmix64(
+            seed * 0x9e3779b97f4a7c15L + k.toLong * w * h + y.toLong * w + x)
+          img.getRaster.setSample(x, y, 0, (hsh & 0xff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    encodeGif(frames)
+  }
+
   /** Deterministic synthetic media table for tests/demos. Image rows carry
-    * REAL PNG payloads, audio rows REAL WAV payloads (both decoded by the
-    * real kernels); video payloads are seeded bytes for the labeled stub. */
+    * REAL PNG payloads, audio rows REAL WAV payloads, video rows REAL
+    * multi-frame GIF payloads — every kind decoded by a real JDK codec. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
@@ -361,23 +486,20 @@ object Multimodal {
           MediaRow(i, "audio", syntheticWav(i, 16000, 400 + (i % 64).toInt * 4),
             0, 0, 16000)
         case _ =>
-          val rng = new scala.util.Random(i)
-          val payload = new Array[Byte](256 + (i % 64).toInt)
-          rng.nextBytes(payload)
-          MediaRow(i, "video", payload, 640, 480, 0)
+          val w = 16; val h = 12; val nFrames = 31 + (i % 5).toInt
+          MediaRow(i, "video", syntheticGif(i, w, h, nFrames), w, h, 0)
       }
     }
   }
 
   /** Gate query: the full multimodal flow — synthetic media → batched
     * feature extraction → frame sampling — rolled up per kind. Rows-only
-    * check (real PNG/WAV codec round-trips are not ANSI SQL), but the
-    * output is fully deterministic and partitioning-independent: the image
-    * path is a lossless encode→decode→block-mean pipeline and the audio
-    * path a PCM encode→decode→block-RMS pipeline, both with order-fixed
-    * integer arithmetic; feature norms are rounded then decimal-summed,
-    * frame hashes are xor-folded, so the driver's byte-determinism check
-    * holds.
+    * check (real PNG/WAV/GIF codec round-trips are not ANSI SQL), but the
+    * output is fully deterministic and partitioning-independent: all three
+    * paths are lossless encode→decode→pooled-stat pipelines with
+    * order-fixed integer arithmetic; feature norms are rounded then
+    * decimal-summed, frame hashes are xor-folded, so the driver's
+    * byte-determinism check holds.
     * The `sfDir` argument is unused (media is synthesized — the parquet
     * fixtures carry no binary payload column); scale comes from the same
     * per-partition batch kernels a real corpus would run. */

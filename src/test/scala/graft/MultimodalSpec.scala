@@ -106,11 +106,68 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resampleWav(wav, 8000).sameElements(resampled))
   }
 
-  test("frame sampling: only videos, stride positions, deterministic hashes") {
+  test("video kernel is a REAL codec round-trip: GIF encode → ImageIO frames") {
+    // the synthetic payload is a genuine GIF container (magic bytes), the
+    // JDK reader recovers the full frame count, and — grayscale palette,
+    // so the round trip is lossless — every decoded pixel equals the
+    // generator's value
+    val gif = Multimodal.syntheticGif(seed = 9L, w = 16, h = 12, nFrames = 5)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 5)
+    for (k <- 0 until 5; y <- 0 until 12; x <- 0 until 16) {
+      val expected = (graft.functions.BitMix.splitmix64(
+        9L * 0x9e3779b97f4a7c15L + k.toLong * 16 * 12 + y.toLong * 16 + x) & 0xff).toInt
+      assert((reader.read(k).getRGB(x, y) & 0xff) == expected,
+        s"frame $k pixel ($x,$y)")
+    }
+    reader.dispose(); iis.close()
+    // video features: spatiotemporal block means over the decoded frames
+    val feats = Multimodal.decodeVideoFeatures(gif, dim = 64)
+    assert(feats.length == 64 && feats.forall(f => f >= 0f && f <= 1f))
+    // a corrupted payload fails loudly, never silently fakes
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFeatures(Array[Byte](1, 2, 3), dim = 64)
+    }
+  }
+
+  test("video resize is a real per-frame resample (decode → NN sample → GIF)") {
+    val gif = Multimodal.syntheticGif(seed = 4L, w = 16, h = 12, nFrames = 3)
+    val resized = Multimodal.resizeGif(gif, 8, 8)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(resized))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    for (k <- 0 until 3; y <- 0 until 8; x <- 0 until 8) {
+      val expected = (graft.functions.BitMix.splitmix64(
+        4L * 0x9e3779b97f4a7c15L + k.toLong * 16 * 12 +
+          math.min(y * 12 / 8, 11).toLong * 16 + math.min(x * 16 / 8, 15)) & 0xff).toInt
+      assert((reader.read(k).getRGB(x, y) & 0xff) == expected)
+    }
+    reader.dispose(); iis.close()
+  }
+
+  test("frame sampling: only videos, stride positions from REAL frames, deterministic hashes") {
     val frames = Multimodal.sampleFrames(media, stride = 10, maxFrames = 4).collect()
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
     assert(frames.map(_.media_id).toSet == videoIds)
+    // every synthetic video holds >= 31 frames, so all 4 stride positions exist
     assert(frames.groupBy(_.media_id).values.forall(_.map(_.frame_idx).sorted.sameElements(Array(0, 10, 20, 30))))
+    // hashes are pixel-content hashes: stable across runs, distinct across frames
+    val f2 = Multimodal.sampleFrames(media, stride = 10, maxFrames = 4).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx) -> f.frame_hash).toMap ==
+           f2.map(f => (f.media_id, f.frame_idx) -> f.frame_hash).toMap)
+    assert(frames.groupBy(_.media_id).values.forall(g => g.map(_.frame_hash).distinct.length == g.length))
+    // a video shorter than the stride span emits only its real frames
+    import media.sparkSession.implicits._
+    val shortVid = Seq(Multimodal.MediaRow(99L, "video",
+      Multimodal.syntheticGif(99L, 8, 8, nFrames = 15), 8, 8, 0)).toDS()
+    val got = Multimodal.sampleFrames(shortVid, stride = 10, maxFrames = 4).collect()
+    assert(got.map(_.frame_idx).sorted.sameElements(Array(0, 10)))
   }
 
   test("resize keeps ids and updates metadata") {
