@@ -1,0 +1,90 @@
+package graft
+
+/** Codified physical-plan contracts for the scale-critical queries — the
+  * automated twin of PLANS.md. Each test pins the plan property that makes
+  * the operator survive a 100 TB scale-up; a Catalyst upgrade, an operator
+  * edit, or a lost hint that silently regresses the plan shape fails HERE,
+  * not in a production profile. String checks run on the pre-AQE physical
+  * plan (the statically-planned joins and scans — what the optimizer
+  * committed to before runtime stats).
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private val pairwiseOps = Seq(
+    "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash_pairs",
+    "q43_ann_lsh", "q58_dedup_components",
+    "q75_range_join", "q24_exact_outliers", "q22_cell_neighborhood")
+
+  test("pairwise operators never plan a nested loop or cartesian product") {
+    for (q <- pairwiseOps) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$q planned a nested loop:\n$p")
+    }
+    graft.core.InternalCaches.release(spark)
+  }
+
+  test("q41: the only nested loop is the block-pair table, bounded by block count") {
+    // the block outer product deliberately cross-joins two Range(0, nBlocks)
+    // frames to build the bi <= bj block-pair table — nBlocks² rows (single
+    // digits), independent of data size. DATA rows must only ever meet
+    // through the bi/bj equi-joins.
+    val p = plan("q41_cosine_neardup")
+    val occurrences = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(occurrences == 1, s"q41 expected exactly the block-pair nested loop:\n$p")
+    assert(p.contains("Range (0,"), s"q41 nested loop no longer over Range:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"q41 data sides lost their equi-joins:\n$p")
+    graft.core.InternalCaches.release(spark)
+  }
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    // the one-line FileScan rendering truncates long filter lists, so match
+    // a prefix that survives truncation
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q02 filter not pushed:\n$p")
+    // pruned read: the 16-column lineitem scan must read only what q02 uses
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), s"q02 reads extra columns:\n$p")
+  }
+
+  test("q01: partial+final hash aggregation around one exchange") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"q01 lost partial agg:\n$p")
+    assert(p.contains("Exchange"), s"q01 lost its shuffle:\n$p")
+  }
+
+  test("q04: the dimension side of the star join broadcasts") {
+    val p = plan("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"q04 dim join not broadcast:\n$p")
+  }
+
+  test("q06/q07: semi and anti joins stay semi/anti (no rewrite to full join)") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"q03 planned a full sort:\n$p")
+  }
+
+  test("q71: the fixed eval set drives a semi-join, never a row explosion join") {
+    val p = plan("q71_decontaminate")
+    assert(p.contains("LeftSemi"), s"q71 lost the semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"q71 planned a nested loop:\n$p")
+    graft.core.InternalCaches.release(spark)
+  }
+
+  test("q72: the shard ranks partition by shard (no single-reducer window)") {
+    val p = plan("q72_shards")
+    // a Window over an EMPTY partition spec plans Exchange SinglePartition;
+    // the shard manifest must hash-partition by shard instead
+    assert(!p.contains("SinglePartition"), s"q72 ranks on one reducer:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"q72 not partitioned by shard:\n$p")
+  }
+}

@@ -116,4 +116,26 @@ class RelationalSpec extends SparkSpec {
     assert(pts.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
       .queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
   }
+
+  test("rangeJoin: random intervals and points equal the naive join (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val pts = (0 until 200).map(i => (i.toLong, rng.nextDouble() * 200 - 100))
+        .toDF("pid", "v")
+      val iv = (0 until 30).map { i =>
+        val lo = rng.nextDouble() * 200 - 100
+        (i.toLong, lo, lo + rng.nextDouble() * 40)
+      }.toDF("iid", "lo", "hi")
+      val w = Seq(0.5, 3.0, 50.0)(trial)
+      val got = graft.ops.Relational.rangeJoin(
+        pts, col("v"), iv, col("lo"), col("hi"), bucketWidth = w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = pts.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"trial $trial (bucketWidth=$w): ${got.size} vs ${naive.size}")
+      assert(naive.nonEmpty) // the config must actually exercise matches
+    }
+  }
 }
