@@ -262,9 +262,9 @@ object Bench {
     // Line budget: the driver keeps the last ~2000 stdout chars; the
     // compact line loses 7 to sbt's "[info] " prefix and ~75 to the
     // trailing "[success] Total time: …" line, so ≤ 1916 survives intact.
-    // 1860 leaves slack for a noisy window widening a few medians to
-    // double digits.
-    val budget = 1860
+    // 1880 leaves slack for a noisy window widening a few medians to
+    // double digits; shedding degrades gracefully from there.
+    val budget = 1880
     val shedOrder = Seq("reference_100m", "reference_text", "reference_10m", "reference_1m", "reference")
     var sections = compactRef.toSeq // LinkedHashMap: insertion order
     def render(): String = head + renderCompactRef(

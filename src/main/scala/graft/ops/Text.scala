@@ -834,6 +834,63 @@ object Text {
       s"WHEN '$k' THEN '${rateToHex(r)}'"
     }.mkString("CASE lang ", " ", " ELSE '00000000' END")
 
+  /** Intra-document repetition statistics — the published quality-filter
+    * signal (duplicate n-gram fraction and most-frequent-token share flag
+    * boilerplate/spam). Per document: total and distinct bigram counts
+    * plus the max single-token count; [[qRepetition]] rolls integers up
+    * per language (integer sums — exact, order-free, no float summation
+    * to keep deterministic). One projection for the bigram stats; one
+    * explode + two-level aggregation for the token mode — both
+    * shuffle-partitioned by doc then language, nothing driver-side. */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs).filter(size(col("t")) >= 2)
+    val bigrams = tok.select(col("doc_id"), col("lang"),
+      (size(col("t")) - 1).cast(LongType).as("n_bigrams"),
+      size(array_distinct(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
+        .cast(LongType).as("n_distinct_bigrams"),
+      size(col("t")).cast(LongType).as("n_tok"))
+    val topTok = tok
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok_cnt"))
+    bigrams.join(topTok, Seq("doc_id"))
+  }
+
+  /** Gate query: repetition stats rolled up per language, all-integer
+    * output (exact at any partitioning). A downstream filter derives the
+    * Gopher-style ratios (dup-bigram fraction, top-token share) from
+    * these sums. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).cast(LongType).as("sum_bigrams"),
+        sum(col("n_distinct_bigrams")).cast(LongType).as("sum_distinct_bigrams"),
+        sum(col("max_tok_cnt")).cast(LongType).as("sum_max_tok"),
+        sum(col("n_tok")).cast(LongType).as("sum_tok"))
+
+  /** Source-mixing weights: the token-budget rebalance a multi-source
+    * training corpus needs. Given per-source token totals, the keep-rate
+    * that equalizes token contribution is min(source tokens)/source
+    * tokens — the largest sources downsample, the smallest keeps
+    * everything. One aggregation plus a broadcast of the single-row
+    * minimum; the rates feed [[stratifiedHashSample]] for the actual
+    * deterministic downsample (composition proven in TextSpec). */
+  def sourceMixWeights(docs: DataFrame): DataFrame = {
+    val perSource = withTokens(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t"))).cast(LongType).as("tok"))
+    val minTok = perSource.agg(min(col("tok")).as("min_tok"))
+    perSource.crossJoin(broadcast(minTok))
+      .select(col("source"), col("n_docs"), col("tok"),
+        (col("min_tok").cast(DoubleType) / col("tok")).as("keep_rate"))
+  }
+
+  def qMixWeights(s: SparkSession, dir: String): DataFrame =
+    sourceMixWeights(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -854,6 +911,8 @@ object Text {
     "q72_shards"        -> (qShards _),
     "q73_pii_redact"    -> (qPiiRedact _),
     "q74_stratified_sample" -> (qStratifiedSample _),
+    "q76_repetition"    -> (qRepetition _),
+    "q77_mix_weights"   -> (qMixWeights _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -995,6 +1054,32 @@ object Text {
           FROM documents
           WHERE substr(md5(text), 1, 8) < $stratOracleCase
           GROUP BY lang""",
+    "q76_repetition" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         big AS (SELECT doc_id, lang,
+           CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS n_distinct_bigrams,
+           CAST(len(t) AS BIGINT) AS n_tok
+           FROM tok WHERE len(t) >= 2),
+         tt AS (SELECT doc_id, max(c) AS max_tok_cnt FROM (
+           SELECT doc_id, w, count(*) AS c FROM (
+             SELECT doc_id, unnest(t) AS w FROM tok WHERE len(t) >= 2) GROUP BY doc_id, w)
+           GROUP BY doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+           CAST(sum(n_distinct_bigrams) AS BIGINT) AS sum_distinct_bigrams,
+           CAST(sum(max_tok_cnt) AS BIGINT) AS sum_max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM big JOIN tt USING (doc_id) GROUP BY lang""",
+    "q77_mix_weights" ->
+      """WITH per_source AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+         FROM documents GROUP BY source),
+         m AS (SELECT min(tok) AS min_tok FROM per_source)
+         SELECT source, n_docs, tok,
+           CAST(min_tok AS DOUBLE) / tok AS keep_rate
+         FROM per_source CROSS JOIN m""",
     "q57_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),

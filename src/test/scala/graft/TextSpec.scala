@@ -310,6 +310,39 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("repetitionStats: hand-computed bigram and mode counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b a b a"),        // bigrams: ab,ba,ab,ba → 4 total, 2 distinct; mode a=3
+      (2L, "en", "x y z"),            // 2 bigrams, 2 distinct; mode 1
+      (3L, "fr", "solo")              // < 2 tokens → excluded
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((4L, 2L, 5L, 3L)))  // n_bigrams, n_distinct, n_tok, max_tok_cnt
+    assert(out(2L) == ((2L, 2L, 3L, 1L)))
+    assert(!out.contains(3L))
+  }
+
+  test("sourceMixWeights composes with stratifiedHashSample to rebalance tokens") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val weights = Text.sourceMixWeights(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // the smallest source keeps everything; every rate is a valid probability
+    assert(weights.values.max == 1.0)
+    assert(weights.values.forall(r => r > 0.0 && r <= 1.0))
+    // composition: feed the computed rates into the deterministic sampler —
+    // realized per-source token counts should cluster near the equalized
+    // target (md5 uniformity; loose bound at test SF)
+    val sampled = Text.stratifiedHashSample(docs, "source", weights, col("text"))
+    val toks = Text.sourceMixWeights(sampled).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val target = Text.sourceMixWeights(docs).collect().map(r => r.getLong(2)).min
+    assert(toks.values.forall(t => t <= target * 2 && t >= target / 4),
+      s"rebalanced token counts far from target $target: $toks")
+  }
+
   test("redactPii: emails and phone variants scrubbed, everything else untouched") {
     import spark.implicits._
     val rows = Seq(
