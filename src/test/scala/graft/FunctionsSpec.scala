@@ -58,4 +58,32 @@ class FunctionsSpec extends SparkSpec {
     // windows: abc bca cab abc bca cab abc — 3 distinct
     assert(dup.getInt(0) == 3)
   }
+
+  test("anyShingleIn agrees with the graft_shingles expression (property)") {
+    // the streaming decontamination premise: the JVM-side membership kernel
+    // and the Catalyst expression produce the same shingle hashes for any
+    // token sequence — including repeats, unicode, and empty tokens
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("the", "a", "b", "tok1", "tok2", "", "naïve", "日本", "x y")
+    for (trial <- 0 until 20) {
+      val n = 1 + rng.nextInt(4)
+      val toks = Array.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+      val exprHashes = Seq(toks.toSeq).toDF("t")
+        .selectExpr(s"graft_shingles(t, $n) AS h")
+        .collect()(0).getSeq[Long](0).toSet
+      // membership via the JVM kernel must match set-intersection via the
+      // expression, probing each expression hash plus a known non-member
+      val sortedAll = exprHashes.toArray.sorted
+      if (toks.length >= n) {
+        assert(graft.functions.ShingleHashes.anyShingleIn(toks, n, sortedAll)
+          == exprHashes.nonEmpty, s"trial $trial: full-set membership")
+        for (h <- exprHashes.take(3))
+          assert(graft.functions.ShingleHashes.anyShingleIn(toks, n, Array(h)),
+            s"trial $trial: expression hash $h not found by the kernel")
+      }
+      assert(!graft.functions.ShingleHashes.anyShingleIn(
+        toks, n, Array(0xdeadbeefL)), s"trial $trial: phantom member")
+    }
+  }
 }
