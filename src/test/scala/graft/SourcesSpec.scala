@@ -92,4 +92,33 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(rows == Set((1L, 100L)))  // 101 outside 30-min window; 102 wrong user
   }
+
+  test("format round-trip: parquet, ORC, CSV, and JSON agree row-for-row") {
+    // the engine's queries are storage-format-agnostic: the same documents
+    // frame written to each built-in columnar/row format reads back
+    // identically (ORC exercises a second columnar reader with its own
+    // pushdown path; CSV/JSON the schema-on-read text paths)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars", "text")
+    val base = Files.createTempDirectory("graft_fmt").toString
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, String)] =
+      df.select(col("doc_id").cast("long"), col("lang"),
+          col("n_chars").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val expected = canon(docs)
+    docs.write.parquet(s"$base/p"); docs.write.orc(s"$base/o")
+    docs.write.option("header", "true").csv(s"$base/c")
+    docs.write.json(s"$base/j")
+    assert(canon(spark.read.parquet(s"$base/p")) == expected)
+    assert(canon(spark.read.orc(s"$base/o")) == expected)
+    assert(canon(spark.read.option("header", "true")
+      .schema("doc_id long, lang string, n_chars long, text string")
+      .csv(s"$base/c")) == expected)
+    assert(canon(spark.read.json(s"$base/j")) == expected)
+    // pushdown parity: the ORC scan takes filters like the parquet one
+    val orcPlan = spark.read.orc(s"$base/o").filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(orcPlan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"ORC lost filter pushdown:\n$orcPlan")
+  }
 }
