@@ -161,8 +161,6 @@ case class ShingleHashes(child: Expression, n: Int)
       s"graft_shingles expects array<string>, got ${other.simpleString}")
   }
 
-  private def mix(z0: Long): Long = ShingleHashes.mix(z0)
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
@@ -170,7 +168,7 @@ case class ShingleHashes(child: Expression, n: Int)
     val tokHash = new Array[Long](len)
     var i = 0
     while (i < len) {
-      tokHash(i) = mix(arr.getUTF8String(i).hashCode().toLong)
+      tokHash(i) = ShingleHashes.mix(arr.getUTF8String(i).hashCode().toLong)
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -178,7 +176,7 @@ case class ShingleHashes(child: Expression, n: Int)
     while (i <= len - n) {
       var h = 0x9e3779b97f4a7c15L
       var j = 0
-      while (j < n) { h = mix(h ^ tokHash(i + j)); j += 1 }
+      while (j < n) { h = ShingleHashes.mix(h ^ tokHash(i + j)); j += 1 }
       seen.add(h)
       i += 1
     }

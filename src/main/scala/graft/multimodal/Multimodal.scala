@@ -65,24 +65,9 @@ object Multimodal {
       s"graft multimodal: feature dim must be a perfect square, got $dim")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "graft multimodal: payload is not a decodable image")
-    val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
-    var y = 0
-    while (y < h) {
-      val by = math.min(y * side / h, side - 1)
-      var x = 0
-      while (x < w) {
-        val bx = math.min(x * side / w, side - 1)
-        val rgb = img.getRGB(x, y)
-        val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-          114 * (rgb & 0xff) // Rec.601 ×1000, exact in Long
-        val b = by * side + bx
-        sums(b) += lum; counts(b) += 1
-        x += 1
-      }
-      y += 1
-    }
+    accumulateLuminance(img, sums, counts, side)
     val out = new Array[Float](dim)
     var b = 0
     while (b < dim) {
@@ -194,14 +179,17 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode an animated-GIF payload into its frames. GIF is the one
+  /** Decode selected frames of an animated-GIF payload (all frames when
+    * `indices` is None — only then is `frame count` paid in decode work;
+    * the strided samplers pass just the frames they keep). GIF is the one
     * multi-frame (video-adjacent) container the JDK can both write and
     * read; frames synthesized from ≤256 distinct colors (ours are
     * grayscale) round-trip losslessly through the palette, so the decoded
     * pixels are exact. A production build would link an FFI codec for
     * H.264/VP9 here — the surrounding plumbing (batch iteration, frame
     * indexing, hashing) would not change. */
-  private def decodeGifFrames(payload: Array[Byte]): Vector[java.awt.image.BufferedImage] = {
+  private def decodeGifFrames(payload: Array[Byte],
+                              indices: Option[Seq[Int]] = None): Vector[java.awt.image.BufferedImage] = {
     imageIoInit
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     require(readers.hasNext, "graft multimodal: no GIF reader in this JVM")
@@ -212,11 +200,48 @@ object Multimodal {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
       require(n > 0, "graft multimodal: payload is not a decodable GIF video")
-      (0 until n).map(reader.read).toVector
+      indices.getOrElse(0 until n).filter(_ < n).map(reader.read).toVector
     } catch { case e: java.io.IOException =>
       throw new IllegalArgumentException(
         "graft multimodal: payload is not a decodable GIF video", e)
     } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Number of frames in a GIF payload without decoding any pixels. */
+  private def gifFrameCount(payload: Array[Byte]): Int = {
+    imageIoInit
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try { reader.setInput(iis, false); reader.getNumImages(true) }
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(
+        "graft multimodal: payload is not a decodable GIF video", e)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Shared per-frame accumulation for the image and video feature
+    * kernels — ONE definition of the Rec.601 block-mean arithmetic so the
+    * two kernels cannot diverge. */
+  private def accumulateLuminance(img: java.awt.image.BufferedImage,
+                                  sums: Array[Long], counts: Array[Long],
+                                  side: Int): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * side / h, side - 1)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * side / w, side - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff) // Rec.601 ×1000, exact in Long
+        val b = by * side + bx
+        sums(b) += lum; counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
   }
 
   /** REAL video decode kernel: block-mean luminance per frame (the image
@@ -230,24 +255,7 @@ object Multimodal {
     val frames = decodeGifFrames(payload)
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
-    frames.foreach { img =>
-      val w = img.getWidth; val h = img.getHeight
-      var y = 0
-      while (y < h) {
-        val by = math.min(y * side / h, side - 1)
-        var x = 0
-        while (x < w) {
-          val bx = math.min(x * side / w, side - 1)
-          val rgb = img.getRGB(x, y)
-          val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-            114 * (rgb & 0xff)
-          val b = by * side + bx
-          sums(b) += lum; counts(b) += 1
-          x += 1
-        }
-        y += 1
-      }
-    }
+    frames.foreach(accumulateLuminance(_, sums, counts, side))
     val out = new Array[Float](dim)
     var b = 0
     while (b < dim) {
@@ -302,11 +310,12 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 10, maxFrames: Int = 8): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val frames = decodeGifFrames(r.payload)
-      (0 until maxFrames).iterator
-        .map(_ * stride)
-        .filter(_ < frames.length)
-        .map(idx => FrameSample(r.media_id, idx, frameHash(frames(idx))))
+      // decode ONLY the strided frames we keep — a long video pays for
+      // maxFrames decodes, not its full frame count
+      val nFrames = gifFrameCount(r.payload)
+      val wanted = (0 until maxFrames).map(_ * stride).filter(_ < nFrames)
+      decodeGifFrames(r.payload, Some(wanted)).iterator.zip(wanted.iterator)
+        .map { case (img, idx) => FrameSample(r.media_id, idx, frameHash(img)) }
     }
   }
 
@@ -380,7 +389,16 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val sx = math.min(x * sw / w, sw - 1)
-          out.getRaster.setSample(x, y, 0, img.getRGB(sx, sy) & 0xff)
+          val rgb = img.getRGB(sx, sy)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          // grayscale contract, enforced: a color frame would silently
+          // lose its red/green channels in the TYPE_BYTE_GRAY target —
+          // fail loudly instead (same never-silently-fakes rule as the
+          // mono-PCM requirement in the audio path)
+          require(r == g && g == b,
+            s"graft multimodal: resizeGif requires grayscale frames, " +
+            s"got rgb=($r,$g,$b) at ($sx,$sy)")
+          out.getRaster.setSample(x, y, 0, b)
           x += 1
         }
         y += 1

@@ -628,15 +628,29 @@ object Text {
     * collision caveat as [[ngramJaccardPairs]], which the string-shingle
     * oracle hash-match empirically discharges). */
   private[graft] def decontaminate(docs: DataFrame, evalPred: Column, n: Int): DataFrame = {
+    val (tok, sh) = shingleSplit(docs, evalPred, n)
+    val evalSh = sh.filter(col("is_eval")).select(col("h")).distinct()
+    val contam = sh.filter(!col("is_eval"))
+      .join(evalSh, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("lang")).distinct()
+    contaminationSummary(tok, contam)
+  }
+
+  /** Shared derivation for the exact and bloom decontamination paths:
+    * tagged tokenized frame + exploded shingle-hash frame. ONE definition
+    * so the two operators' inputs cannot diverge. */
+  private def shingleSplit(docs: DataFrame, evalPred: Column, n: Int): (DataFrame, DataFrame) = {
     val tok = withTokens(docs).withColumn("is_eval", evalPred)
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = tok.filter(size(col("t")) >= n)
       .select(col("doc_id"), col("lang"), col("is_eval"),
         explode(expr(s"graft_shingles(t, $n)")).as("h"))
-    val evalSh = sh.filter(col("is_eval")).select(col("h")).distinct()
-    val contam = sh.filter(!col("is_eval"))
-      .join(evalSh, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("lang")).distinct()
+    (tok, sh)
+  }
+
+  /** Shared output contract of the decontamination operators: per-language
+    * training count + contaminated count (0 for untouched languages). */
+  private def contaminationSummary(tok: DataFrame, contam: DataFrame): DataFrame = {
     val trainCounts = tok.filter(!col("is_eval"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
     val contamCounts = contam.groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
@@ -670,11 +684,7 @@ object Text {
     * cannot see the semantics. */
   private[graft] def decontaminateBloom(docs: DataFrame, evalPred: Column, n: Int,
                                         fpp: Double = 0.01): DataFrame = {
-    val tok = withTokens(docs).withColumn("is_eval", evalPred)
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = tok.filter(size(col("t")) >= n)
-      .select(col("doc_id"), col("lang"), col("is_eval"),
-        explode(expr(s"graft_shingles(t, $n)")).as("h"))
+    val (tok, sh) = shingleSplit(docs, evalPred, n)
     val evalSh = graft.core.InternalCaches.persist(
       sh.filter(col("is_eval")).select(col("h")).distinct())
     // distributed bloom build (treeAggregate under stat.bloomFilter); the
@@ -687,12 +697,7 @@ object Text {
       .filter(mightContain(col("h")))       // bloom prune BEFORE the shuffle
       .join(evalSh, Seq("h"), "left_semi")  // exact: false positives removed
       .select(col("doc_id"), col("lang")).distinct()
-    val trainCounts = tok.filter(!col("is_eval"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
-    val contamCounts = contam.groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
-    trainCounts.join(contamCounts, Seq("lang"), "left")
-      .select(col("lang"), col("n_train"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+    contaminationSummary(tok, contam)
   }
 
   /** Deterministic shuffle-and-shard manifest: shard = first `shardHexLen`
@@ -843,12 +848,16 @@ object Text {
     * explode + two-level aggregation for the token mode — both
     * shuffle-partitioned by doc then language, nothing driver-side. */
   private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = withTokens(docs).filter(size(col("t")) >= 2)
+    // distinct-bigram count via the one-pass graft_shingles kernel (the
+    // expression already dedups) — the declarative transform+concat+
+    // array_distinct chain runs as interpreted HOFs and materializes every
+    // intermediate array, which is exactly what the expression replaced;
+    // same ~2^-40 hash-collision caveat the q34-q36 oracles discharge
     val bigrams = tok.select(col("doc_id"), col("lang"),
       (size(col("t")) - 1).cast(LongType).as("n_bigrams"),
-      size(array_distinct(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
-        .cast(LongType).as("n_distinct_bigrams"),
+      size(expr("graft_shingles(t, 2)")).cast(LongType).as("n_distinct_bigrams"),
       size(col("t")).cast(LongType).as("n_tok"))
     val topTok = tok
       .select(col("doc_id"), explode(col("t")).as("w"))

@@ -20,12 +20,13 @@ class PlanContractSpec extends SparkSpec {
     "q56_asof_join", "q66_pipeline_summary")
 
   test("pairwise operators never plan a nested loop or cartesian product") {
-    for (q <- pairwiseOps) {
-      val p = plan(q)
-      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
-        s"$q planned a nested loop:\n$p")
-    }
-    graft.core.InternalCaches.release(spark)
+    try {
+      for (q <- pairwiseOps) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+          s"$q planned a nested loop:\n$p")
+      }
+    } finally graft.core.InternalCaches.release(spark)
   }
 
   test("q41: the only nested loop is the block-pair table, bounded by block count") {
@@ -33,13 +34,14 @@ class PlanContractSpec extends SparkSpec {
     // frames to build the bi <= bj block-pair table — nBlocks² rows (single
     // digits), independent of data size. DATA rows must only ever meet
     // through the bi/bj equi-joins.
-    val p = plan("q41_cosine_neardup")
-    val occurrences = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    assert(occurrences == 1, s"q41 expected exactly the block-pair nested loop:\n$p")
-    assert(p.contains("Range (0,"), s"q41 nested loop no longer over Range:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
-      s"q41 data sides lost their equi-joins:\n$p")
-    graft.core.InternalCaches.release(spark)
+    try {
+      val p = plan("q41_cosine_neardup")
+      val occurrences = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(occurrences == 1, s"q41 expected exactly the block-pair nested loop:\n$p")
+      assert(p.contains("Range (0,"), s"q41 nested loop no longer over Range:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+        s"q41 data sides lost their equi-joins:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
   }
 
   test("q02: predicate pushdown and column pruning reach the parquet scan") {
@@ -75,10 +77,11 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("q71: the fixed eval set drives a semi-join, never a row explosion join") {
-    val p = plan("q71_decontaminate")
-    assert(p.contains("LeftSemi"), s"q71 lost the semi-join:\n$p")
-    assert(!p.contains("BroadcastNestedLoop"), s"q71 planned a nested loop:\n$p")
-    graft.core.InternalCaches.release(spark)
+    try {
+      val p = plan("q71_decontaminate")
+      assert(p.contains("LeftSemi"), s"q71 lost the semi-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"q71 planned a nested loop:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
   }
 
   test("q72: the shard ranks partition by shard (no single-reducer window)") {
