@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: …" banner after tasks: the round driver parses
+// the LAST stdout line of `runMain graft.Bench` as the bench contract JSON,
+// and the banner was displacing it (BENCH_r06/r07 "parsed": null).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint so every build doesn't print a false warning.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

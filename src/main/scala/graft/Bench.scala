@@ -29,13 +29,22 @@ object Bench {
     // query, reporting the MEDIAN; the noop sink forces full plan execution
     // every time. A single measured run let one bad scheduling window write
     // a phantom 10-40x regression into the round artifact (BENCH_r05
-    // recorded q34 at 33 s against a 0.8 s steady state) — the median of 3
-    // is robust to one outlier window, and the per-run values are kept in
-    // the JSON ("runs") so dispersion is visible. Operator-internal
-    // persists are released AFTER each query's measured runs (the warm run
-    // materializes them, the measured runs reuse them — the warm steady
-    // state), so a query's caches never occupy memory while later queries
-    // run and a full bench leaves the session's storage empty.
+    // recorded q34 at 33 s against a 0.8 s steady state). Median-of-3
+    // defends against ONE bad run, but back-to-back runs all sit inside
+    // the same few seconds — a sustained degraded window (GC storm, CPU
+    // contention) owned 2 of 3 runs and won the median anyway (BENCH_r07:
+    // q30 published 10.9 s, q51 2.5 s, against 0.42 / 0.30 s steady
+    // states). So measurement is INTERLEAVED: rounds over the whole query
+    // inventory, each round running every query once, median per query
+    // ACROSS rounds. A query's runs are now minutes apart — no single
+    // noise window can touch more than one of them. The per-run values are
+    // kept in the JSON ("runs") and a dispersion guard flags any query
+    // whose max/min run ratio exceeds 4x. Interleaving requires the
+    // operator-internal persists of ALL queries to stay materialized
+    // through the measurement phase (the warm pass builds them, every
+    // round reuses them — the warm steady state); at gate SF that is a few
+    // hundred MB against the bench heap, and ONE release after the last
+    // round still leaves the session's storage empty for the anchors.
     // toIntOption: a malformed override (e.g. "3x") must not crash the whole
     // bench before any timing runs; fall back to 3 and cap at 9 runs.
     val measuredRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
@@ -48,19 +57,33 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val runs = try { once(); Vector.fill(measuredRuns)(once()) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        Vector(-1.0) }
-      finally graft.core.InternalCaches.release(spark)
-      name -> runs
+    def dispersionGuard(name: String, v: Seq[Double]): Unit =
+      if (v.length > 1 && v.min > 0 && v.max / v.min > 4.0)
+        System.err.println(f"[bench] HIGH VARIANCE $name: runs [${v.map(x => f"$x%.3f").mkString(",")}] max/min=${v.max / v.min}%.1f — median may not be steady state (re-measure with graft.TimeProbe)")
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
+    val runsByQ = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    for ((name, fn) <- qseq) {
+      runsByQ(name) = Vector.empty
+      try once(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed (warm run): ${e.getMessage}")
+        failedQ += name; runsByQ(name) = Vector(-1.0) }
+    }
+    for (round <- 1 to measuredRuns; (name, fn) <- qseq if !failedQ(name)) {
+      try runsByQ(name) = runsByQ(name) :+ once(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
+        failedQ += name; runsByQ(name) = Vector(-1.0) }
+    }
+    graft.core.InternalCaches.release(spark)
+    val results = runsByQ.toSeq
+    results.foreach { case (name, v) => dispersionGuard(name, v) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.3f" }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, v) =>
@@ -88,6 +111,7 @@ object Bench {
     def coldWarm(section: String, name: String, warmReps: Int = 3)(f: => Unit): String = {
       val cold = time(f)
       val warms = Vector.fill(warmReps)(time(f))
+      dispersionGuard(name, warms)
       val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
       addCompact(section, name, f"${median(warms)}%.2f")
       f""""${name}_cold":$cold%.3f,"${name}_warm":${median(warms)}%.3f,""" +
@@ -202,28 +226,41 @@ object Bench {
     // probability ~1e-9); MinHash+LSH must return EXACTLY 1500 pairs —
     // misses show as fewer (recall), and the operator's re-verify stage
     // bounds false positives by actual Jaccard, so a count match is a
-    // recall+precision assert. One warm rep keeps the section bounded;
-    // the 100k-doc spec test additionally pins full SET equality.
-    val refText = try {
-      val docs = graft.sources.SyntheticDocs.planted(spark,
-          nBase = 300000L, nPlant = 1500L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recall+precision assert. 3 warm reps — same median-of-runs noise
+    // defense as the geometry anchors (the single-rep r7 number was the
+    // noisiest published figure). The 100k-doc spec test additionally
+    // pins full SET equality.
+    def textAnchor(tag: String, nBase: Long, warmReps: Int): String = {
+      val section = if (tag == "300k") "reference_text" else s"reference_text_$tag"
       try {
-        docs.count()
-        var nPairs = -1L
-        val lshJson = coldWarm("reference_text", "minhash_lsh_300k", warmReps = 1) {
-          nPairs = graft.ops.Text.minHashLshPairs(docs).count() }
-        if (nPairs != 1500L)
-          throw new GoldenMismatch(
-            s"text dedup anchor MISMATCH: $nPairs LSH pairs (want the 1500 planted)")
-        s""","reference_text":{$lshJson}"""
-      } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
-    } catch {
-      case e: GoldenMismatch => throw e
-      case e if scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] reference_text section dropped: $e")
-        compactRef.remove("reference_text"); ""
+        val docs = graft.sources.SyntheticDocs.planted(spark,
+            nBase = nBase, nPlant = 1500L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          docs.count()
+          var nPairs = -1L
+          val lshJson = coldWarm(section, s"minhash_lsh_$tag", warmReps) {
+            nPairs = graft.ops.Text.minHashLshPairs(docs).count() }
+          if (nPairs != 1500L)
+            throw new GoldenMismatch(
+              s"text dedup anchor ($tag) MISMATCH: $nPairs LSH pairs (want the 1500 planted)")
+          s""","$section":{$lshJson}"""
+        } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+      } catch {
+        case e: GoldenMismatch => throw e
+        case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $section section dropped: $e")
+          compactRef.remove(section); ""
+      }
     }
+    val refText = textAnchor("300k", nBase = 300000L, warmReps = 3)
+    // reference_text_1m (opt-in: SPARK_GRAFT_BIG=1): the dedup path is the
+    // engine's flagship 100 TB claim — this tier proves the banded join
+    // holds at 1M docs (~2000x the gate corpus) with the same 1500-pair
+    // recall assert. One warm rep keeps the opt-in run bounded.
+    val refText1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1"))
+      textAnchor("1m", nBase = 1000000L, warmReps = 1)
+    else ""
     // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
     // >= 48g): the artificial100M scalability workload — BASELINE.md
     // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
@@ -239,14 +276,13 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refText1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail file not written: $e") }
-    println(detail)
     def renderCompactRef(m: collection.Map[String, Vector[(String, String)]]): String =
       m.map { case (sec, kvs) =>
         s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
@@ -260,12 +296,14 @@ object Bench {
     // baseline bar reads); full detail always survives in
     // BENCH_DETAIL.json. Warn loudly at every shedding step.
     // Line budget: the driver keeps the last ~2000 stdout chars; the
-    // compact line loses 7 to sbt's "[info] " prefix and ~75 to the
-    // trailing "[success] Total time: …" line, so ≤ 1916 survives intact.
-    // 1880 leaves slack for a noisy window widening a few medians to
-    // double digits; shedding degrades gracefully from there.
-    val budget = 1880
-    val shedOrder = Seq("reference_100m", "reference_text", "reference_10m", "reference_1m", "reference")
+    // compact line loses 7 to sbt's "[info] " prefix (build.sbt suppresses
+    // the trailing "[success] Total time: …" banner via showSuccess :=
+    // false, so this line IS the last stdout line and ≤ ~1993 survives
+    // intact). 1950 leaves slack for a noisy window widening a few medians
+    // to double digits; shedding degrades gracefully from there.
+    val budget = 1950
+    val shedOrder = Seq("reference_text_1m", "reference_100m", "reference_text",
+      "reference_10m", "reference_1m", "reference")
     var sections = compactRef.toSeq // LinkedHashMap: insertion order
     def render(): String = head + renderCompactRef(
       scala.collection.mutable.LinkedHashMap(sections: _*)) + "}"
@@ -279,7 +317,12 @@ object Bench {
     }
     if (compact.length > budget)
       System.err.println(s"[bench] compact line STILL ${compact.length} chars — driver tail may truncate it")
-    println(compact)
+    // Stop Spark BEFORE printing the two output lines: nothing Spark-side
+    // (shutdown-hook warnings relayed through sbt's logger) can then land
+    // after the contract line, which must be the literal last stdout line
+    // for the driver's `parsed` field to populate.
     spark.stop()
+    println(detail)
+    println(compact)
   }
 }

@@ -149,6 +149,9 @@ object Multimodal {
   private[graft] def resampleWav(payload: Array[Byte], targetRate: Int): Array[Byte] = {
     val (samples, srcRate) = decodeWavSamples(payload)
     val n = samples.length
+    // a valid-but-empty container would otherwise index samples(-1) below —
+    // fail loudly like every other malformed-payload path
+    require(n > 0, "graft multimodal: empty PCM stream")
     val outN = math.max(1, (n.toLong * targetRate / srcRate).toInt)
     val out = new Array[Short](outN)
     var j = 0
@@ -210,7 +213,9 @@ object Multimodal {
   /** Number of frames in a GIF payload without decoding any pixels. */
   private def gifFrameCount(payload: Array[Byte]): Int = {
     imageIoInit
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "graft multimodal: no GIF reader in this JVM")
+    val reader = readers.next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try { reader.setInput(iis, false); reader.getNumImages(true) }

@@ -113,6 +113,53 @@ object Ann {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** Production index path promised by [[ivfKnn]]'s doc: persist the
+    * assignment as a managed parquet table BUCKETED by centroid_id (one
+    * bucket per cell), so serving never rebuilds the index. Returns the
+    * trained centroids — the serve-side router state (tiny: nlist
+    * vectors). */
+  def ivfWriteIndex(emb: DataFrame, table: String, nlist: Int = 16): Array[Array[Double]] = {
+    val (assigned, centroids) = ivfIndex(emb, nlist)
+    graft.sources.Bucketed.writeBucketed(
+      assigned.withColumn("nrm", sqrt(col("_xnorm")))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id")),
+      table, "centroid_id", nlist)
+    centroids
+  }
+
+  /** Serve top-k from a [[ivfWriteIndex]] table. The probed cell ids are
+    * resolved to LITERALS first (one tiny job over the bounded query
+    * side — distinct probes ≤ nlist rows), so the `centroid_id IN (…)`
+    * filter hits Spark's bucket pruning and the index scan reads ONLY the
+    * probed buckets (`SelectedBucketsCount: nprobe out of nlist` in the
+    * plan — asserted in PlanContractSpec). At 100 TB that is the
+    * difference between touching ~nprobe/nlist of the index files and all
+    * of them; scoring is identical to [[ivfKnn]], so a served result
+    * equals the rebuild-every-time result exactly. */
+  def ivfServeKnn(spark: SparkSession, table: String, centroids: Array[Array[Double]],
+                  queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val probeN = math.min(nprobe, centroids.length)
+    val qp = probeCells(
+      queries.withColumn("qn", sqrt(expr("graft_dot(embedding, embedding)"))),
+      centroids, probeN)
+    val probeIds = qp.select(col("probe")).distinct().collect().map(_.getInt(0)).sorted
+    val cand = spark.table(table)
+      .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+              col("nrm").as("nn"), col("centroid_id"))
+    val q = qp.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                      col("qn"), col("probe"))
+    val scored = broadcast(q)
+      .join(cand, col("probe") === col("centroid_id") && col("qid") =!= col("nid"))
+      .withColumn("sim", round(expr("graft_dot(qv, nv)") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
   def qIvfKnn(s: SparkSession, dir: String): DataFrame =
     ivfKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
 

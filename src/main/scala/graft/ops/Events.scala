@@ -18,13 +18,22 @@ import graft.core.Tables
   */
 object Events {
 
-  /** T3 analogue: items (user_id) with frequency >= phi·n (`G016HW3.java:148-172`). */
+  /** T3 analogue: items (user_id) with frequency >= phi·n (`G016HW3.java:148-172`).
+    *
+    * The corpus total n is NOT a second `count()` action over events — it
+    * cascades from the per-user counts themselves (Σ freq = n), so the
+    * events table is scanned exactly once. `counts` feeds both the
+    * threshold aggregate and the filter, and Catalyst re-derives self-join
+    * subtrees, so it goes through [[graft.core.InternalCaches]] like the
+    * other twice-consumed internal frames; the single-row threshold joins
+    * back via broadcast (the q77 minTok pattern). */
   def qFrequentItems(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("freq"))
-    val total = ev.count()
-    val threshold = math.ceil(0.008 * total).toLong
-    counts.filter(col("freq") >= threshold)
+    val counts = graft.core.InternalCaches.persist(
+      Tables.events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("freq")))
+    val thr = counts.agg(ceil(lit(0.008) * sum(col("freq"))).as("thr"))
+    counts.crossJoin(broadcast(thr))
+      .filter(col("freq") >= col("thr"))
+      .select(col("user_id"), col("freq"))
   }
 
   /** Tumbling 1-day event-time windows per event type. */

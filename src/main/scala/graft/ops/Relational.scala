@@ -345,12 +345,23 @@ object Relational {
   def rangeJoin(points: DataFrame, pointVal: Column, intervals: DataFrame,
                 lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val pb = points.withColumn("_bkt", floor(pointVal / bucketWidth).cast(LongType))
-    val ib = intervals.withColumn("_bkt",
+    // Precondition (loud, not silent): the internal bucket column must not
+    // collide with caller columns (withColumn would overwrite, the final
+    // drop would eat every occurrence), and the two inputs must not share
+    // column names (the lo/hi/pointVal predicates would be ambiguous at
+    // resolution time).
+    val bkt = "__graft_bkt"
+    require(!points.columns.contains(bkt) && !intervals.columns.contains(bkt),
+      s"rangeJoin inputs must not contain the internal column '$bkt'")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin inputs must not share column names (got ${shared.mkString(", ")})")
+    val pb = points.withColumn(bkt, floor(pointVal / bucketWidth).cast(LongType))
+    val ib = intervals.withColumn(bkt,
       explode(sequence(floor(lo / bucketWidth).cast(LongType),
                        floor(hi / bucketWidth).cast(LongType))))
-    pb.join(ib, pb("_bkt") === ib("_bkt") && pointVal >= lo && pointVal < hi)
-      .drop("_bkt")
+    pb.join(ib, pb(bkt) === ib(bkt) && pointVal >= lo && pointVal < hi)
+      .drop(bkt)
   }
 
   /** Range-join gate: lineitem prices against 200 overlapping synthetic
@@ -371,7 +382,37 @@ object Relational {
            dsum(col("v")).as("sum_v"))
   }
 
+  /** Multi-join optimizer stress gate (TPC-H Q5 shape): six tables, a
+    * selective region+date filter, aggregation above the join tree. The
+    * piecewise gates verify each join strategy alone; this one pins the
+    * COMPOSITION — Catalyst must push both filters to their scans, pick
+    * broadcast for every dimension that fits (at gate SF: all of them; at
+    * 100 TB nation/region stay broadcast by the fixed-catalog hint,
+    * supplier/customer/orders degrade to shuffle joins under AQE), and
+    * order the joins so lineitem is probed once. Revenue runs over exact
+    * decimals (order-independent) with ONE final double cast — the same
+    * IEEE shape the DuckDB oracle computes, so the hash compare is
+    * bit-exact. */
+  def q78MultiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+              col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1997-01-01").cast(TimestampType))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_multi_join"     -> (q78MultiJoin _),
     "q75_range_join"     -> (q75RangeJoin _),
     "q59_stats"          -> (q59Stats _),
     "q67_approx_sketches" -> (q67ApproxSketches _),
@@ -403,6 +444,20 @@ object Relational {
 
   /** DuckDB-dialect oracle SQL, value-identical to the queries above. */
   val oracles: Map[String, String] = Map(
+    "q78_multi_join" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
     "q75_range_join" ->
       """WITH iv AS (SELECT s_suppkey AS iid,
            (s_suppkey * 97) % 50000 + 900.0 AS lo,

@@ -20,6 +20,11 @@ object SyntheticDocs {
               nTok: Int = 40, vocab: Int = 5000): DataFrame = {
     import spark.implicits._
     require(nPlant <= nBase, s"cannot plant $nPlant near-dups into $nBase docs")
+    // token j of doc `base` hashes base * 64 + j: the stride bounds nTok.
+    // Past it, adjacent docs would silently share token streams and break
+    // the "two random docs share essentially no shingles" premise the
+    // planted-pair-count asserts (TextSpec, Bench reference_text) rely on.
+    require(nTok <= 64, s"nTok=$nTok exceeds the 64-token hash stride")
     def tok(h: Long): String = "t" + java.lang.Long.remainderUnsigned(h, vocab.toLong)
     spark.range(nBase + nPlant).map { jid =>
       val id: Long = jid

@@ -84,6 +84,35 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("IVF serve path: the bucketed index scan prunes to the probed buckets") {
+    // ivfKnn's doc promises the production path persists the index as a
+    // table bucketed by centroid_id; this pins the payoff — serving reads
+    // ONLY the probed buckets (SelectedBucketsCount < nlist in the scan),
+    // and the served result is value-identical to rebuilding the index.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    try {
+      val centroids = graft.ops.Ann.ivfWriteIndex(emb, "b_ivf_index", nlist = 16)
+      val queries = emb.filter(col("vec_id") < 3)
+      val served = graft.ops.Ann.ivfServeKnn(spark, "b_ivf_index", centroids,
+        queries, k = 5, nprobe = 3)
+      val p = served.queryExecution.executedPlan.toString
+      val m = raw"SelectedBucketsCount: (\d+) out of (\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"index scan not bucket-pruned:\n$p")
+      val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+      assert(tot == 16, s"index not written with 16 buckets:\n$p")
+      assert(sel <= 9 && sel < tot, // 3 queries x nprobe 3 => at most 9 cells
+        s"scan reads $sel of $tot buckets — pruning lost:\n$p")
+      val rebuilt = graft.ops.Ann.ivfKnn(emb, col("vec_id") < 3, k = 5,
+        nlist = 16, nprobe = 3).collect().map(_.toSeq).toSet
+      assert(served.collect().map(_.toSeq).toSet == rebuilt,
+        "served result diverged from the rebuild-every-time result")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_ivf_index")
+      graft.core.InternalCaches.release(spark)
+    }
+  }
+
   test("q72: the shard ranks partition by shard (no single-reducer window)") {
     val p = plan("q72_shards")
     // a Window over an EMPTY partition spec plans Exchange SinglePartition;
