@@ -104,6 +104,13 @@ class MultimodalSpec extends SparkSpec {
     // WAV bytes (unlike PNG bytes) are deterministic: fixed-layout
     // uncompressed container, so a byte-level round-trip is stable
     assert(Multimodal.resampleWav(wav, 8000).sameElements(resampled))
+    // a valid-but-EMPTY container fails loudly (documented precondition),
+    // not with an opaque negative array index
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resampleWav(
+        Multimodal.syntheticWav(seed = 1L, sampleRate = 16000, nSamples = 0), 8000)
+    }
+    assert(e.getMessage.contains("empty PCM stream"))
   }
 
   test("video kernel is a REAL codec round-trip: GIF encode → ImageIO frames") {

@@ -117,6 +117,23 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
   }
 
+  test("rangeJoin: colliding internal column or shared input columns fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = Seq((1L, 5.0)).toDF("pid", "v")
+    val iv = Seq((9L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    // internal bucket column collision (would be silently overwritten+dropped)
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.rangeJoin(pts.withColumn("__graft_bkt", lit(1)),
+        col("v"), iv, col("lo"), col("hi"), bucketWidth = 10.0)
+    }
+    // shared column names make the lo/hi/pointVal predicates ambiguous
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.rangeJoin(pts, col("v"),
+        iv.withColumnRenamed("iid", "pid"), col("lo"), col("hi"), bucketWidth = 10.0)
+    }
+  }
+
   test("rangeJoin: random intervals and points equal the naive join (property)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

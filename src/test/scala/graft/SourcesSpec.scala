@@ -121,4 +121,14 @@ class SourcesSpec extends SparkSpec {
     assert(orcPlan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
       s"ORC lost filter pushdown:\n$orcPlan")
   }
+
+  test("SyntheticDocs rejects nTok beyond the per-doc hash stride") {
+    // token j of doc `base` hashes base * 64 + j — past 64 tokens adjacent
+    // docs would share token streams and the planted-pair ground truth
+    // (TextSpec + Bench reference_text anchors) silently breaks
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SyntheticDocs.planted(spark, nBase = 10L, nPlant = 1L, nTok = 65)
+    }
+    assert(e.getMessage.contains("hash stride"))
+  }
 }
