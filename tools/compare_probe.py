@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Dev-only: cross-check Bench medians against a TimeProbe sweep.
+
+Usage: compare_probe.py BENCH_DETAIL.json probe_output.txt [ratio_bar]
+
+Reads the bench detail JSON ("queries" medians) and a file of
+`PROBE <name> t1 t2 t3 t4 t5` lines (TimeProbe output, sbt prefixes
+stripped or not), and reports every query whose bench median exceeds
+ratio_bar (default 1.5) x the probe steady state (min of the probe runs —
+the probe's first run re-JITs, so min is the steady state). Exit 1 if any
+query exceeds the bar: the bench artifact carries a phantom.
+"""
+import json
+import re
+import sys
+
+bench_path, probe_path = sys.argv[1], sys.argv[2]
+bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+medians = json.load(open(bench_path))["queries"]
+probes = {}
+for line in open(probe_path):
+    m = re.search(r"PROBE (\S+) ([0-9. ]+)$", line.strip())
+    if m:
+        probes[m.group(1)] = min(float(x) for x in m.group(2).split())
+
+missing = sorted(set(medians) - set(probes))
+if missing:
+    print(f"note: {len(missing)} queries not probed: {', '.join(missing)}")
+
+bad = []
+for name in sorted(set(medians) & set(probes)):
+    med, steady = medians[name], probes[name]
+    # sub-noise-floor timings (both under 0.5 s) can ratio wildly on
+    # scheduler jitter without meaning anything; only flag real seconds
+    if med > bar * steady and med > 0.5:
+        bad.append((name, med, steady))
+for name, med, steady in bad:
+    print(f"PHANTOM? {name}: bench median {med:.2f}s vs probe steady {steady:.2f}s "
+          f"({med / steady:.1f}x)")
+print(f"{len(set(medians) & set(probes))} compared, {len(bad)} over the {bar}x bar")
+sys.exit(1 if bad else 0)
