@@ -15,6 +15,10 @@ run / fork := true
 // the LAST stdout line of `runMain graft.Bench` as the bench contract JSON,
 // and the banner was displacing it (BENCH_r06/r07 "parsed": null).
 Global / showSuccess := false
+// Forked run output goes STRAIGHT to stdout/stderr (no sbt logger, no
+// "[info] " prefix, no async relay): the bench contract line must be the
+// literal last stdout line AND parse as bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // showSuccess is consumed by sbt's command engine, not a task — exclude it
 // from the unused-key lint so every build doesn't print a false warning.
 Global / excludeLintKeys += showSuccess

@@ -295,12 +295,12 @@ object Bench {
     // the BASELINE.md-comparable uber section last — it is the one the
     // baseline bar reads); full detail always survives in
     // BENCH_DETAIL.json. Warn loudly at every shedding step.
-    // Line budget: the driver keeps the last ~2000 stdout chars; the
-    // compact line loses 7 to sbt's "[info] " prefix (build.sbt suppresses
-    // the trailing "[success] Total time: …" banner via showSuccess :=
-    // false, so this line IS the last stdout line and ≤ ~1993 survives
-    // intact). 1950 leaves slack for a noisy window widening a few medians
-    // to double digits; shedding degrades gracefully from there.
+    // Line budget: the driver keeps the last ~2000 stdout chars and parses
+    // the last line. build.sbt suppresses the "[success]" banner AND routes
+    // forked run output straight to stdout (no "[info] " prefix), so this
+    // line is the literal last stdout line, bare JSON, and ≤ ~2000 chars
+    // survives intact. 1950 leaves slack for a noisy window widening a few
+    // medians to double digits; shedding degrades gracefully from there.
     val budget = 1950
     val shedOrder = Seq("reference_text_1m", "reference_100m", "reference_text",
       "reference_10m", "reference_1m", "reference")
