@@ -411,7 +411,33 @@ object Relational {
           .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Aggregation-UNDER-join gate: two independently aggregated subqueries
+    * (per-nation order revenue via customer; per-nation supplier capacity)
+    * joined on the 25-key nation dimension. Complements q78 (join tree,
+    * aggregate above): here Catalyst must keep BOTH partial+final
+    * aggregations below the join and broadcast the tiny aggregated frames —
+    * at any scale the join carries |nations| rows, never fact rows. The
+    * ratio is one IEEE divide of two already-exact doubles, so the oracle
+    * hash-matches. */
+  def q79AggJoin(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(dsum(col("o_totalprice")).as("nat_rev"),
+           count(lit(1)).as("n_orders"))
+    val sup = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(dsum(col("s_acctbal")).as("nat_bal"),
+           count(lit(1)).as("n_supp"))
+    rev.join(sup, col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("nat_rev"), col("n_orders"),
+              col("nat_bal"), col("n_supp"),
+              (col("nat_rev") / col("nat_bal")).as("rev_per_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_agg_join"       -> (q79AggJoin _),
     "q78_multi_join"     -> (q78MultiJoin _),
     "q75_range_join"     -> (q75RangeJoin _),
     "q59_stats"          -> (q59Stats _),
@@ -444,6 +470,22 @@ object Relational {
 
   /** DuckDB-dialect oracle SQL, value-identical to the queries above. */
   val oracles: Map[String, String] = Map(
+    "q79_agg_join" ->
+      """WITH rev AS (
+           SELECT c_nationkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nat_rev,
+             count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey),
+         sup AS (
+           SELECT s_nationkey,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nat_bal,
+             count(*) AS n_supp
+           FROM supplier GROUP BY s_nationkey)
+         SELECT n_name, nat_rev, n_orders, nat_bal, n_supp,
+           nat_rev / nat_bal AS rev_per_bal
+         FROM rev JOIN sup ON rev.c_nationkey = sup.s_nationkey
+         JOIN nation ON rev.c_nationkey = n_nationkey""",
     "q78_multi_join" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -84,6 +84,19 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("q78/q79: composed joins broadcast their dims and keep aggregates placed") {
+    // q78: the fact table is probed through broadcast hash joins (no
+    // shuffle join at gate SF) and aggregation sits above the join tree
+    val p78 = plan("q78_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p78).length == 5, s"q78 join chain changed:\n$p78")
+    assert(!p78.contains("SortMergeJoin"), s"q78 shuffled a dim at gate SF:\n$p78")
+    // q79: BOTH aggregations stay BELOW the join (partial+final each) and
+    // the aggregated frames broadcast — the join carries |nations| rows
+    val p79 = plan("q79_agg_join")
+    assert("HashAggregate".r.findAllIn(p79).length >= 4, s"q79 lost an agg tier:\n$p79")
+    assert("BroadcastHashJoin".r.findAllIn(p79).length == 3, s"q79 join shape changed:\n$p79")
+  }
+
   test("IVF serve path: the bucketed index scan prunes to the probed buckets") {
     // ivfKnn's doc promises the production path persists the index as a
     // table bucketed by centroid_id; this pins the payoff — serving reads
