@@ -37,5 +37,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the interleaved bench keeps every operator's internal
+  // persist resident through the measurement phase; at 8g the storage pool
+  // evicted the larger frames to disk and inflated their warm medians
+  // ~20% (measured: q34 1.39 s at 8g vs 1.15 s at 16g). Override with
+  // SPARK_DRIVER_MEM (the 100M opt-in tier needs 48g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
