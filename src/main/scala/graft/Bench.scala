@@ -57,9 +57,18 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    def dispersionGuard(name: String, v: Seq[Double]): Unit =
+    // the published per-query figure: median of the VALID runs (a -1.0
+    // failure marker in a late round must not poison two good ones); -1
+    // only when no run succeeded, which is the driver-visible failure flag
+    def medianValid(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.nonEmpty) median(ok) else -1.0
+    }
+    def dispersionGuard(name: String, raw: Seq[Double]): Unit = {
+      val v = raw.filter(_ >= 0)
       if (v.length > 1 && v.min > 0 && v.max / v.min > 4.0)
         System.err.println(f"[bench] HIGH VARIANCE $name: runs [${v.map(x => f"$x%.3f").mkString(",")}] max/min=${v.max / v.min}%.1f — median may not be steady state (re-measure with graft.TimeProbe)")
+    }
     val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -76,20 +85,23 @@ object Bench {
         failedQ += name; runsByQ(name) = Vector(-1.0) }
     }
     for (round <- 1 to measuredRuns; (name, fn) <- qseq if !failedQ(name)) {
+      // a late-round transient failure APPENDS the -1 marker instead of
+      // replacing the vector: earlier valid minutes-apart runs are exactly
+      // the evidence the interleaving scheme exists to preserve
       try runsByQ(name) = runsByQ(name) :+ once(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
-        failedQ += name; runsByQ(name) = Vector(-1.0) }
+        failedQ += name; runsByQ(name) = runsByQ(name) :+ -1.0 }
     }
     graft.core.InternalCaches.release(spark)
     val results = runsByQ.toSeq
     results.foreach { case (name, v) => dispersionGuard(name, v) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${medianValid(v)}%.3f" }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).sum
+    val total = results.map(r => medianValid(r._2)).sum
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -287,7 +299,7 @@ object Bench {
       m.map { case (sec, kvs) =>
         s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
       }.mkString
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"${median(v)}%.2f" }
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"${medianValid(v)}%.2f" }
       .mkString("{", ",", "}")
     val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir""""
     // If the query inventory grows past the window, shed reference sections
@@ -320,8 +332,11 @@ object Bench {
     // Stop Spark BEFORE printing the two output lines: nothing Spark-side
     // (shutdown-hook warnings relayed through sbt's logger) can then land
     // after the contract line, which must be the literal last stdout line
-    // for the driver's `parsed` field to populate.
-    spark.stop()
+    // for the driver's `parsed` field to populate. A stop()-time exception
+    // must not discard hours of validated timings — degrade to stderr.
+    try spark.stop()
+    catch { case e if scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop() failed (timings unaffected): $e") }
     println(detail)
     println(compact)
   }

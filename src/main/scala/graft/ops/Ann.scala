@@ -141,9 +141,12 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val probeN = math.min(nprobe, centroids.length)
-    val qp = probeCells(
+    // qp feeds BOTH the probe-id collect and the broadcast join — route it
+    // through InternalCaches like the other twice-consumed internal frames
+    // so the per-query assignment runs once, not once per consumer
+    val qp = graft.core.InternalCaches.persist(probeCells(
       queries.withColumn("qn", sqrt(expr("graft_dot(embedding, embedding)"))),
-      centroids, probeN)
+      centroids, probeN))
     val probeIds = qp.select(col("probe")).distinct().collect().map(_.getInt(0)).sorted
     val cand = spark.table(table)
       .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))

@@ -24,7 +24,8 @@ object SyntheticDocs {
     // Past it, adjacent docs would silently share token streams and break
     // the "two random docs share essentially no shingles" premise the
     // planted-pair-count asserts (TextSpec, Bench reference_text) rely on.
-    require(nTok <= 64, s"nTok=$nTok exceeds the 64-token hash stride")
+    require(nTok >= 1 && nTok <= 64,
+      s"nTok=$nTok outside the [1, 64] hash-stride bounds")
     def tok(h: Long): String = "t" + java.lang.Long.remainderUnsigned(h, vocab.toLong)
     spark.range(nBase + nPlant).map { jid =>
       val id: Long = jid

@@ -129,6 +129,10 @@ class SourcesSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       graft.sources.SyntheticDocs.planted(spark, nBase = 10L, nPlant = 1L, nTok = 65)
     }
-    assert(e.getMessage.contains("hash stride"))
+    assert(e.getMessage.contains("hash-stride"))
+    // and below: nTok = 0 would index words(0/2) inside an executor task
+    intercept[IllegalArgumentException] {
+      graft.sources.SyntheticDocs.planted(spark, nBase = 10L, nPlant = 1L, nTok = 0)
+    }
   }
 }

@@ -36,7 +36,8 @@ for name in sorted(set(medians) & set(probes)):
     if med > bar * steady and med > 0.5:
         bad.append((name, med, steady))
 for name, med, steady in bad:
+    ratio = med / steady if steady > 0 else float("inf")
     print(f"PHANTOM? {name}: bench median {med:.2f}s vs probe steady {steady:.2f}s "
-          f"({med / steady:.1f}x)")
+          f"({ratio:.1f}x)")
 print(f"{len(set(medians) & set(probes))} compared, {len(bad)} over the {bar}x bar")
 sys.exit(1 if bad else 0)
