@@ -273,6 +273,40 @@ object Bench {
     val refText1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1"))
       textAnchor("1m", nBase = 1000000L, warmReps = 1)
     else ""
+    // reference_pipeline_1m (opt-in: SPARK_GRAFT_BIG=1): the full
+    // clean→dedup→chunk→pack pipeline at 1M docs with goldens derived
+    // from the corpus construction (the scale twin of PipelineSpec's
+    // 20k-doc version): per language docs_in = 1001500/4 = 250375,
+    // docs_kept = 250000 (LSH drops exactly the planted copies),
+    // n_chunks = 500000 (2 per doc), n_bins = 1465 (250000×48 tokens,
+    // contiguous 8192-token bins). A wrong number in ANY stage — quality,
+    // dedup, LSH recall, chunk arithmetic, prefix-sum packing — fails the
+    // bench loudly at 1M scale.
+    val refPipe1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1")) {
+      try {
+        val docs = graft.sources.SyntheticDocs.planted(spark,
+            nBase = 1000000L, nPlant = 1500L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          docs.count()
+          var rows = Array.empty[org.apache.spark.sql.Row]
+          val j = coldWarm("reference_pipeline_1m", "pipeline_1m", warmReps = 1) {
+            rows = graft.ops.Pipeline.summaryOver(docs).collect() }
+          val bad = rows.length != 4 || rows.exists { r =>
+            r.getLong(1) != 250375L || r.getLong(2) != 250000L ||
+            r.getLong(3) != 500000L || r.getLong(4) != 1465L }
+          if (bad) throw new GoldenMismatch(
+            s"pipeline 1M anchor MISMATCH: ${rows.mkString("; ")} " +
+            "(want 4 x [lang, 250375, 250000, 500000, 1465])")
+          s""","reference_pipeline_1m":{$j}"""
+        } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+      } catch {
+        case e: GoldenMismatch => throw e
+        case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] reference_pipeline_1m section dropped: $e")
+          compactRef.remove("reference_pipeline_1m"); ""
+      }
+    } else ""
     // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
     // >= 48g): the artificial100M scalability workload — BASELINE.md
     // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
@@ -288,7 +322,7 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refText1m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refText1m$refPipe1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -314,8 +348,8 @@ object Bench {
     // survives intact. 1950 leaves slack for a noisy window widening a few
     // medians to double digits; shedding degrades gracefully from there.
     val budget = 1950
-    val shedOrder = Seq("reference_text_1m", "reference_100m", "reference_text",
-      "reference_10m", "reference_1m", "reference")
+    val shedOrder = Seq("reference_pipeline_1m", "reference_text_1m", "reference_100m",
+      "reference_text", "reference_10m", "reference_1m", "reference")
     var sections = compactRef.toSeq // LinkedHashMap: insertion order
     def render(): String = head + renderCompactRef(
       scala.collection.mutable.LinkedHashMap(sections: _*)) + "}"

@@ -102,11 +102,23 @@ object Pipeline {
   /** Gate query: per-language pipeline yield summary (docs in, docs kept,
     * chunks, bins) — deterministic, rows-only (the composed flow includes
     * the LSH stage which has no SQL oracle). */
-  def qPipelineSummary(s: SparkSession, dir: String): DataFrame = {
-    val docs = tokenizedDocs(s, dir)
+  def qPipelineSummary(s: SparkSession, dir: String): DataFrame =
+    summaryFrom(tokenizedDocs(s, dir))
+
+  /** Pipeline yield summary over ANY (doc_id, text, lang, …) corpus frame:
+    * the gate runs it on the documents table (via the shared tokenized
+    * cache); the Bench 1M-doc anchor runs it on the SyntheticDocs corpus,
+    * whose per-language goldens are exact by construction. The caller owns
+    * tokenization caching — pass a frame whose `t` column exists, or use
+    * [[summaryOver]] to tokenize + register with InternalCaches. */
+  def summaryOver(raw: DataFrame, cfg: Config = Config()): DataFrame =
+    summaryFrom(graft.core.InternalCaches.persist(
+      raw.withColumn("t", split(col("text"), " "))), cfg)
+
+  private def summaryFrom(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val total = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("docs_in"))
-    val chunks = trainingChunksFrom(docs, Config())
+    val chunks = trainingChunksFrom(docs, cfg)
     val kept = chunks.groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("docs_kept"),
            count(lit(1)).as("n_chunks"),

@@ -16,6 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SyntheticDocs {
 
+  /** Deterministic language tag: doc_id % 4 → one of four labels. Gives
+    * the pipeline anchors a stratification column whose per-language
+    * counts are exact by construction (ids are dense, so any id range
+    * divisible by 4 splits evenly). */
+  private val langs = Array("en", "de", "fr", "es")
+
   def planted(spark: SparkSession, nBase: Long, nPlant: Long,
               nTok: Int = 40, vocab: Int = 5000): DataFrame = {
     import spark.implicits._
@@ -37,7 +43,7 @@ object SyntheticDocs {
         j += 1
       }
       if (id >= nBase) words(nTok / 2) = tok(graft.functions.BitMix.splitmix64(-id))
-      (id, words.mkString(" "))
-    }.toDF("doc_id", "text")
+      (id, words.mkString(" "), langs((id % 4).toInt))
+    }.toDF("doc_id", "text", "lang")
   }
 }

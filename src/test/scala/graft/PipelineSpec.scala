@@ -34,4 +34,31 @@ class PipelineSpec extends SparkSpec {
       assert(r.getLong(3) >= r.getLong(2))  // chunks >= kept docs
     }
   }
+
+  test("pipeline yield on the planted corpus matches first-principles goldens") {
+    // nBase = 20000, nPlant = 500, 40 tokens/doc, 4 even languages:
+    //   docs_in   = 20500 / 4 = 5125 per language (ids dense, range % 4 == 0)
+    //   docs_kept = 5000 — every doc passes quality (40 tokens, zero
+    //     stopwords), exact dedup keeps all, and LSH drops EXACTLY the 500
+    //     planted copies (d2 of each pair)
+    //   n_chunks  = 10000 — stride 24 over 40 tokens → 2 chunks (32 + 16)
+    //   n_bins    = 30 — per-language tokens 5000 × 48 = 240000; exclusive
+    //     prefixes step by ≤ 32 < 8192, so bins are contiguous:
+    //     floor((240000 − 16) / 8192) + 1
+    // Every number derives from the corpus construction, so a regression in
+    // ANY pipeline stage (quality, dedup, LSH recall, chunking arithmetic,
+    // prefix-sum packing) moves one of them.
+    val docs = graft.sources.SyntheticDocs.planted(spark, nBase = 20000L, nPlant = 500L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = Pipeline.summaryOver(docs).collect()
+      assert(rows.length == 4, s"expected 4 languages, got ${rows.toSeq}")
+      for (r <- rows) {
+        assert(r.getLong(1) == 5125L, s"docs_in: $r")
+        assert(r.getLong(2) == 5000L, s"docs_kept: $r")
+        assert(r.getLong(3) == 10000L, s"n_chunks: $r")
+        assert(r.getLong(4) == 30L, s"n_bins: $r")
+      }
+    } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+  }
 }
