@@ -10,6 +10,31 @@ object Bench {
     * IllegalStateExceptions Spark throws for infrastructure states. */
   private final class GoldenMismatch(msg: String) extends RuntimeException(msg)
 
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  /** The published per-query figure: median of the VALID runs — a -1.0
+    * failure marker from a late measurement round must not poison the
+    * good runs; -1 only when NO run succeeded, which is the
+    * driver-visible failure flag. */
+  private[graft] def medianValid(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0)
+    if (ok.nonEmpty) median(ok) else -1.0
+  }
+
+  /** The HIGH VARIANCE stderr line for a run vector whose valid max/min
+    * ratio exceeds 4x (None when dispersion is acceptable) — makes any
+    * phantom median self-identifying in the round log instead of needing
+    * a judge-side TimeProbe. */
+  private[graft] def highVarianceLine(name: String, raw: Seq[Double]): Option[String] = {
+    val v = raw.filter(_ >= 0)
+    if (v.length > 1 && v.min > 0 && v.max / v.min > 4.0)
+      Some(f"[bench] HIGH VARIANCE $name: runs [${v.map(x => f"$x%.3f").mkString(",")}] max/min=${v.max / v.min}%.1f — median may not be steady state (re-measure with graft.TimeProbe)")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,22 +78,10 @@ object Bench {
         if (p.isEmpty) System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_BENCH_RUNS='$v'")
         p
       }.getOrElse(3).max(1).min(9)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
-    }
-    // the published per-query figure: median of the VALID runs (a -1.0
-    // failure marker in a late round must not poison two good ones); -1
-    // only when no run succeeded, which is the driver-visible failure flag
-    def medianValid(xs: Seq[Double]): Double = {
-      val ok = xs.filter(_ >= 0)
-      if (ok.nonEmpty) median(ok) else -1.0
-    }
-    def dispersionGuard(name: String, raw: Seq[Double]): Unit = {
-      val v = raw.filter(_ >= 0)
-      if (v.length > 1 && v.min > 0 && v.max / v.min > 4.0)
-        System.err.println(f"[bench] HIGH VARIANCE $name: runs [${v.map(x => f"$x%.3f").mkString(",")}] max/min=${v.max / v.min}%.1f — median may not be steady state (re-measure with graft.TimeProbe)")
-    }
+    def median(xs: Seq[Double]): Double = Bench.median(xs)
+    def medianValid(xs: Seq[Double]): Double = Bench.medianValid(xs)
+    def dispersionGuard(name: String, raw: Seq[Double]): Unit =
+      Bench.highVarianceLine(name, raw).foreach(System.err.println)
     val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
