@@ -14,7 +14,7 @@ object TimeProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     if (args.isEmpty || !new java.io.File(dir).isDirectory) {
       System.err.println(
-        s"usage: SPARK_GRAFT_SF_DIR=<parquet dir> runMain graft.TimeProbe <query name>...\n" +
+        s"usage: SPARK_GRAFT_SF_DIR=<parquet dir> runMain graft.TimeProbe <query name>... | all\n" +
         s"  (data dir '$dir' ${if (new java.io.File(dir).isDirectory) "exists" else "MISSING"}; " +
         s"queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
       if (args.isEmpty) return
@@ -27,7 +27,12 @@ object TimeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- args) {
+    // `all` expands to the full sorted gate inventory — the sweep that
+    // tools/compare_probe.py cross-checks a bench artifact against
+    val names: Seq[String] =
+      if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
+      else args.toSeq
+    for (name <- names) {
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
