@@ -135,9 +135,23 @@ object Ann {
     * plan — asserted in PlanContractSpec). At 100 TB that is the
     * difference between touching ~nprobe/nlist of the index files and all
     * of them; scoring is identical to [[ivfKnn]], so a served result
-    * equals the rebuild-every-time result exactly. */
+    * equals the rebuild-every-time result exactly.
+    *
+    * PRECONDITION (loud): the query side BROADCASTS (that is the serve
+    * path's whole point — per-request query sets are small), so
+    * queries × min(nprobe, nlist) must stay ≤ `maxBroadcastRows` or this
+    * throws before building the join. A huge "query" frame belongs in
+    * batches, or in [[ivfKnn]]'s rebuild path.
+    *
+    * CACHING: each call registers ONE plan-keyed [[graft.core.InternalCaches]]
+    * entry for the probe frame (it feeds both the probe-id collect and the
+    * broadcast join). A long-lived serve loop must call
+    * `InternalCaches.release(spark)` once per serve batch — after the
+    * action on the returned frame — or executor storage grows with every
+    * distinct query frame served. */
   def ivfServeKnn(spark: SparkSession, table: String, centroids: Array[Array[Double]],
-                  queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+                  queries: DataFrame, k: Int, nprobe: Int = 4,
+                  maxBroadcastRows: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val probeN = math.min(nprobe, centroids.length)
@@ -148,6 +162,13 @@ object Ann {
       queries.withColumn("qn", sqrt(expr("graft_dot(embedding, embedding)"))),
       centroids, probeN))
     val probeIds = qp.select(col("probe")).distinct().collect().map(_.getInt(0)).sorted
+    // count() reads the cache the probe-id collect just materialized — no
+    // second assignment pass; failing here beats an opaque broadcast OOM
+    // at join time
+    val probeRows = qp.count()
+    require(probeRows <= maxBroadcastRows,
+      s"ivfServeKnn broadcasts the query side: $probeRows probe rows exceed " +
+        s"maxBroadcastRows=$maxBroadcastRows — serve in batches (or use ivfKnn)")
     val cand = spark.table(table)
       .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),

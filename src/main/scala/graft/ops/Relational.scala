@@ -341,21 +341,38 @@ object Relational {
     * Size `bucketWidth` near the typical interval length: too narrow
     * multiplies interval replicas, too wide multiplies residual-filter
     * fan-out. Intervals of unbounded length belong in a coarser bucket
-    * tier, not this operator (documented precondition). */
+    * tier, not this operator (documented precondition).
+    *
+    * Shared column names between the two inputs are allowed EXCEPT for
+    * names the `pointVal`/`lo`/`hi` predicates reference — those would be
+    * ambiguous at resolution time, so they fail loudly here. A shared
+    * passthrough name merely appears twice in the output (rename or drop
+    * one side first if the caller selects it by name afterwards). */
   def rangeJoin(points: DataFrame, pointVal: Column, intervals: DataFrame,
                 lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     // Precondition (loud, not silent): the internal bucket column must not
     // collide with caller columns (withColumn would overwrite, the final
-    // drop would eat every occurrence), and the two inputs must not share
-    // column names (the lo/hi/pointVal predicates would be ambiguous at
-    // resolution time).
+    // drop would eat every occurrence), and no column NAME referenced by
+    // the join predicates may exist on both sides (name resolution against
+    // the joined frame would be ambiguous). Names not referenced by any
+    // predicate are the caller's business — they resolve fine.
     val bkt = "__graft_bkt"
     require(!points.columns.contains(bkt) && !intervals.columns.contains(bkt),
       s"rangeJoin inputs must not contain the internal column '$bkt'")
-    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(shared.isEmpty,
-      s"rangeJoin inputs must not share column names (got ${shared.mkString(", ")})")
+    val predicateNames = Seq(pointVal, lo, hi).flatMap { c =>
+      org.apache.spark.sql.graftbridge.Bridge.catalystExpression(c).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }
+    }.toSet
+    val ambiguous = predicateNames
+      .intersect(points.columns.toSet).intersect(intervals.columns.toSet)
+    require(ambiguous.isEmpty,
+      s"rangeJoin predicate columns exist on BOTH inputs and would be " +
+        s"ambiguous: ${ambiguous.mkString(", ")} — rename one side")
     val pb = points.withColumn(bkt, floor(pointVal / bucketWidth).cast(LongType))
     val ib = intervals.withColumn(bkt,
       explode(sequence(floor(lo / bucketWidth).cast(LongType),

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession => ClassicSession}
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Dataset, ExpressionUtils, SparkSession => ClassicSession}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal bridge into `private[sql]` constructors needed to expose a custom
@@ -17,4 +17,11 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Eagerly convert a Column's node tree to a catalyst Expression.
+    * [[expression]] wraps the node LAZILY in a ColumnNodeExpression, which
+    * hides the attribute references from collect/transform — use this when
+    * the caller needs to inspect what an (unresolved) Column refers to. */
+  def catalystExpression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
 }

@@ -97,6 +97,45 @@ class PlanContractSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p79).length == 3, s"q79 join shape changed:\n$p79")
   }
 
+  test("q78/q79: with auto-broadcast disabled the composition degrades to sane shuffle joins") {
+    // q78's doc claims that at 100 TB supplier/customer/orders "degrade to
+    // shuffle joins under AQE" while nation/region stay broadcast by their
+    // explicit hints. This is the cheapest scale-down proof: kill the
+    // planner's size-based broadcasts entirely and assert the degraded
+    // tree is the one the claim describes — SortMergeJoins for the big
+    // sides, the two hinted dims still broadcast, no nested loop or
+    // cartesian anywhere — and that the degraded plan computes the SAME
+    // rows (revenue sums are exact decimals, so join order/strategy
+    // cannot move the result).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    def rows(name: String): Set[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSet
+    val want78 = rows("q78_multi_join")
+    val want79 = rows("q79_agg_join")
+    try {
+      spark.conf.set(key, "-1")
+      val p78 = plan("q78_multi_join")
+      assert(!p78.contains("BroadcastNestedLoop") && !p78.contains("CartesianProduct"),
+        s"q78 degraded to a scale-killer plan:\n$p78")
+      assert("SortMergeJoin".r.findAllIn(p78).length == 3,
+        s"q78 expected lineitem-orders-customer-supplier as 3 shuffle joins:\n$p78")
+      assert("BroadcastHashJoin".r.findAllIn(p78).length == 2,
+        s"q78 nation/region must STAY broadcast via their explicit hints:\n$p78")
+      val p79 = plan("q79_agg_join")
+      assert(!p79.contains("BroadcastNestedLoop") && !p79.contains("CartesianProduct"),
+        s"q79 degraded to a scale-killer plan:\n$p79")
+      assert("HashAggregate".r.findAllIn(p79).length >= 4,
+        s"q79 lost an agg tier under the degraded plan:\n$p79")
+      assert(p79.contains("SortMergeJoin"),
+        s"q79 expected the fact-side joins to shuffle without broadcast:\n$p79")
+      assert(rows("q78_multi_join") == want78,
+        "q78 degraded plan changed the result")
+      assert(rows("q79_agg_join") == want79,
+        "q79 degraded plan changed the result")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("IVF serve path: the bucketed index scan prunes to the probed buckets") {
     // ivfKnn's doc promises the production path persists the index as a
     // table bucketed by centroid_id; this pins the payoff — serving reads
@@ -120,6 +159,14 @@ class PlanContractSpec extends SparkSpec {
         nlist = 16, nprobe = 3).collect().map(_.toSeq).toSet
       assert(served.collect().map(_.toSeq).toSet == rebuilt,
         "served result diverged from the rebuild-every-time result")
+      // the loud bounded-queries precondition: an oversized query side
+      // fails BEFORE the broadcast join is built, not as an executor OOM
+      // (3 queries x nprobe 3 = 9 probe rows > the bound of 2)
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Ann.ivfServeKnn(spark, "b_ivf_index", centroids, queries,
+          k = 5, nprobe = 3, maxBroadcastRows = 2L)
+      }
+      assert(e.getMessage.contains("maxBroadcastRows"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_ivf_index")
       graft.core.InternalCaches.release(spark)

@@ -117,7 +117,7 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
   }
 
-  test("rangeJoin: colliding internal column or shared input columns fail loudly") {
+  test("rangeJoin: colliding internal column or shared PREDICATE columns fail loudly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val pts = Seq((1L, 5.0)).toDF("pid", "v")
@@ -127,11 +127,17 @@ class RelationalSpec extends SparkSpec {
       graft.ops.Relational.rangeJoin(pts.withColumn("__graft_bkt", lit(1)),
         col("v"), iv, col("lo"), col("hi"), bucketWidth = 10.0)
     }
-    // shared column names make the lo/hi/pointVal predicates ambiguous
+    // a shared name REFERENCED by a predicate is ambiguous at resolution
     intercept[IllegalArgumentException] {
       graft.ops.Relational.rangeJoin(pts, col("v"),
-        iv.withColumnRenamed("iid", "pid"), col("lo"), col("hi"), bucketWidth = 10.0)
+        iv.withColumnRenamed("iid", "v"), col("lo"), col("hi"), bucketWidth = 10.0)
     }
+    // a shared passthrough name the predicates never touch is ALLOWED — it
+    // resolves fine and merely appears twice in the output
+    val shared = graft.ops.Relational.rangeJoin(pts, col("v"),
+      iv.withColumnRenamed("iid", "pid"), col("lo"), col("hi"), bucketWidth = 10.0)
+    assert(shared.count() == 1)
+    assert(shared.columns.count(_ == "pid") == 2)
   }
 
   test("rangeJoin: random intervals and points equal the naive join (property)") {

@@ -30,13 +30,15 @@ if missing:
 
 bad = []
 for name in sorted(set(medians) & set(probes)):
-    med, steady = medians[name], probes[name]
-    # sub-noise-floor timings (both under 0.5 s) can ratio wildly on
-    # scheduler jitter without meaning anything; only flag real seconds
+    # only flag real seconds: a sub-0.5 s bench median ratios wildly on
+    # scheduler jitter without meaning anything. The probe side is floored
+    # at 10 ms so a steady state that formats as 0.00 can't make a 0.6 s
+    # median flag with ratio inf.
+    med, steady = medians[name], max(probes[name], 0.01)
     if med > bar * steady and med > 0.5:
         bad.append((name, med, steady))
 for name, med, steady in bad:
-    ratio = med / steady if steady > 0 else float("inf")
+    ratio = med / steady
     print(f"PHANTOM? {name}: bench median {med:.2f}s vs probe steady {steady:.2f}s "
           f"({ratio:.1f}x)")
 print(f"{len(set(medians) & set(probes))} compared, {len(bad)} over the {bar}x bar")
