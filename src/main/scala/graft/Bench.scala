@@ -304,6 +304,41 @@ object Bench {
       }
     }
     val refText = textAnchor("300k", nBase = 300000L, warmReps = 3)
+    // reference_text_skew (default-on): same 300k corpus with 10% of docs
+    // sharing one hot boilerplate shingle (SyntheticDocs hotEvery=10) —
+    // the skew twin of reference_text. Asserts the SAME 1500-pair recall
+    // AND that the candidate layer stayed linear: max band bucket ≤ 64×
+    // mean (a hot shingle only owns a band key when it is the min of both
+    // band hashes — expected hot bucket f·N/s̄², a constant multiple of
+    // the mean) and Σ per-bucket pairs ≤ N. A skew regression in the
+    // banding fails the bench loudly at 300k, not at 100 TB.
+    val refTextSkew = try {
+      val docs = graft.sources.SyntheticDocs.planted(spark,
+          nBase = 300000L, nPlant = 1500L, hotEvery = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        docs.count()
+        var nPairs = -1L
+        val lshJson = coldWarm("reference_text_skew", "minhash_lsh_skew300k", warmReps = 1) {
+          nPairs = graft.ops.Text.minHashLshPairs(docs).count() }
+        if (nPairs != 1500L)
+          throw new GoldenMismatch(
+            s"skewed text dedup anchor MISMATCH: $nPairs LSH pairs (want the 1500 planted)")
+        val (maxB, meanB, candPairs, nDocs) = graft.ops.Text.lshBucketStats(docs)
+        if (maxB > 64 * meanB || candPairs > nDocs)
+          throw new GoldenMismatch(
+            s"skew bucket bound MISMATCH: max=$maxB mean=$meanB " +
+            s"candPairs=$candPairs nDocs=$nDocs (want max <= 64*mean, cand <= n)")
+        addCompact("reference_text_skew", "skew_max_bucket", maxB.toString)
+        s""","reference_text_skew":{$lshJson,"skew_max_bucket":$maxB,""" +
+          f""""skew_mean_bucket":$meanB%.3f,"skew_cand_pairs":$candPairs}"""
+      } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+    } catch {
+      case e: GoldenMismatch => throw e
+      case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] reference_text_skew section dropped: $e")
+        compactRef.remove("reference_text_skew"); ""
+    }
     // reference_text_1m (opt-in: SPARK_GRAFT_BIG=1): the dedup path is the
     // engine's flagship 100 TB claim — this tier proves the banded join
     // holds at 1M docs (~2000x the gate corpus) with the same 1500-pair
@@ -360,7 +395,7 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refText1m$refPipe1m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -386,7 +421,8 @@ object Bench {
     // survives intact. 1950 leaves slack for a noisy window widening a few
     // medians to double digits; shedding degrades gracefully from there.
     val budget = 1950
-    val shedOrder = Seq("reference_pipeline_1m", "reference_text_1m", "reference_100m",
+    val shedOrder = Seq("reference_text_skew", "reference_pipeline_1m",
+      "reference_text_1m", "reference_100m",
       "reference_text", "reference_10m", "reference_1m", "reference")
     var sections = compactRef.toSeq // LinkedHashMap: insertion order
     def render(): String = head + renderCompactRef(

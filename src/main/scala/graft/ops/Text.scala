@@ -179,31 +179,7 @@ object Text {
     * single cached tokenized corpus through instead of re-scanning and
     * re-tokenizing the source table per stage. */
   def minHashLshPairs(docs: DataFrame): DataFrame = {
-    val nHashes = 32; val bands = 16; val rows = 2
-    // native hashed shingles; all downstream work is on longs
-    val exploded = withHashedShingles(docs)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    // ONE explode + shuffle + aggregation computes BOTH the 32 min-hash
-    // signature columns AND the per-doc hashed-shingle set, materialized by
-    // a lazy plan-keyed persist (NOT an eager localCheckpoint — its extra
-    // job barrier measured ~1 s/query; see PLANS.md round-4 persist
-    // policy): the three downstream consumers (the
-    // two sides of the banded self-join and the two re-verify joins) read
-    // the materialized frame instead of each re-deriving it — the previous
-    // shape re-scanned the corpus and re-shingled FOUR times per
-    // invocation (self-join subtrees are not deduplicated by Catalyst, and
-    // the differing partial aggregates defeat exchange reuse). The
-    // materialization is linear in the corpus (shingle set + 32 longs per
-    // doc, memory-and-disk), against four full recomputes at 100 TB.
-    val agg = graft.core.InternalCaches.persist(
-      exploded.groupBy(col("doc_id")).agg(
-        collect_set(col("h")).as("hs"),
-        (0 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*))
-    // band key = hash of the band's signature rows; candidates share a band
-    val banded = agg.select(col("doc_id"), posexplode(array(
-      (0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val (agg, banded) = lshAggAndBanded(docs)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -219,6 +195,59 @@ object Text {
         size(array_union(col("hs1"), col("hs2"))))
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** The LSH signature aggregate and its banding — [[minHashLshPairs]]'s
+    * candidate layer, exposed so skew diagnostics can measure band-bucket
+    * sizes without duplicating the banding arithmetic.
+    *
+    * ONE explode + shuffle + aggregation computes BOTH the 32 min-hash
+    * signature columns AND the per-doc hashed-shingle set, materialized by
+    * a lazy plan-keyed persist (NOT an eager localCheckpoint — its extra
+    * job barrier measured ~1 s/query; see PLANS.md round-4 persist
+    * policy): the three downstream consumers (the
+    * two sides of the banded self-join and the two re-verify joins) read
+    * the materialized frame instead of each re-deriving it — the previous
+    * shape re-scanned the corpus and re-shingled FOUR times per
+    * invocation (self-join subtrees are not deduplicated by Catalyst, and
+    * the differing partial aggregates defeat exchange reuse). The
+    * materialization is linear in the corpus (shingle set + 32 longs per
+    * doc, memory-and-disk), against four full recomputes at 100 TB. */
+  private[graft] def lshAggAndBanded(docs: DataFrame): (DataFrame, DataFrame) = {
+    val nHashes = 32; val bands = 16; val rows = 2
+    // native hashed shingles; all downstream work is on longs
+    val exploded = withHashedShingles(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val agg = graft.core.InternalCaches.persist(
+      exploded.groupBy(col("doc_id")).agg(
+        collect_set(col("h")).as("hs"),
+        (0 until nHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*))
+    // band key = hash of the band's signature rows; candidates share a band
+    val banded = agg.select(col("doc_id"), posexplode(array(
+      (0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    (agg, banded)
+  }
+
+  /** Band-bucket skew diagnostic: (max bucket size, mean bucket size,
+    * candidate pairs Σ s·(s−1)/2, docs banded). The LSH 100 TB claim rests
+    * on these staying bounded under hot-shingle skew — a hot shingle only
+    * reaches a band key when it is the MINIMUM of both of the band's two
+    * min-hashes, so a shingle shared by a fraction f of docs yields an
+    * expected hot-bucket size of f·N/s̄² for per-doc shingle count s̄ (a
+    * constant, not a fraction of N) — the banding analogue of the AllPairs
+    * prefix-filter bound. Bench's skew tier asserts max ≤ 64× mean and
+    * candidates ≤ N every round. */
+  private[graft] def lshBucketStats(docs: DataFrame): (Long, Double, Long, Long) = {
+    val (_, banded) = lshAggAndBanded(docs)
+    val sizes = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val r = sizes.agg(
+      max(col("n")), avg(col("n")),
+      sum(col("n") * (col("n") - 1) / 2).cast(LongType)).head()
+    val nDocs = docs.count()
+    (r.getLong(0), r.getDouble(1), r.getLong(2), nDocs)
   }
 
   /** SimHash (60-bit) per document + Hamming-near pairs via 4×15-bit band

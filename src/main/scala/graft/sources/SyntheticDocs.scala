@@ -22,8 +22,17 @@ object SyntheticDocs {
     * divisible by 4 splits evenly). */
   private val langs = Array("en", "de", "fr", "es")
 
+  /** @param hotEvery 0 (default) for the uniform corpus; k > 0 plants
+    *        hot-shingle SKEW — every k-th base doc (and its near-dup copy)
+    *        opens with the same fixed 3-token boilerplate prefix, so 1/k of
+    *        the corpus shares one hot shingle (the "© boilerplate header"
+    *        shape real crawls have). The shared shingle contributes
+    *        Jaccard ≈ 1/75 between unrelated hot docs — far below any
+    *        dedup threshold — so the planted-pair ground truth is
+    *        unchanged; what the skew stresses is the CANDIDATE layer
+    *        (band buckets / prefix filters), not the answer. */
   def planted(spark: SparkSession, nBase: Long, nPlant: Long,
-              nTok: Int = 40, vocab: Int = 5000): DataFrame = {
+              nTok: Int = 40, vocab: Int = 5000, hotEvery: Int = 0): DataFrame = {
     import spark.implicits._
     require(nPlant <= nBase, s"cannot plant $nPlant near-dups into $nBase docs")
     // token j of doc `base` hashes base * 64 + j: the stride bounds nTok.
@@ -32,6 +41,12 @@ object SyntheticDocs {
     // planted-pair-count asserts (TextSpec, Bench reference_text) rely on.
     require(nTok >= 1 && nTok <= 64,
       s"nTok=$nTok outside the [1, 64] hash-stride bounds")
+    require(hotEvery >= 0, s"hotEvery must be >= 0, got $hotEvery")
+    // the hot prefix needs headroom: 3 fixed tokens + the mid-doc swap must
+    // leave enough doc-specific shingles that hot pairs stay far below the
+    // 0.5 dedup threshold (at nTok >= 8, shared <= 1 of >= 6 shingles)
+    require(hotEvery == 0 || nTok >= 8,
+      s"hot-skew corpora need nTok >= 8 (got $nTok)")
     def tok(h: Long): String = "t" + java.lang.Long.remainderUnsigned(h, vocab.toLong)
     spark.range(nBase + nPlant).map { jid =>
       val id: Long = jid
@@ -41,6 +56,11 @@ object SyntheticDocs {
       while (j < nTok) {
         words(j) = tok(graft.functions.BitMix.splitmix64(base * 64 + j))
         j += 1
+      }
+      if (hotEvery > 0 && base % hotEvery == 0) {
+        // fixed out-of-vocab boilerplate ("hdr*" can never collide with a
+        // "t<k>" vocab token): exactly one fully-shared 3-shingle per pair
+        words(0) = "hdr0"; words(1) = "hdr1"; words(2) = "hdr2"
       }
       if (id >= nBase) words(nTok / 2) = tok(graft.functions.BitMix.splitmix64(-id))
       (id, words.mkString(" "), langs((id % 4).toInt))

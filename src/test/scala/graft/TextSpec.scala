@@ -382,4 +382,32 @@ class TextSpec extends SparkSpec {
     val kept = keep.filter(col("lang") === "en").count().toDouble
     assert(math.abs(kept / total - 0.5) < 0.15)
   }
+
+  test("hot-shingle skew: recall exact, band buckets bounded, AllPairs agrees") {
+    // 10% of 20k docs share one boilerplate shingle (SyntheticDocs
+    // hotEvery=10). The dedup answers must not move — the hot pairs sit at
+    // J ~ 1/75 — and the CANDIDATE layer must stay linear: a hot shingle
+    // only owns a band key when it is the minimum of both of the band's
+    // hashes, so the hot bucket is f·N/s̄² (a constant multiple of the
+    // mean), not f·N.
+    try {
+      val docs = graft.sources.SyntheticDocs.planted(spark,
+        nBase = 20000L, nPlant = 300L, hotEvery = 10)
+      val lsh = Text.minHashLshPairs(docs)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0L until 300L).map(i => (i, 20000L + i)).toSet
+      assert(lsh == want, s"skewed-corpus LSH recall broke: ${lsh.size} pairs")
+      // the exact AllPairs twin (prefix filtering pushes the hot shingle
+      // out of every prefix — highest document frequency sorts LAST)
+      val exact = Text.ngramJaccardPairs(docs)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == want, s"skewed-corpus AllPairs diverged: ${exact.size} pairs")
+      // band-bucket boundedness — the actual 100 TB claim
+      val (maxB, meanB, candPairs, nDocs) = Text.lshBucketStats(docs)
+      assert(maxB <= 64 * meanB,
+        s"hot shingle owns a band bucket: max=$maxB mean=$meanB")
+      assert(candPairs <= nDocs,
+        s"candidate layer went superlinear: $candPairs pairs for $nDocs docs")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
