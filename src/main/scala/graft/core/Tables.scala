@@ -27,7 +27,13 @@ object Tables {
     * rejects; read it as a long (legacy conf) and normalize to a µs
     * TimestampType column so downstream operators see a standard timestamp.
     * ns→µs truncation matches DuckDB's ns→ms truncation on the positive
-    * axis, so epoch-ms comparisons agree across engines. */
+    * axis, so epoch-ms comparisons agree across engines.
+    *
+    * A rewritten events table (e.g. tools/make_sf1.py's scaled tier — no
+    * writer in this stack can EMIT nanos) carries a standard µs TIMESTAMP
+    * instead; the legacy conf leaves µs columns untouched, so branch on
+    * the loaded type: long ⇒ nanos file, normalize; timestamp ⇒ already
+    * µs, pass through. Values agree because both paths floor toward µs. */
   def events(s: SparkSession, dir: String): DataFrame = {
     // scope the legacy toggle to this schema-resolution only: set, resolve
     // the scan (schema is captured eagerly at read time), then restore, so
@@ -37,9 +43,21 @@ object Tables {
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
     try {
-      // integral `div`, not `/`: epoch-ns (~1.7e18) exceeds double precision
-      s.read.parquet(path(dir, "events"))
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = s.read.parquet(path(dir, "events"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integral `div`, not `/`: epoch-ns (~1.7e18) exceeds double precision
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // a rewritten file stores naive µs wall times equal to the nanos
+          // file's UTC instants; the UTC session tz makes this cast the
+          // identity on the underlying micros, and downstream unix_millis
+          // needs TIMESTAMP, not TIMESTAMP_NTZ
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

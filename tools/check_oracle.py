@@ -4,6 +4,11 @@
 Mimics the driver's compare: load each verify-dump parquet, run the oracle
 SQL in DuckDB over the same sf dir, canonicalize (columns sorted by name,
 rows sorted), and diff values. Not part of the shipped library.
+
+Usage: check_oracle.py [sf_dir] [verify_out_dir] [json_artifact_path]
+The optional third arg writes a driver-shaped JSON record (per-query
+rows/schema/hash match) — used for committed artifacts like
+CORRECTNESS_sf1.json.
 """
 import glob
 import json
@@ -14,6 +19,7 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -44,10 +50,15 @@ def canon(df):
     return cols, rows
 
 n_ok = n_bad = 0
+record = {}
 for name in sorted(oracle):
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    record[name] = rec
     pq_dirs = glob.glob(f"{OUT_DIR}/{name}/*.parquet")
     if not pq_dirs:
         print(f"MISSING  {name}: no verify parquet")
+        rec["err"] = "missing_parquet"
         n_bad += 1
         continue
     try:
@@ -56,10 +67,14 @@ for name in sorted(oracle):
         orc = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"SQLERR   {name}: {e}")
+        rec["err"] = f"sql_error: {e}"
         n_bad += 1
         continue
     mc, mr = canon(mine)
     oc, orows = canon(orc)
+    rec.update(spark_rows=len(mr), oracle_rows=len(orows),
+               rows_match=len(mr) == len(orows), schema_match=mc == oc,
+               hash_match=mc == oc and mr == orows)
     if mc != oc:
         print(f"SCHEMA   {name}: mine={mc} oracle={oc}")
         n_bad += 1
@@ -82,8 +97,19 @@ for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
     try:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
         print(f"ROWSONLY {name}: {n} rows")
+        record[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": n,
+                        "oracle_rows": None, "err": "no_oracle"}
     except Exception as e:
         print(f"ROWSONLY {name}: unreadable ({e})")
+        record[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": None,
+                        "oracle_rows": None, "err": f"unreadable: {e}"}
+
+if JSON_OUT:
+    with open(JSON_OUT, "w") as f:
+        json.dump(dict(sorted(record.items())), f, indent=2)
+    print(f"json artifact -> {JSON_OUT}")
 
 print(f"\n{n_ok} ok, {n_bad} bad")
 sys.exit(1 if n_bad else 0)
