@@ -122,6 +122,29 @@ class SourcesSpec extends SparkSpec {
       s"ORC lost filter pushdown:\n$orcPlan")
   }
 
+  test("Tables.events reads both layouts: TIMESTAMP(NANOS) and rewritten µs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    // the driver's nanos file (legacy-conf long read + div-1000 normalize)
+    val nanos = graft.core.Tables.events(spark, sfDir)
+    assert(nanos.schema("ts").dataType == TimestampType)
+    // a rewritten twin: any non-nanos writer (Spark here, DuckDB in
+    // tools/make_sf1.py) emits standard µs — values must agree exactly
+    val base = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    // Spark writes TimestampType as µs parquet; reading it back yields
+    // TIMESTAMP_NTZ or TIMESTAMP depending on the writer's session conf —
+    // write NTZ explicitly to exercise the make_sf1.py shape
+    nanos.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$base/events.parquet")
+    val rewritten = graft.core.Tables.events(spark, base)
+    assert(rewritten.schema("ts").dataType == TimestampType)
+    val a = nanos.select("event_id", "ts").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    val b = rewritten.select("event_id", "ts").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    assert(a == b, "rewritten µs events diverged from the nanos originals")
+  }
+
   test("SyntheticDocs rejects nTok beyond the per-doc hash stride") {
     // token j of doc `base` hashes base * 64 + j — past 64 tokens adjacent
     // docs would share token streams and the planted-pair ground truth
