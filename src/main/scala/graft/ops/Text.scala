@@ -929,6 +929,83 @@ object Text {
   def qMixWeights(s: SparkSession, dir: String): DataFrame =
     sourceMixWeights(Tables.documents(s, dir))
 
+  /** Boilerplate line removal (the C4/RefinedWeb "drop repeated lines"
+    * pass): segment each doc into fixed-`lineTokens` lines, find the
+    * corpus's `topK` most frequent lines (cnt desc, line asc — fully
+    * deterministic), drop every occurrence, and reassemble the surviving
+    * text in original order.
+    *
+    * Scale shape: the hot-line list is a distributed TOP-K REDUCTION
+    * (orderBy + limit plans as TakeOrderedAndProject — no global window,
+    * no single reducer over the distinct-line space, which at 100 TB is
+    * itself billions of rows), and the removal is a BROADCAST anti-join
+    * of that K-row list against the exploded lines. Reassembly groups by
+    * doc and sorts each doc's surviving (pos, line) pairs inside the
+    * aggregate — per-doc arrays, never a corpus-wide sort. Docs whose
+    * every line was boilerplate survive with empty text (left join), so
+    * the output is exactly one row per input doc. */
+  def lineDedup(docs: DataFrame, lineTokens: Int = 2, topK: Int = 25): DataFrame = {
+    require(lineTokens >= 1, s"lineTokens must be >= 1, got $lineTokens")
+    // one exploded (doc_id, pos, line) frame feeds the hot-line count, the
+    // per-doc totals and the anti-join — persist like the other
+    // multiply-consumed internal frames
+    val lines = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / $lineTokens.0) as int) - 1), " +
+        s"i -> array_join(slice(t, i * $lineTokens + 1, $lineTokens), ' '))")))
+        .withColumnRenamed("pos", "pos").withColumnRenamed("col", "line"))
+    val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("line").asc).limit(topK)
+      .select(col("line"))
+    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_lines_doc"))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast(LongType).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("text_dedup"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines_doc"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(s, dir))
+
+  /** Per-source quota cap (the "domain quota" crawl pass: no single
+    * domain may contribute more than `perSource` documents). The kept set
+    * is the `perSource` smallest (md5(text), doc_id) per source — a pure
+    * function of content, so partitioning- and run-independent; doc_id
+    * breaks exact-duplicate ties.
+    *
+    * Ranking is TWO-LEVEL so a hot domain never sorts in one window
+    * partition: stage 1 ranks within (source, doc_id mod `buckets`) and
+    * keeps `perSource` per bucket — every global top-`perSource` row is
+    * by definition within its own bucket's top `perSource`, so stage 1
+    * retains a superset of the answer while bounding each window
+    * partition to ~|domain|/buckets rows; stage 2 re-ranks the ≤
+    * buckets × perSource survivors per source and cuts the exact quota.
+    * Same two-level shape as q64's prefix-sum packing; output equals the
+    * naive single-window rank row-for-row (TextSpec). */
+  def sourceQuota(docs: DataFrame, perSource: Int = 15, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perSource >= 1 && buckets >= 1,
+      s"perSource and buckets must be >= 1, got $perSource/$buckets")
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(buckets)))
+      .orderBy(md5(col("text")).asc, col("doc_id").asc)
+    val survivors = docs
+      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= perSource)
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text")).asc, col("doc_id").asc)
+    survivors.withColumn("rk", row_number().over(w2)).filter(col("rk") <= perSource)
+      .select(col("source"), col("rk"), col("doc_id"))
+  }
+
+  def qSourceQuota(s: SparkSession, dir: String): DataFrame =
+    sourceQuota(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -951,6 +1028,8 @@ object Text {
     "q74_stratified_sample" -> (qStratifiedSample _),
     "q76_repetition"    -> (qRepetition _),
     "q77_mix_weights"   -> (qMixWeights _),
+    "q80_line_dedup"    -> (qLineDedup _),
+    "q81_source_quota"  -> (qSourceQuota _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1118,6 +1197,39 @@ object Text {
          SELECT source, n_docs, tok,
            CAST(min_tok AS DOUBLE) / tok AS keep_rate
          FROM per_source CROSS JOIN m""",
+    // lines are fixed 2-token segments; hot = top-25 by (cnt desc, line
+    // asc) — the same fully-deterministic order the Spark top-K reduction
+    // cuts, so the boilerplate sets agree exactly
+    "q80_line_dedup" ->
+      """WITH tok AS MATERIALIZED (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         lines AS MATERIALIZED (
+           SELECT doc_id, i AS pos,
+                  array_to_string(list_slice(t, i*2+1, i*2+2), ' ') AS line
+           FROM tok, LATERAL unnest(
+             generate_series(0, CAST(ceil(len(t)/2.0) AS BIGINT) - 1)) AS u(i)),
+         hot AS MATERIALIZED (
+           SELECT line FROM (SELECT line, count(*) AS cnt FROM lines
+                             GROUP BY line ORDER BY cnt DESC, line ASC
+                             LIMIT 25) t),
+         kept AS (SELECT l.doc_id, l.pos, l.line
+                  FROM lines l ANTI JOIN hot h USING (line))
+         SELECT s.doc_id, s.n_lines_doc, coalesce(k.n_kept, 0) AS n_kept,
+                coalesce(k.text_dedup, '') AS text_dedup
+         FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_doc
+               FROM lines GROUP BY doc_id) s
+         LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(line, ' ' ORDER BY pos) AS text_dedup
+                    FROM kept GROUP BY doc_id) k USING (doc_id)""",
+    // the naive single-window rank — the Spark side's two-level ranking
+    // must equal it row-for-row
+    "q81_source_quota" ->
+      """SELECT source, rk, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 15""",
     "q57_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),

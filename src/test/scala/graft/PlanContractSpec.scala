@@ -173,6 +173,25 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q80/q81: top-K reduction + bucketed quota ranks (no global sort/window)") {
+    try {
+      // q80: the hot-line list must plan as a distributed top-K reduction
+      // (TakeOrderedAndProject), never a global sort or a window over the
+      // distinct-line space, and the removal anti-join must broadcast
+      val p80 = plan("q80_line_dedup")
+      assert(p80.contains("TakeOrderedAndProject"), s"q80 hot-line list lost its top-K reduction:\n$p80")
+      assert(p80.contains("BroadcastHashJoin") && p80.contains("LeftAnti"),
+        s"q80 removal is not a broadcast anti-join:\n$p80")
+      assert(!p80.contains("BroadcastNestedLoop") && !p80.contains("CartesianProduct"),
+        s"q80 planned a scale-killer join:\n$p80")
+      // q81: both rank stages hash-partition (source[, bucket]) — a hot
+      // domain never sorts on a single reducer
+      val p81 = plan("q81_source_quota")
+      assert(!p81.contains("SinglePartition"), s"q81 ranks on one reducer:\n$p81")
+      assert(p81.contains("hashpartitioning(source"), s"q81 not partitioned by source:\n$p81")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("q72: the shard ranks partition by shard (no single-reducer window)") {
     val p = plan("q72_shards")
     // a Window over an EMPTY partition spec plans Exchange SinglePartition;

@@ -383,6 +383,44 @@ class TextSpec extends SparkSpec {
     assert(math.abs(kept / total - 0.5) < 0.15)
   }
 
+  test("lineDedup: hand-built corpus — hot line dropped everywhere, order kept") {
+    import spark.implicits._
+    try {
+      val docs = Seq(
+        (0L, "a b a b c d"), // lines: "a b","a b","c d"
+        (1L, "a b x y"),     // lines: "a b","x y"
+        (2L, "a b a b")      // all lines hot -> survives with empty text
+      ).toDF("doc_id", "text")
+      val out = Text.lineDedup(docs, lineTokens = 2, topK = 1)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // "a b" occurs 5x and is the unique top-1 boilerplate line
+      assert(out(0L) == ((3L, 1L, "c d")))
+      assert(out(1L) == ((2L, 1L, "x y")))
+      assert(out(2L) == ((2L, 0L, ""))) // fully-boilerplate doc keeps its row
+      // reassembly preserves original line order, not alphabetical
+      val ord = Text.lineDedup(Seq((9L, "z z m m a a")).toDF("doc_id", "text"),
+        lineTokens = 2, topK = 0).collect().head.getString(3)
+      assert(ord == "z z m m a a")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("sourceQuota: two-level rank equals the naive single-window quota") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val naive = docs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))))
+      .filter(col("rk") <= 7).select("source", "rk", "doc_id")
+      .collect().map(_.toSeq).toSet
+    for (buckets <- Seq(1, 4, 16)) {
+      val got = Text.sourceQuota(docs, perSource = 7, buckets = buckets)
+        .collect().map(_.toSeq).toSet
+      assert(got == naive, s"two-level quota diverged at buckets=$buckets")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("hot-shingle skew: recall exact, band buckets bounded, AllPairs agrees") {
     // 10% of 20k docs share one boilerplate shingle (SyntheticDocs
     // hotEvery=10). The dedup answers must not move — the hot pairs sit at
