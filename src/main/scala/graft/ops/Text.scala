@@ -1006,6 +1006,31 @@ object Text {
   def qSourceQuota(s: SparkSession, dir: String): DataFrame =
     sourceQuota(Tables.documents(s, dir))
 
+  /** Canonical selection per near-dup cluster — the step AFTER component
+    * clustering in a dedup pipeline: of each cluster keep exactly one
+    * representative, here the longest member (token count) with doc_id as
+    * the deterministic tiebreak. The rank window partitions by component;
+    * clusters are small by dedup semantics (a few near-copies), so no
+    * window partition ever approaches corpus size — the heavy lifting
+    * (pair graph, contraction) already happened in [[dedupComponents]]. */
+  def canonicalPick(docs: DataFrame, components: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = withTokens(docs)
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tok"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    components.join(lens, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("comp"), col("doc_id"), col("n_tok"),
+        (col("rk") === 1).as("canonical"))
+  }
+
+  /** Gate: canonical picks over the LSH component clustering (same edge
+    * source as q58, same false-negative caveat discharged by the exact
+    * oracle on this corpus). */
+  def qCanonicalPick(s: SparkSession, dir: String): DataFrame =
+    canonicalPick(Tables.documents(s, dir), qDedupComponents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -1030,9 +1055,32 @@ object Text {
     "q77_mix_weights"   -> (qMixWeights _),
     "q80_line_dedup"    -> (qLineDedup _),
     "q81_source_quota"  -> (qSourceQuota _),
+    "q82_canonical_pick" -> (qCanonicalPick _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared CTE chain for the q58/q82 oracles: the EXACT J >= 0.5 pair
+    * graph (LSH's false-negative caveat is q58's documented contract) and
+    * its transitive closure — `reach(n, m)` holds every ordered reachable
+    * pair. Components follow as least(n, min(m)) per node. */
+  private val ComponentsOracleCtes: String =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tok WHERE len(t) >= 3),
+         card AS (SELECT doc_id AS cid, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         edges AS (SELECT d1, d2 FROM common
+                   JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
+                   WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+         und AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+         reach(n, m) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)"""
 
   val oracles: Map[String, String] = Map(
     "q38_wordcount" ->
@@ -1240,23 +1288,24 @@ object Text {
          FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
          WHERE round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) >= 3.0""",
     "q58_dedup_components" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
-                FROM tok WHERE len(t) >= 3),
-         card AS (SELECT doc_id AS cid, count(*) AS n FROM sh GROUP BY doc_id),
-         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-         edges AS (SELECT d1, d2 FROM common
-                   JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
-                   WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
-         und AS (SELECT d1 AS a, d2 AS b FROM edges UNION ALL SELECT d2, d1 FROM edges),
-         reach(n, m) AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)
+      s"""$ComponentsOracleCtes
          SELECT n AS doc_id, least(n, min(m)) AS comp FROM reach GROUP BY n""",
+    // canonical pick rides the SAME component CTEs plus a per-component
+    // rank by (n_tok desc, doc_id asc) — the naive window IS the oracle;
+    // the Spark side partitions its window by comp (clusters are small by
+    // dedup semantics, never corpus-sized)
+    "q82_canonical_pick" ->
+      s"""$ComponentsOracleCtes,
+         comp AS (SELECT n AS doc_id, least(n, min(m)) AS comp
+                  FROM reach GROUP BY n),
+         lens AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                  FROM documents)
+         SELECT comp, doc_id, n_tok, rk = 1 AS canonical FROM (
+           SELECT c.comp, c.doc_id, l.n_tok,
+             row_number() OVER (PARTITION BY c.comp
+               ORDER BY l.n_tok DESC, c.doc_id ASC) AS rk
+           FROM comp c JOIN lens l USING (doc_id)) t""",
     // q36 simhash: the oracle regenerates every simhash bit in SQL — the
     // per-token Karp-Rabin hash as a HUGEINT modular fold (the q37
     // pattern), the per-bit ±1 majority vote via a range(60) cross join,

@@ -405,6 +405,20 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("canonicalPick: exactly one canonical per component, the longest member") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "comp")
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, "a b"),
+      (7L, "x y"), (8L, "x")).toDF("doc_id", "text")
+    val out = Text.canonicalPick(docs, comps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 5) // every clustered doc keeps its row
+    val canonical = out.filter(_._4).map(r => r._1 -> r._2).toMap
+    assert(canonical == Map(1L -> 2L, 7L -> 7L)) // longest member wins
+    assert(out.count(_._4) == 2) // exactly one per component
+  }
+
   test("sourceQuota: two-level rank equals the naive single-window quota") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
