@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Round ritual (dev-only): every evidential artifact a round should commit.
+#
+#   tools/round_ritual.sh <round-number> [sf-dir]
+#
+# Runs, in order:
+#   1. the full test suite (must be green),
+#   2. correctness at sf0.01 against the DuckDB oracle,
+#   3. the sf1-scale oracle pass (builds testdata_sf1 if absent) ->
+#      CORRECTNESS_sf1.json,
+#   4. the interleaved bench at sf0.1 -> BENCH_DETAIL.json,
+#   5. the full TimeProbe sweep -> PROBE_r<N>.txt,
+#   6. compare_probe (bench medians vs isolated steady states) — exit
+#      nonzero here means a flagged query needs a README explanation or a
+#      re-measure, not necessarily a bug,
+#   7. the opt-in BIG tier (100M geometry + 1M-doc text/pipeline) ->
+#      BENCH_BIG_r<N>.json.
+#
+# Steps 4-7 are timing-sensitive: run nothing else on the machine.
+set -uo pipefail
+
+R=${1:?usage: round_ritual.sh <round-number> [sf-dir]}
+SF=${2:-/root/testdata/sf0.1}
+CPUS=${SPARK_GRAFT_CPUS:-32}
+
+echo "== [1/7] sbt test"
+sbt -batch test || exit 1
+
+echo "== [2/7] correctness @ sf0.01"
+rm -rf /tmp/ritual_verify
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/ritual_verify" > /dev/null || exit 1
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/ritual_verify || exit 1
+
+echo "== [3/7] sf1-scale oracle pass"
+[ -d testdata_sf1 ] || python3 tools/make_sf1.py /root/testdata/sf0.1 testdata_sf1 10
+rm -rf /tmp/ritual_sf1
+sbt -batch "runMain graft.Verify testdata_sf1 /tmp/ritual_sf1" > /dev/null || exit 1
+python3 tools/check_oracle.py testdata_sf1 /tmp/ritual_sf1 CORRECTNESS_sf1.json || exit 1
+
+echo "== [4/7] bench @ $SF"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
+  sbt -batch "runMain graft.Bench" > "/tmp/ritual_bench_r$R.out" || exit 1
+tail -1 "/tmp/ritual_bench_r$R.out"
+
+echo "== [5/7] TimeProbe sweep -> PROBE_r$R.txt"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
+  sbt -batch "runMain graft.TimeProbe all" 2>/dev/null | grep '^PROBE' > "PROBE_r$R.txt"
+wc -l "PROBE_r$R.txt"
+
+echo "== [6/7] compare_probe"
+python3 tools/compare_probe.py BENCH_DETAIL.json "PROBE_r$R.txt" \
+  || echo "   ^ flagged queries: explain in README (tight run vectors = contention) or re-measure"
+
+echo "== [7/7] BIG tier -> BENCH_BIG_r$R.json"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BIG=1 \
+  SPARK_DRIVER_MEM=48g SPARK_GRAFT_BENCH_DETAIL="BENCH_BIG_r$R.json" \
+  sbt -batch "runMain graft.Bench" > /dev/null || exit 1
+echo "done: PROBE_r$R.txt, BENCH_DETAIL.json, BENCH_BIG_r$R.json, CORRECTNESS_sf1.json"
