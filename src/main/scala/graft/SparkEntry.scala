@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Ann, Embeddings, Events, Geometry, Pipeline, Relational, Skew, Text}
+import graft.ops.{Ann, Clustering, Embeddings, Events, Geometry, Pipeline, Relational, Skew, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Geometry.queries ++ Text.queries ++
       Embeddings.queries ++ Events.queries ++ Skew.queries ++
-      Pipeline.queries ++ Ann.queries ++ graft.multimodal.Multimodal.queries
+      Pipeline.queries ++ Ann.queries ++ Clustering.queries ++
+      graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Geometry.oracles ++ Text.oracles ++
       Embeddings.oracles ++ Events.oracles ++ Skew.oracles ++
-      Pipeline.oracles ++ Ann.oracles
+      Pipeline.oracles ++ Ann.oracles ++ Clustering.oracles
 }

@@ -222,6 +222,38 @@ object Embeddings {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** Triangle participation counts on the cosine similarity graph — the
+    * graph-analytics pass over near-dup edges: a vector in many triangles
+    * sits inside a dense near-duplicate clique (template spam, mirrored
+    * content), which pairwise counts alone can't distinguish from many
+    * independent coincidental matches. Classic MapReduce triangle enumeration
+    * (Suri & Vassilvitskii, WWW'11): edges oriented low-id → high-id, so
+    * each triangle a<b<c is produced exactly once by joining (a,b)⋈(b,c)
+    * and closing with (a,c).
+    *
+    * Scale shape: the expensive part is the EDGE LIST, delegated to
+    * [[cosineNearDup]]'s block outer product; the triangle step is two
+    * equi-joins on a similarity graph that thresholding keeps sparse. The
+    * known cost is the pivot join's deg² fan-out on hub nodes — the
+    * standard mitigation at extreme skew (not needed at this graph's
+    * density, asserted in EmbeddingsSpec) is degree-ordering the edges
+    * before the pivot, which this formulation composes with directly. The
+    * edge frame is consumed three times → internal scoped persist. */
+  def cosineTriangles(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val edges = graft.core.InternalCaches.persist(
+      cosineNearDup(emb, threshold).select(col("d1"), col("d2")))
+    val tri = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .join(edges.select(col("d1").as("b"), col("d2").as("c")), "b")
+      .join(edges.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tri"))
+  }
+
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    cosineTriangles(Tables.embeddings(s, dir), 0.4)
+
   /** Per-label centroid norm via exact decimal element sums (order-free). */
   def qCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -248,6 +280,7 @@ object Embeddings {
     "q41_cosine_neardup" -> (qCosineNearDup _),
     "q42_centroids"      -> (qCentroids _),
     "q43_ann_lsh"        -> (qAnnKnn _),
+    "q86_triangles"      -> (qTriangles _),
   )
 
   private val CosSql =
@@ -307,6 +340,20 @@ object Embeddings {
       s"""SELECT a.vec_id AS d1, b.vec_id AS d2, round($CosSql, 6) AS sim
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE round($CosSql, 6) >= 0.4""",
+    // q86: the edge CTE is the q41 graph; AS MATERIALIZED because it is
+    // referenced three times (the DuckDB CTE-inlining gotcha)
+    "q86_triangles" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT a.vec_id AS d1, b.vec_id AS d2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round($CosSql, 6) >= 0.4),
+          tri AS (
+            SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+            FROM e e1 JOIN e e2 ON e1.d2 = e2.d1
+                      JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
+          FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) t
+          GROUP BY vec_id""",
     "q42_centroids" ->
       """WITH el AS (
            SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,

@@ -1031,6 +1031,63 @@ object Text {
   def qCanonicalPick(s: SparkSession, dir: String): DataFrame =
     canonicalPick(Tables.documents(s, dir), qDedupComponents(s, dir))
 
+  /** Substring-level duplication stats (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" signal): for every doc,
+    * how many of its distinct `n`-token spans also appear verbatim in at
+    * least one OTHER document. Doc-level Jaccard (q34/q35) misses partial
+    * copies — a doc that embeds one boilerplate paragraph inside fresh
+    * text scores low Jaccard but high span duplication; this operator is
+    * the per-span exact pass that catches it.
+    *
+    * Scale shape: spans are keyed by md5 of the joined tokens (fixed-width
+    * 32-byte key instead of an ~8-word string — less shuffle IO; md5 is
+    * also the one hash both engines compute identically, proven by q63).
+    * Two shuffles on the span key — a combine-friendly count for document
+    * frequency, then the join back to per-doc spans — and one count-shaped
+    * rollup per doc. A viral span fans the join out only to its original
+    * occurrence count, so skew is bounded by corpus frequency, never
+    * squared. The span frame is consumed twice → internal scoped persist. */
+  def dupNgramSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span width must be >= 2 tokens, got $n")
+    val grams = graft.core.InternalCaches.persist(
+      withTokens(docs).filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> md5(array_join(slice(t, i, $n), ' '))))")).as("g")))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_dup"))
+      .filter(col("n_dup") > 0)
+  }
+
+  def qDupNgrams(s: SparkSession, dir: String): DataFrame =
+    dupNgramSpans(Tables.documents(s, dir))
+
+  /** Positional inverted index — the lookup structure behind exact-phrase
+    * decontamination and span attribution: one posting row per (token,
+    * doc) with the term frequency and the ascending 0-based position list.
+    * Purely combine-friendly: posexplode → one hash aggregation keyed by
+    * (token, doc_id); positions are sorted INSIDE each posting's aggregate
+    * (per-doc arrays, bounded by doc length), never via a corpus-wide
+    * window, so a hot token costs exactly its posting rows and nothing
+    * re-sorts globally. Emitting rows keyed by (token, doc_id) — rather
+    * than one giant array per token — is itself the scale decision: a
+    * stop-word's posting list at 100 TB does not fit one row, but its
+    * posting ROWS spread across partitions fine (writers shard them; df
+    * is one more count away). */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), posexplode(col("t")))
+      .groupBy(col("col").as("token"), col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("tf"),
+        array_join(transform(array_sort(collect_list(col("pos"))),
+          _.cast(StringType)), ",").as("positions"))
+
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -1056,6 +1113,8 @@ object Text {
     "q80_line_dedup"    -> (qLineDedup _),
     "q81_source_quota"  -> (qSourceQuota _),
     "q82_canonical_pick" -> (qCanonicalPick _),
+    "q83_dup_ngrams"    -> (qDupNgrams _),
+    "q84_inverted_index" -> (qInvertedIndex _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1306,6 +1365,31 @@ object Text {
              row_number() OVER (PARTITION BY c.comp
                ORDER BY l.n_tok DESC, c.doc_id ASC) AS rk
            FROM comp c JOIN lens l USING (doc_id)) t""",
+    // q83: same md5 span keys as the Spark side (md5 proven cross-engine
+    // by q63's chunk hashes); list_distinct AFTER the md5 transform
+    // mirrors array_distinct over the transformed array
+    "q83_dup_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS MATERIALIZED (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+             i -> md5(array_to_string(list_slice(t, i, i + 7), ' '))))) AS g
+           FROM tok WHERE len(t) >= 8),
+         df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM sh s JOIN df d USING (g)
+         GROUP BY s.doc_id
+         HAVING sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) > 0""",
+    // q84: generate_subscripts aligns with unnest (the q42 pattern);
+    // positions re-sorted inside string_agg exactly like the Spark
+    // aggregate's array_sort
+    "q84_inverted_index" ->
+      """WITH p AS (
+           SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS token
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+         FROM p GROUP BY token, doc_id""",
     // q36 simhash: the oracle regenerates every simhash bit in SQL — the
     // per-token Karp-Rabin hash as a HUGEINT modular fold (the q37
     // pattern), the per-bit ±1 majority vote via a range(60) cross join,

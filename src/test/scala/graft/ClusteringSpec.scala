@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Clustering
+
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Three well-separated planted clusters; vec_ids 0/1/2 land one per
+    * cluster so the lowest-id seeding starts one seed in each basin. */
+  private def plantedClusters(perCluster: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(7L)
+    val centers = Array(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val rows = for (i <- 0 until perCluster; c <- 0 until 3) yield {
+      val v = centers(c).map(x => x + rng.nextFloat() * 0.5f)
+      ((i * 3 + c).toLong, v.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "planted")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("lloyd recovers planted clusters and converges before maxIters") {
+    val emb = plantedClusters(40)
+    val (cents, assigned) = Clustering.kmeans(emb, k = 3, maxIters = 10)
+    assert(cents.length == 3)
+    // every planted cluster maps to exactly one centroid index, and the
+    // mapping is a bijection (no two planted clusters merged)
+    val m = assigned.groupBy(col("planted"))
+      .agg(countDistinct(col("cidx")).as("nc"), first(col("cidx")).as("cidx"))
+      .collect()
+    assert(m.forall(_.getLong(1) == 1L), "a planted cluster split across centroids")
+    assert(m.map(_.getInt(2)).distinct.length == 3, "two planted clusters merged")
+    // converged: one more update moves nothing
+    val next = Clustering.updateCentroids(Clustering.assign(emb, cents), cents)
+    assert(next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("assignment and the q85 gate are partitioning-independent") {
+    val a = graft.ops.Clustering.qKmeansAssign(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val emb7 = graft.core.Tables.embeddings(spark, sfDir).repartition(7)
+    val seed = emb7.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+    val cents = seed.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cids = array(seed.map(r => lit(r.getLong(0))): _*)
+    val b = Clustering.assign(emb7, cents)
+      .withColumn("cid", element_at(cids, col("cidx") + 1))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("vec_id")).cast("long").as("sum_vid"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("a cluster that loses every member keeps its previous centroid") {
+    // both centroids sit at the SAME point, so the tie rule (lowest index)
+    // sends every vector to index 0 and cluster 1 receives nothing: one
+    // update must move centroid 0 to the data mean and leave centroid 1
+    // exactly where it was
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(3f, 0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val seeds = Array(Array(2.0, 0.0), Array(2.0, 0.0))
+    val assigned = Clustering.assign(emb, seeds)
+    assert(assigned.filter(col("cidx") === 1).count() == 0)
+    val next = Clustering.updateCentroids(assigned, seeds)
+    assert(next(0).sameElements(Array(2.0, 0.0)))
+    assert(next(1).sameElements(Array(2.0, 0.0)), "empty cluster drifted from its seed")
+  }
+
+  test("updateCentroids computes exact per-component means") {
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(2f, 4f)), // cluster 0 mean (1, 2)
+      (2L, Seq(10f, 10f))                   // cluster 1 stays put
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val seeds = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val next = Clustering.updateCentroids(Clustering.assign(emb, seeds), seeds)
+    assert(next(0).sameElements(Array(1.0, 2.0)))
+    assert(next(1).sameElements(Array(10.0, 10.0)))
+  }
+}

@@ -43,4 +43,38 @@ class EmbeddingsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
     assert(keys.forall { case (d1, d2) => d1 < d2 })
   }
+
+  test("triangles: a 3-clique yields one triangle per member, outsiders absent") {
+    import spark.implicits._
+    try {
+      // three identical vectors (pairwise cosine 1.0) + one orthogonal
+      val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
+      val tiny = Seq((0L, e1), (1L, e1), (2L, e1), (3L, e2))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val got = Embeddings.cosineTriangles(tiny, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((0L, 1L), (1L, 1L), (2L, 1L)), s"got $got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("triangle counts match a driver-side enumeration of the edge set") {
+    try {
+      val embBig = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val edges = Embeddings.cosineNearDup(embBig, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (Seq(a, b, c) <- nodes.combinations(3)
+           if edges((a, b)) && edges((b, c)) && edges((a, c))) {
+        want(a) += 1; want(b) += 1; want(c) += 1
+      }
+      val got = Embeddings.cosineTriangles(embBig, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want.toMap, s"got $got want $want")
+      assert(got.nonEmpty, "sf0.01 graph should contain triangles")
+      // every triangle contributes exactly 3 participations
+      assert(got.values.sum % 3 == 0)
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }

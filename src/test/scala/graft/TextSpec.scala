@@ -462,4 +462,33 @@ class TextSpec extends SparkSpec {
         s"candidate layer went superlinear: $candPairs pairs for $nDocs docs")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("dup n-gram spans: shared spans counted, unique and short docs dropped") {
+    import spark.implicits._
+    try {
+      // A and B share one verbatim 8-token span inside otherwise-unique
+      // text (the partial-copy case doc-level Jaccard misses); C is
+      // unique; D is too short to own any span
+      val span = (1 to 8).map(i => s"s$i").mkString(" ")
+      val docs = Seq(
+        (0L, s"a1 a2 a3 $span a4 a5"),
+        (1L, s"$span b1 b2 b3 b4 b5 b6"),
+        (2L, (1 to 20).map(i => s"c$i").mkString(" ")),
+        (3L, "d1 d2 d3")
+      ).toDF("doc_id", "text")
+      val got = graft.ops.Text.dupNgramSpans(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // doc 0: 13 tokens -> 6 spans, ONE duplicated (the planted span,
+      // present verbatim in doc 1); doc 1: 14 tokens -> 7 spans, one dup
+      assert(got == Set((0L, 6L, 1L), (1L, 7L, 1L)), s"got $got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("inverted index: positions ascending, tf exact, hot token spread as rows") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y x"), (1L, "y")).toDF("doc_id", "text")
+    val got = graft.ops.Text.invertedIndex(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(("x", 0L, 2L, "0,2"), ("y", 0L, 1L, "1"), ("y", 1L, 1L, "0")), s"got $got")
+  }
 }
