@@ -239,9 +239,16 @@ object Embeddings {
     * density, asserted in EmbeddingsSpec) is degree-ordering the edges
     * before the pivot, which this formulation composes with directly. The
     * edge frame is consumed three times → internal scoped persist. */
-  def cosineTriangles(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val edges = graft.core.InternalCaches.persist(
-      cosineNearDup(emb, threshold).select(col("d1"), col("d2")))
+  def cosineTriangles(emb: DataFrame, threshold: Double = 0.4): DataFrame =
+    triangleCounts(graft.core.InternalCaches.persist(
+      cosineNearDup(emb, threshold).select(col("d1"), col("d2"))))
+
+  /** The pure graph step: per-node triangle counts over a low-id → high-id
+    * oriented edge list `(d1 < d2)`. Two hash equi-joins, no nested loop —
+    * plan-asserted in isolation (PlanContractSpec) because inside [[
+    * cosineTriangles]] the cached edge subtree's rendering shadows the
+    * triangle plan. */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
     val tri = edges.select(col("d1").as("a"), col("d2").as("b"))
       .join(edges.select(col("d1").as("b"), col("d2").as("c")), "b")
       .join(edges.select(col("d1").as("a"), col("d2").as("c")), Seq("a", "c"))

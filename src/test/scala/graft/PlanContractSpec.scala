@@ -199,4 +199,50 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"q72 ranks on one reducer:\n$p")
     assert(p.contains("hashpartitioning(shard"), s"q72 not partitioned by shard:\n$p")
   }
+
+  test("q84: the posting build is ONE partial+final hash agg, no window, no sort") {
+    // the posting rows must come out of a single combine-friendly hash
+    // aggregation keyed by (token, doc_id) — positions sort INSIDE the
+    // aggregate (per-doc arrays), so any Window or global Sort in the plan
+    // means a corpus-wide re-sort snuck in
+    val p = plan("q84_inverted_index")
+    assert(!p.contains("Window"), s"q84 planned a window:\n$p")
+    assert(!p.contains("SinglePartition"), s"q84 funneled to one reducer:\n$p")
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).length >= 2,
+      s"q84 lost its partial aggregation:\n$p")
+  }
+
+  test("q85: KMeans assignment is join-free — centroids ride the expression") {
+    // NearestCells carries the k×dim centroids as expression state: the
+    // N-row side must see NO join of any kind and exactly the two
+    // aggregation exchanges (partial/final of the k-row rollup)
+    val p = plan("q85_kmeans_assign")
+    assert(!p.contains("Join"), s"q85 planned a join for assignment:\n$p")
+    assert(p.contains("graft_nearest_cells"), s"q85 lost the native argmin:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"q85 lost its partial aggregation:\n$p")
+  }
+
+  test("q86: triangle joins are equi-joins, edge frame computed once") {
+    try {
+      // the graph step in isolation: a synthetic edge frame (no cached
+      // subtree noise) must plan the pivot + closure as hash equi-joins
+      // with zero nested loops
+      import spark.implicits._
+      val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("d1", "d2")
+      val pg = graft.ops.Embeddings.triangleCounts(edges)
+        .queryExecution.executedPlan.toString
+      assert(!pg.contains("BroadcastNestedLoop") && !pg.contains("CartesianProduct"),
+        s"triangle step planned a nested loop:\n$pg")
+      assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(pg).length >= 2,
+        s"triangle steps lost their equi-joins:\n$pg")
+      // the composed gate: the expensive cosine edge list must come out of
+      // a persisted frame (InMemoryTableScan — each of the three edge
+      // consumers reads the cache, never recomputes the block outer
+      // product), and nothing plans a cartesian
+      val p = plan("q86_triangles")
+      assert(!p.contains("CartesianProduct"), s"q86 planned a cartesian:\n$p")
+      assert(p.contains("InMemoryTableScan"), s"q86 edge frame not cached:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
