@@ -114,34 +114,94 @@ object Clustering {
         sum(col("vec_id")).cast(LongType).as("sum_vid"))
   }
 
+  /** Semantic (cluster-bucketed) near-dup: assign every vector to its
+    * nearest centroid, then run exact cosine pairs ONLY within each
+    * cluster — the SemDeDup-style recipe (Abbas et al. 2023) that turns
+    * the O(n²) all-pairs candidate space into Σ|cluster|². The trade is
+    * recall at cluster boundaries: a pair split across two clusters is
+    * never compared (measured against the exact q41 graph in
+    * ClusteringSpec). Candidates come from an EQUI-join on the cluster
+    * id — never a nested loop — and at 100 TB the within-cluster pair
+    * step composes with [[Embeddings.cosineNearDup]]'s block outer
+    * product per cluster if clusters outgrow a task (k is the knob: more
+    * centroids → smaller clusters → fewer candidates, lower recall).
+    * Same scoring shapes as q41 (graft_dot, precomputed sqrt norms,
+    * round 6), so the oracle is the q85 assignment CTE + the q41 pair
+    * predicate restricted to same-cluster. */
+  def semanticNearDup(emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val (_, cents) = seedCentroids(emb, k)
+    val assigned = graft.core.InternalCaches.persist(
+      assign(emb, cents)
+        .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cidx")))
+    val a = assigned.select(col("cidx"), col("vec_id").as("d1"),
+      col("embedding").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cidx"), col("vec_id").as("d2"),
+      col("embedding").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("cidx")).filter(col("d1") < col("d2"))
+      .withColumn("sim", round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticNearDup(Tables.embeddings(s, dir), k = 8, threshold = 0.4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_kmeans_assign" -> (qKmeansAssign _),
+    "q87_semantic_dedup" -> (qSemanticDedup _),
   )
 
-  /** d² recomputed with the exact NearestCells shapes: each dot/norm is a
-    * left-to-right list_dot_product fold (the q40-proven parity), combined
-    * as naa - 2.0*dot + ncc — left-associative in both engines. */
+  /** Shared assignment CTEs: d² recomputed with the exact NearestCells
+    * shapes — each dot/norm is a left-to-right list_dot_product fold (the
+    * q40-proven parity), combined as naa - 2.0*dot + ncc, which is
+    * left-associative in both engines. `assigned(vec_id, cid)` is the
+    * nearest-centroid map. */
+  private val AssignOracleCtes: String =
+    """WITH c AS MATERIALIZED (
+         SELECT vec_id AS cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings WHERE vec_id < 8),
+       cn AS MATERIALIZED (
+         SELECT cid, cv, list_dot_product(cv, cv) AS ncc FROM c),
+       a AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+             FROM embeddings),
+       an AS (SELECT vec_id, av, list_dot_product(av, av) AS naa FROM a),
+       d AS (SELECT an.vec_id, cn.cid,
+               an.naa - 2.0 * list_dot_product(an.av, cn.cv) + cn.ncc AS d2
+             FROM an CROSS JOIN cn),
+       best AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC, cid ASC) AS rk
+                FROM d),
+       assigned AS MATERIALIZED (
+         SELECT vec_id, cid FROM best WHERE rk = 1)"""
+
+  // q87's pair scoring is q41's CosSql shape restricted to same-cluster
+  private val PairCosSql: String =
+    """list_dot_product(list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+                        list_transform(y.embedding, v -> CAST(v AS DOUBLE)))
+       / (sqrt(list_dot_product(list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+                                list_transform(x.embedding, v -> CAST(v AS DOUBLE))))
+        * sqrt(list_dot_product(list_transform(y.embedding, v -> CAST(v AS DOUBLE)),
+                                list_transform(y.embedding, v -> CAST(v AS DOUBLE)))))"""
+
   val oracles: Map[String, String] = Map(
     "q85_kmeans_assign" ->
-      """WITH c AS MATERIALIZED (
-           SELECT vec_id AS cid,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8),
-         cn AS MATERIALIZED (
-           SELECT cid, cv, list_dot_product(cv, cv) AS ncc FROM c),
-         a AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
-               FROM embeddings),
-         an AS (SELECT vec_id, av, list_dot_product(av, av) AS naa FROM a),
-         d AS (SELECT an.vec_id, cn.cid,
-                 an.naa - 2.0 * list_dot_product(an.av, cn.cv) + cn.ncc AS d2
-               FROM an CROSS JOIN cn),
-         best AS (SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id
-                      ORDER BY d2 ASC, cid ASC) AS rk
-                  FROM d)
+      s"""$AssignOracleCtes
          SELECT cid, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(vec_id) AS BIGINT) AS sum_vid
-         FROM best WHERE rk = 1 GROUP BY cid""",
+         FROM assigned GROUP BY cid""",
+    "q87_semantic_dedup" ->
+      s"""$AssignOracleCtes
+         SELECT x.vec_id AS d1, y.vec_id AS d2, round($PairCosSql, 6) AS sim
+         FROM (SELECT e.vec_id, e.embedding, s.cid
+               FROM embeddings e JOIN assigned s USING (vec_id)) x
+         JOIN (SELECT e.vec_id, e.embedding, s.cid
+               FROM embeddings e JOIN assigned s USING (vec_id)) y
+           ON x.cid = y.cid AND x.vec_id < y.vec_id
+         WHERE round($PairCosSql, 6) >= 0.4""",
   )
 }

@@ -1088,6 +1088,39 @@ object Text {
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndex(Tables.documents(s, dir))
 
+  /** Corpus-unigram log-probability scoring — the CCNet-style LM quality
+    * filter reduced to its distributable core: score(doc) = mean over
+    * tokens of ln(count(token)/total_tokens). Docs of improbable tokens
+    * (noise, boilerplate codes, wrong-language shards) score low and feed
+    * a perplexity-bucket filter; a real KenLM would slot in as a
+    * broadcast model with identical plumbing.
+    *
+    * Scale shape: one exploded token frame (persisted — it feeds the
+    * vocabulary count AND the scoring join), a combine-friendly count per
+    * token, a single-row total broadcast back (the q77 scalar pattern),
+    * and an equi-join token→count — deliberately NOT a broadcast: a
+    * corpus-derived vocabulary at 100 TB is itself huge (AQE still
+    * broadcasts when it measures small). Numerics: each per-token ln runs
+    * as a scalar (q57's proven cross-engine shape), rounded to 9 digits,
+    * and the per-doc mean accumulates those as exact decimals — order-free
+    * (the q42 pattern), so the result is partition-count-independent. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("doc_id"), explode(col("t")).as("word")))
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast(LongType).as("total"))
+    toks.join(counts, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(col("cnt").cast(DoubleType) / col("total")), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tok"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  def qUnigramLogProb(s: SparkSession, dir: String): DataFrame =
+    unigramLogProb(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
@@ -1115,6 +1148,7 @@ object Text {
     "q82_canonical_pick" -> (qCanonicalPick _),
     "q83_dup_ngrams"    -> (qDupNgrams _),
     "q84_inverted_index" -> (qInvertedIndex _),
+    "q88_unigram_logprob" -> (qUnigramLogProb _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1390,6 +1424,19 @@ object Text {
          SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf,
                 string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
          FROM p GROUP BY token, doc_id""",
+    // q88: per-token ln as a scalar (q57's cross-engine shape) rounded to
+    // 9 digits, per-doc mean over exact decimal sums (q42 pattern, order-
+    // free); the division and final round mirror the Spark expression
+    "q88_unigram_logprob" ->
+      """WITH w AS MATERIALIZED (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         lp AS (SELECT doc_id, round(ln(CAST(cnt AS DOUBLE) / total), 9) AS lp
+                FROM w JOIN c USING (word) CROSS JOIN t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         FROM lp GROUP BY doc_id""",
     // q36 simhash: the oracle regenerates every simhash bit in SQL — the
     // per-token Karp-Rabin hash as a HUGEINT modular fold (the q37
     // pattern), the per-bit ±1 majority vote via a range(60) cross join,

@@ -69,6 +69,24 @@ class ClusteringSpec extends SparkSpec {
     assert(next(1).sameElements(Array(2.0, 0.0)), "empty cluster drifted from its seed")
   }
 
+  test("semantic dedup finds only true near-dup pairs, at a measured recall") {
+    try {
+      // cluster-bucketed pairs must be a SUBSET of the exact q41 graph
+      // (precision 1.0 by construction — scoring is identical, only the
+      // candidate space shrinks); recall loss is pairs split across
+      // cluster boundaries
+      val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val exact = graft.ops.Embeddings.cosineNearDup(emb, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sem = graft.ops.Clustering.semanticNearDup(emb, k = 8, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sem.subsetOf(exact), s"semantic dedup invented pairs: ${sem -- exact}")
+      assert(sem.nonEmpty, "semantic dedup found nothing at sf0.01")
+      val recall = sem.size.toDouble / exact.size
+      assert(recall >= 0.25, s"recall collapsed: ${sem.size}/${exact.size}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("updateCentroids computes exact per-component means") {
     val emb = Seq(
       (0L, Seq(0f, 0f)), (1L, Seq(2f, 4f)), // cluster 0 mean (1, 2)

@@ -223,6 +223,27 @@ class PlanContractSpec extends SparkSpec {
       s"q85 lost its partial aggregation:\n$p")
   }
 
+  test("q87/q88: cluster-bucketed candidates and the scoring join stay equi-joins") {
+    try {
+      // q87: the within-cluster pair step must be an EQUI-join on the
+      // cluster id (the whole point of semantic bucketing) — no nested
+      // loop, no cartesian, and the assignment expression present
+      val p87 = plan("q87_semantic_dedup")
+      assert(!p87.contains("BroadcastNestedLoop") && !p87.contains("CartesianProduct"),
+        s"q87 planned a scale-killer join:\n$p87")
+      assert(p87.contains("graft_nearest_cells") || p87.contains("InMemoryTableScan"),
+        s"q87 lost the native assignment:\n$p87")
+      // q88: token→count scoring is an equi-join (NOT forced broadcast —
+      // a corpus vocabulary at scale is huge), the single-row total is
+      // broadcast, and no window anywhere
+      val p88 = plan("q88_unigram_logprob")
+      assert(!p88.contains("Window") && !p88.contains("CartesianProduct"),
+        s"q88 planned a window/cartesian:\n$p88")
+      assert("HashAggregate".r.findAllIn(p88).length >= 4,
+        s"q88 lost its partial aggregation tiers:\n$p88")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("q86: triangle joins are equi-joins, edge frame computed once") {
     try {
       // the graph step in isolation: a synthetic edge frame (no cached

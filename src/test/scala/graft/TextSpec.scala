@@ -484,6 +484,32 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("unigram logprob: matches a first-principles hand computation") {
+    import spark.implicits._
+    try {
+      // corpus: a×3, b×2, total 5; the operator's exact arithmetic is
+      // round6(mean(round9(ln(cnt/total)))) — replicated here digit for
+      // digit (BigDecimal HALF_UP like Spark's round)
+      def r(x: Double, d: Int) =
+        BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val lpA = r(math.log(3.0 / 5), 9); val lpB = r(math.log(2.0 / 5), 9)
+      val docs = Seq((0L, "a a a b"), (1L, "b")).toDF("doc_id", "text")
+      val got = graft.ops.Text.unigramLogProb(docs)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      // exact-decimal sum FIRST (as the aggregate does), then one double
+      // division — not (lpA*3 + lpB)/4 in floating point
+      val doc0 = r((BigDecimal(lpA) * 3 + BigDecimal(lpB)).toDouble / 4, 6)
+      val want = Set((0L, 4L, doc0), (1L, 1L, r(lpB, 6)))
+      assert(got == want, s"got $got want $want")
+      // low-probability tokens must score lower: a doc of rare tokens
+      // ranks below a doc of common ones
+      val docs2 = Seq((0L, "x x x x x x x x"), (1L, "z")).toDF("doc_id", "text")
+      val scores = graft.ops.Text.unigramLogProb(docs2)
+        .collect().map(x => (x.getLong(0), x.getDouble(2))).toMap
+      assert(scores(0L) > scores(1L), s"common-token doc should outscore rare: $scores")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("inverted index: positions ascending, tf exact, hot token spread as rows") {
     import spark.implicits._
     val docs = Seq((0L, "x y x"), (1L, "y")).toDF("doc_id", "text")
