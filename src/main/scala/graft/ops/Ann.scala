@@ -170,7 +170,7 @@ object Ann {
       s"ivfServeKnn broadcasts the query side: $probeRows probe rows exceed " +
         s"maxBroadcastRows=$maxBroadcastRows — serve in batches (or use ivfKnn)")
     val cand = spark.table(table)
-      .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))
+      .filter(col("centroid_id").isin(probeIds.toIndexedSeq.map(Int.box): _*))
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
               col("nrm").as("nn"), col("centroid_id"))
     val q = qp.select(col("vec_id").as("qid"), col("embedding").as("qv"),

@@ -106,7 +106,7 @@ object Clustering {
     val k = 8
     val emb = Tables.embeddings(s, dir)
     val (cids, cents) = seedCentroids(emb, k)
-    val cidLookup = array(cids.map(lit(_)): _*)
+    val cidLookup = array(cids.toIndexedSeq.map(lit(_)): _*)
     assign(emb, cents)
       .withColumn("cid", element_at(cidLookup, col("cidx") + 1))
       .groupBy(col("cid"))
@@ -148,9 +148,38 @@ object Clustering {
   def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
     semanticNearDup(Tables.embeddings(s, dir), k = 8, threshold = 0.4)
 
+  /** Per-cluster diversity sampling: cap every semantic cluster's
+    * contribution at `perCluster` members, ranked by a per-row score —
+    * the "cluster then cap" mix-balancing step (the embedding-space
+    * analogue of q81's per-source quota). Ranking runs through the
+    * bounded-heap [[graft.plans.TopK]] operator, NOT a window: the
+    * shuffle carries ≤ k rows per cluster per input partition and nothing
+    * sorts a whole cluster (at 100 TB a hot cluster is exactly the
+    * partition a window would die on). Score here is the vector norm
+    * (deterministic: the same left-to-right sqrt∘dot both engines fold),
+    * vec_id breaks ties; a model-based quality column would slot into the
+    * same orderBy. */
+  def clusterSample(emb: DataFrame, k: Int, perCluster: Int): DataFrame = {
+    val (cids, cents) = seedCentroids(emb, k)
+    val cidLookup = array(cids.toIndexedSeq.map(lit(_)): _*)
+    val scored = assign(emb, cents)
+      .withColumn("cid", element_at(cidLookup, col("cidx") + 1))
+      .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .select(col("cid"), col("vec_id"), col("nrm"))
+    graft.plans.TopK.perKey(scored,
+        keys = Seq("cid"),
+        orderBy = Seq(graft.plans.TopK.desc("nrm"), graft.plans.TopK.asc("vec_id")),
+        k = perCluster)
+      .select(col("cid"), col("vec_id"), round(col("nrm"), 6).as("nrm"))
+  }
+
+  def qClusterSample(s: SparkSession, dir: String): DataFrame =
+    clusterSample(Tables.embeddings(s, dir), k = 8, perCluster = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_kmeans_assign" -> (qKmeansAssign _),
     "q87_semantic_dedup" -> (qSemanticDedup _),
+    "q89_cluster_sample" -> (qClusterSample _),
   )
 
   /** Shared assignment CTEs: d² recomputed with the exact NearestCells
@@ -203,5 +232,22 @@ object Clustering {
                FROM embeddings e JOIN assigned s USING (vec_id)) y
            ON x.cid = y.cid AND x.vec_id < y.vec_id
          WHERE round($PairCosSql, 6) >= 0.4""",
+    // q89's oracle is the naive window rank the bounded-heap operator
+    // must equal row-for-row (the q62 relationship); ordering runs on the
+    // RAW norm double (identical sqrt∘fold both engines), rounding is
+    // output-only
+    "q89_cluster_sample" ->
+      s"""$AssignOracleCtes,
+         nr AS (SELECT e.vec_id, s.cid,
+                  sqrt(list_dot_product(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings e JOIN assigned s USING (vec_id))
+         SELECT cid, vec_id, round(nrm, 6) AS nrm FROM (
+           SELECT cid, vec_id, nrm,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY nrm DESC, vec_id ASC) AS rk
+           FROM nr) t
+         WHERE rk <= 5""",
   )
 }

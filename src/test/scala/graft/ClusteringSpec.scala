@@ -87,6 +87,31 @@ class ClusteringSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("cluster sampling equals the naive window rank and plans the bounded heap") {
+    import org.apache.spark.sql.expressions.Window
+    try {
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+      val got = graft.ops.Clustering.clusterSample(emb, k = 8, perCluster = 5)
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), s"q89 lost the bounded-heap operator:\n$p")
+      assert(!p.contains("Window"), s"q89 fell back to a window:\n$p")
+      // naive twin: same assignment, same ordering, window rank
+      val seed = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").cast("long"), col("embedding")).collect()
+      val cents = seed.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val cids = array(seed.toIndexedSeq.map(r => lit(r.getLong(0))): _*)
+      val naive = graft.ops.Clustering.assign(emb, cents)
+        .withColumn("cid", element_at(cids, col("cidx") + 1))
+        .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("nrm").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 5)
+        .select(col("cid"), col("vec_id"), round(col("nrm"), 6).as("nrm"))
+      assert(got.collect().map(_.toString).sorted.toSeq ==
+        naive.collect().map(_.toString).sorted.toSeq)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("updateCentroids computes exact per-component means") {
     val emb = Seq(
       (0L, Seq(0f, 0f)), (1L, Seq(2f, 4f)), // cluster 0 mean (1, 2)
