@@ -253,6 +253,20 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
 
+  /** Pivot (long→wide reshape): per-returnflag quantity totals spread into
+    * one column per line status. The EXPLICIT value list matters at scale —
+    * `pivot(col)` without values runs a distinct scan first AND caps wide
+    * output at `spark.sql.pivotMaxValues`; with pinned values the whole
+    * reshape is ONE pass, planned as the same partial+final hash
+    * aggregation as q01 (each pivot cell a conditional decimal sum — no
+    * extra shuffle, no transpose operator). Missing combinations surface
+    * as NULL cells, matching SQL's CASE-sum semantics. */
+  def q90Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+
   /** Null-production and null-handling scalar functions (the fixtures carry
     * no nulls, so NULLIF manufactures them): nullif/coalesce/nvl2-style. */
   def q61Nulls(s: SparkSession, dir: String): DataFrame =
@@ -463,6 +477,7 @@ object Relational {
     "q60_cube"           -> (q60Cube _),
     "q61_nulls"          -> (q61Nulls _),
     "q62_topk_custom"    -> (q62TopKCustom _),
+    "q90_pivot"          -> (q90Pivot _),
     "q01_agg"            -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_topk"           -> (q03TopK _),
@@ -573,6 +588,13 @@ object Relational {
            count(DISTINCT l_linestatus),
            CAST(min(length(l_linestatus)) AS DOUBLE), CAST(max(length(l_linestatus)) AS DOUBLE)
          FROM lineitem""",
+    // q90: the CASE-sum formulation IS pivot's semantics; column names
+    // must equal Spark's pivot output ("F", "O")
+    "q90_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+         FROM lineitem GROUP BY l_returnflag""",
     "q62_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

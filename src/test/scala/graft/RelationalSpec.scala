@@ -161,4 +161,26 @@ class RelationalSpec extends SparkSpec {
       assert(naive.nonEmpty) // the config must actually exercise matches
     }
   }
+
+  test("pivot: one aggregation pass, missing combinations surface as NULL") {
+    import spark.implicits._
+    // pinned value lists keep pivot to its two hash-agg tiers (cell sums,
+    // then pivotfirst) — partial+final around each exchange, nothing
+    // funnels to one partition, and no distinct-values pre-scan job runs
+    val p = graft.ops.Relational.q90Pivot(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("pivotfirst"), s"pivot lost its pivotfirst tier:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length == 4, s"pivot grew extra agg passes:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2 && !p.contains("SinglePartition"),
+      s"pivot grew extra shuffles:\n$p")
+    // null semantics: a (flag, status) combination absent from the input
+    // must yield a NULL cell, not 0
+    val tiny = Seq(("A", "F", 1.0), ("A", "F", 2.0), ("N", "O", 5.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val rows = tiny.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(rows == Set(("A", Some(3.0), None), ("N", None, Some(5.0))), s"got $rows")
+  }
 }
