@@ -380,6 +380,49 @@ object Bench {
           compactRef.remove("reference_pipeline_1m"); ""
       }
     } else ""
+    // reference_vec_1m (opt-in: SPARK_GRAFT_BIG=1): the similarity-search /
+    // clustering layer at 1M vectors (500x the gate corpus) with cluster
+    // membership as ground truth by construction (SyntheticVectors): the
+    // seeded KMeans assignment must recover EVERY vector's planted center
+    // (the 64 lowest ids are one seed per center), and IVF top-10 must
+    // agree with the brute-force exact top-10 on the probe queries at
+    // recall >= 0.9. A quantizer regression, an argmin tie-break change,
+    // or a bucket-probe bug fails the bench loudly at 1M scale.
+    val refVec1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1")) {
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val vecs = graft.sources.SyntheticVectors.clustered(spark, 1000000L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          vecs.count()
+          var wrong = -1L
+          val j1 = coldWarm("reference_vec_1m", "kmeans_assign_1m", warmReps = 1) {
+            wrong = graft.ops.Clustering.assignSeeded(vecs, 64)
+              .filter(col("cidx") =!= pmod(col("vec_id"), lit(64)).cast("int"))
+              .count() }
+          if (wrong != 0L) throw new GoldenMismatch(
+            s"kmeans 1M anchor MISMATCH: $wrong vectors off their planted center (want 0)")
+          val exact = graft.ops.Embeddings.bruteForceKnn(vecs, col("vec_id") < 8, 10)
+            .select("qid", "nid").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          var recall = -1.0
+          val j2 = coldWarm("reference_vec_1m", "ivf_knn_1m", warmReps = 1) {
+            val approx = graft.ops.Ann.ivfKnn(vecs, col("vec_id") < 8, k = 10)
+              .select("qid", "nid").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            recall = (approx & exact).size.toDouble / exact.size }
+          if (recall < 0.9) throw new GoldenMismatch(
+            f"IVF 1M recall MISMATCH: $recall%.3f < 0.9 vs brute force")
+          addCompact("reference_vec_1m", "ivf_recall_1m", f"$recall%.3f")
+          s""","reference_vec_1m":{$j1,$j2,"ivf_recall_1m":$recall}"""
+        } finally { vecs.unpersist(); graft.core.InternalCaches.release(spark) }
+      } catch {
+        case e: GoldenMismatch => throw e
+        case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] reference_vec_1m section dropped: $e")
+          compactRef.remove("reference_vec_1m"); ""
+      }
+    } else ""
     // reference_100m (opt-in: SPARK_GRAFT_BIG=1, needs SPARK_DRIVER_MEM
     // >= 48g): the artificial100M scalability workload — BASELINE.md
     // TEST 1 publishes, for 16 executors, MRFFT R1+R2+R3 ≈ 15.9 s and
@@ -395,7 +438,7 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refVec1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -421,8 +464,8 @@ object Bench {
     // survives intact. 1950 leaves slack for a noisy window widening a few
     // medians to double digits; shedding degrades gracefully from there.
     val budget = 1950
-    val shedOrder = Seq("reference_text_skew", "reference_pipeline_1m",
-      "reference_text_1m", "reference_100m",
+    val shedOrder = Seq("reference_vec_1m", "reference_text_skew",
+      "reference_pipeline_1m", "reference_text_1m", "reference_100m",
       "reference_text", "reference_10m", "reference_1m", "reference")
     var sections = compactRef.toSeq // LinkedHashMap: insertion order
     def render(): String = head + renderCompactRef(

@@ -89,6 +89,13 @@ object Clustering {
     (cents, assign(emb, cents))
   }
 
+  /** Seed-and-assign in one call (the q85 shape without the rollup) —
+    * public for the 1M-vector bench anchor and composition. */
+  def assignSeeded(emb: DataFrame, k: Int): DataFrame = {
+    val (_, cents) = seedCentroids(emb, k)
+    assign(emb, cents)
+  }
+
   /** Deterministic seeds: the k lowest-vec_id vectors (bounded collect —
     * k rows, same contract as Ann's 256-row quantizer sample). Returns
     * (their vec_ids, their vectors as doubles). */

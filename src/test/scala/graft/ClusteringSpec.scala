@@ -112,6 +112,28 @@ class ClusteringSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("synthetic vectors: deterministic, cluster membership = assignment ground truth") {
+    try {
+      // determinism across partitionings — every row a pure function of id
+      val a = graft.sources.SyntheticVectors.clustered(spark, 640L)
+      val b = graft.sources.SyntheticVectors.clustered(spark, 640L).repartition(7)
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq)
+      // the 1M bench anchor's golden at test scale: seeds are one per
+      // center (ids cycle), so seeded assignment recovers id % 64 exactly
+      val wrong = graft.ops.Clustering.assignSeeded(a, 64)
+        .filter(col("cidx") =!= pmod(col("vec_id"), lit(64)).cast("int")).count()
+      assert(wrong == 0L, s"$wrong vectors assigned off their planted center")
+      // and IVF top-k agrees with brute force on this well-separated corpus
+      val exact = graft.ops.Embeddings.bruteForceKnn(a, col("vec_id") < 4, 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = graft.ops.Ann.ivfKnn(a, col("vec_id") < 4, k = 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (approx & exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"IVF recall $recall vs brute force")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("updateCentroids computes exact per-component means") {
     val emb = Seq(
       (0L, Seq(0f, 0f)), (1L, Seq(2f, 4f)), // cluster 0 mean (1, 2)
