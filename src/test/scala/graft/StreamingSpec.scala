@@ -361,4 +361,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(batch("en") == out.values.count(identity).toLong)
   }
+
+  test("streaming centroid assignment: ingest-time routing equals the batch argmin") {
+    // the serving-side shape of the clustering layer: vectors arriving on
+    // a stream are routed to their centroid by the SAME stateless
+    // NearestCells projection the batch path uses — no state store, no
+    // shuffle, so it composes with any downstream streaming agg
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchVecs = graft.sources.SyntheticVectors.clustered(spark, 48L, nCenters = 8)
+    val cents = batchVecs.orderBy(col("vec_id")).limit(8)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val want = graft.ops.Clustering.assign(batchVecs, cents)
+      .select(col("vec_id"), col("cidx")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = batchVecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(rows.take(20).toSeq); mem.addData(rows.drop(20).toSeq)
+    val routed = graft.ops.Clustering.assign(
+      mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding")), cents)
+    val q = routed.select(col("vec_id"), col("cidx"))
+      .writeStream.format("memory").queryName("assign_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("assign_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want, "stream routing diverged from batch assignment")
+    assert(got.size == 48)
+  }
 }
