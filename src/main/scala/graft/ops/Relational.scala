@@ -267,6 +267,42 @@ object Relational {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(dsum(col("l_quantity")))
 
+  /** GROUPING SETS through the SQL entry point (Views.register → bare
+    * table names in `spark.sql`) — the general form cube (q60) and rollup
+    * (q15) specialize; Catalyst plans it as ONE Expand over the scan (4
+    * duplicated streams, one aggregation), not four scans unioned.
+    * grouping() flags are cast to INT on both engines (Spark emits
+    * tinyint, DuckDB bigint — the cast is the portable schema). */
+  def q91GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** Correlated scalar subquery through the SQL entry point: the q20
+    * semantics written the way a SQL user writes them — Catalyst must
+    * DECORRELATE the per-customer average into an aggregate + join (no
+    * per-row re-execution; asserted against q20's hand-decorrelated twin
+    * in RelationalSpec). */
+  def q92CorrelatedSql(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Views.register(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n_above
+         FROM orders o
+         WHERE o_totalprice > (
+           SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY o_orderstatus""")
+  }
+
   /** Null-production and null-handling scalar functions (the fixtures carry
     * no nulls, so NULLIF manufactures them): nullif/coalesce/nvl2-style. */
   def q61Nulls(s: SparkSession, dir: String): DataFrame =
@@ -478,6 +514,8 @@ object Relational {
     "q61_nulls"          -> (q61Nulls _),
     "q62_topk_custom"    -> (q62TopKCustom _),
     "q90_pivot"          -> (q90Pivot _),
+    "q91_grouping_sets"  -> (q91GroupingSets _),
+    "q92_correlated_sql" -> (q92CorrelatedSql _),
     "q01_agg"            -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_topk"           -> (q03TopK _),
@@ -595,6 +633,23 @@ object Relational {
          CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
          CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
          FROM lineitem GROUP BY l_returnflag""",
+    "q91_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS INT) AS g_flag,
+         CAST(grouping(l_linestatus) AS INT) AS g_status,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus), ())""",
+    "q92_correlated_sql" ->
+      """SELECT o_orderstatus, count(*) AS n_above
+         FROM orders o
+         WHERE o_totalprice > (
+           SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY o_orderstatus""",
     "q62_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

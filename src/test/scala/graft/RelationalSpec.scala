@@ -183,4 +183,38 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
     assert(rows == Set(("A", Some(3.0), None), ("N", None, Some(5.0))), s"got $rows")
   }
+
+  test("grouping sets: one Expand over one scan, tiers reconcile to the grand total") {
+    val df = Relational.q91GroupingSets(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the four grouping sets must come from ONE Expand of ONE lineitem scan,
+    // not four scans unioned
+    assert(p.contains("Expand"), s"grouping sets lost its Expand:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"grouping sets re-scanned lineitem:\n$p")
+    val rows = df.collect()
+    def tier(gf: Int, gs: Int) = rows.filter(r => r.getInt(2) == gf && r.getInt(3) == gs)
+    val grand = tier(1, 1)
+    assert(grand.length == 1, s"expected one () row, got ${grand.length}")
+    val total = grand.head.getLong(4)
+    // every coarser tier must re-aggregate to exactly the detail tier's count
+    assert(tier(0, 0).map(_.getLong(4)).sum == total)
+    assert(tier(0, 1).map(_.getLong(4)).sum == total)
+    assert(tier(1, 0).map(_.getLong(4)).sum == total)
+  }
+
+  test("correlated scalar subquery decorrelates to an aggregate+join (q20 twin)") {
+    val df = Relational.q92CorrelatedSql(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // Catalyst must rewrite the per-row subquery into aggregate+join: no
+    // subquery node may survive to the physical plan (a per-row re-execution
+    // would render as scalar-subquery)
+    assert(!p.contains("scalar-subquery"), s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"decorrelation produced no join:\n$p")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val twin = Relational.q20AboveAvg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == twin, s"SQL form diverged from the hand-decorrelated twin: $got vs $twin")
+  }
 }
