@@ -261,6 +261,97 @@ object Embeddings {
   def qTriangles(s: SparkSession, dir: String): DataFrame =
     cosineTriangles(Tables.embeddings(s, dir), 0.4)
 
+  /** Broadcast linear-model inference — the fastText/logistic-regression
+    * quality-classifier shape (DCLM, FineWeb-Edu): score every vector
+    * against a model small enough to ship inside the plan as a literal.
+    * margin = w·x + b via the codegen'd graft_dot; no shuffle exists until
+    * whatever aggregation the caller adds. The keep decision thresholds
+    * the UNROUNDED margin: sigmoid is monotone, so "p >= 0.5" IS
+    * "margin >= 0", which keeps the gate's hash path free of
+    * transcendentals (exp is the one libm call a cross-engine contract
+    * can't pin to the ulp); the knife-edge (a fold landing on exactly
+    * ±0.0) would fail the gate VISIBLY, never silently — same contract as
+    * the q43 LSH sign test. The reported margin is rounded to 6 for the
+    * oracle compare.
+    *
+    * At 100 TB this is a pure map stage: the model is O(dim) bytes
+    * carried by the plan, the scan prunes to (embedding, label), and
+    * predicate/column pruning still reach parquet because nothing here
+    * is a UDF barrier. */
+  def classifierScores(emb: DataFrame, weights: Array[Double], bias: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val w = weights.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val raw = expr(s"graft_dot(embedding, $w)") + lit(bias)
+    emb.withColumn("margin", round(raw, 6))
+      .withColumn("keep", (raw >= 0.0).cast(IntegerType))
+  }
+
+  /** Seeded stand-in model for the q93 gate: 64 gaussian weights. A real
+    * classifier would arrive as a trained array — the execution shape is
+    * identical. */
+  private[graft] def q93Model: (Array[Double], Double) = {
+    val rng = new scala.util.Random(202L)
+    (Array.fill(64)(rng.nextGaussian() * 0.25), 0.05)
+  }
+
+  /** Gate: per-(label, keep) survival report — the "how much of each
+    * source passes the quality filter" table every corpus run produces. */
+  def qClassifier(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = q93Model
+    classifierScores(Tables.embeddings(s, dir), w, b)
+      .groupBy(col("label"), col("keep"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        round(sum(col("margin").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1)), 6).as("avg_margin"))
+  }
+
+  /** Fixed-iteration PageRank over an undirected edge list `(d1, d2)` —
+    * the importance signal used to pick canonical pages / weight training
+    * mixes (the reference has no iterative graph op at all; this is the
+    * standard DataFrame power iteration, no Pregel needed).
+    *
+    * ALL arithmetic is 64-bit integer on a fixed-point scale (`scale`
+    * units = the whole rank mass): rank/degree and the 0.85 damping
+    * multiply are integer divisions, so every engine and every physical
+    * partitioning produces BIT-IDENTICAL ranks — no float sum order to
+    * pin, which is what makes an iterated computation hash-matchable at
+    * all. Truncation loses < 1 unit per edge per iteration (≈1e-12 of
+    * mass), asserted in EmbeddingsSpec. Dangling mass cannot exist:
+    * edges are symmetrized, so every node has out-degree >= 1.
+    *
+    * Scale shape: adjacency+degree built once, cached, re-walked per
+    * iteration; each iteration is ONE shuffle (the contribution
+    * aggregation) whose width is the edge count — the same
+    * edge-partitioned join a 1000-executor cluster runs. The node count
+    * is the only driver scalar. Iterations are a constant, so the lineage
+    * stays bounded. */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = graft.core.InternalCaches.persist(
+      sym.groupBy(col("src")).agg(count(lit(1)).cast(LongType).as("deg")))
+    val adj = graft.core.InternalCaches.persist(sym.join(deg, "src"))
+    val n = deg.count()
+    val tele = (15L * scale) / (100L * n)
+    var ranks = deg.select(col("src").as("vec_id"), lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("src") === ranks("vec_id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("vec_id"),
+          (lit(tele) + expr("(85 * sc) div 100")).as("r"))
+    }
+    ranks.select(col("vec_id"), col("r").as("rank_units"))
+  }
+
+  /** Gate: 3 PageRank iterations over the q41 cosine near-dup graph. */
+  def qPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(graft.core.InternalCaches.persist(
+      cosineNearDup(Tables.embeddings(s, dir), 0.4).select(col("d1"), col("d2"))),
+      iters = 3)
+
   /** Per-label centroid norm via exact decimal element sums (order-free). */
   def qCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -288,6 +379,8 @@ object Embeddings {
     "q42_centroids"      -> (qCentroids _),
     "q43_ann_lsh"        -> (qAnnKnn _),
     "q86_triangles"      -> (qTriangles _),
+    "q93_classifier"     -> (qClassifier _),
+    "q94_pagerank"       -> (qPageRank _),
   )
 
   private val CosSql =
@@ -312,6 +405,59 @@ object Embeddings {
     * a future DuckDB vectorizes the fold, a vector with |dot| within an
     * ulp of 0 could land in a different bucket and fail this gate VISIBLY
     * (hash mismatch), never silently. */
+  /** The q93 oracle regenerates the SAME seeded model as [[q93Model]] and
+    * embeds it as a SQL literal (Double.toString round-trips → DuckDB
+    * parses bit-identical weights); both engines fold the dot product
+    * left-to-right, so the unrounded keep threshold agrees — the q43
+    * contract, restated for inference. */
+  private def classifierOracle: String = {
+    val (w, b) = q93Model
+    val lst = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+          SELECT label,
+            list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst)
+              + CAST($b AS DOUBLE) AS raw
+          FROM embeddings)
+        SELECT label,
+          CASE WHEN raw >= 0.0 THEN 1 ELSE 0 END AS keep,
+          count(*) AS n,
+          round(CAST(sum(CAST(round(raw, 6) AS DECIMAL(28,12))) AS DOUBLE)
+                / count(*), 6) AS avg_margin
+        FROM scored GROUP BY label, keep"""
+  }
+
+  /** One PageRank power-iteration step in DuckDB — integer fixed-point,
+    * mirroring [[pageRank]]'s `div` truncation exactly (all values
+    * positive, so `//` floor == `div` truncation). sum(BIGINT) is HUGEINT
+    * in DuckDB → cast back before the damping multiply. */
+  private def prIterSql(prev: String, out: String): String =
+    s"""$out AS (
+          SELECT adjc.dst AS vec_id,
+            CAST(15000000000000 // (100 * nn.n)
+              + (85 * CAST(sum($prev.r // degc.deg) AS BIGINT)) // 100 AS BIGINT) AS r
+          FROM adjc JOIN degc ON degc.src = adjc.src
+                 JOIN $prev ON $prev.vec_id = adjc.src
+                 CROSS JOIN nn
+          GROUP BY adjc.dst, nn.n)"""
+
+  private def pageRankOracle: String =
+    s"""WITH e AS MATERIALIZED (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round($CosSql, 6) >= 0.4),
+        adjc AS MATERIALIZED (
+          SELECT d1 AS src, d2 AS dst FROM e
+          UNION ALL SELECT d2 AS src, d1 AS dst FROM e),
+        degc AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg FROM adjc GROUP BY src),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM degc),
+        r0 AS (SELECT src AS vec_id, CAST(1000000000000 // n AS BIGINT) AS r
+               FROM degc CROSS JOIN nn),
+        ${prIterSql("r0", "r1")},
+        ${prIterSql("r1", "r2")},
+        ${prIterSql("r2", "r3")}
+        SELECT vec_id, r AS rank_units FROM r3"""
+
   private def annLshOracle: String = {
     val nPlanes = 8; val dim = 64
     val rng = new scala.util.Random(42L)
@@ -334,6 +480,8 @@ object Embeddings {
 
   val oracles: Map[String, String] = Map(
     "q43_ann_lsh" -> annLshOracle,
+    "q93_classifier" -> classifierOracle,
+    "q94_pagerank" -> pageRankOracle,
     "q40_knn_bruteforce" ->
       s"""WITH scored AS (
             SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim

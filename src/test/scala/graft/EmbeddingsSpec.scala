@@ -77,4 +77,67 @@ class EmbeddingsSpec extends SparkSpec {
       assert(got.values.sum % 3 == 0)
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("classifier margins are the exact plan-literal dot; keep thresholds the raw margin") {
+    val (w, b) = Embeddings.q93Model
+    val scored = Embeddings.classifierScores(emb, w, b)
+      .select(col("vec_id"), col("margin"), col("keep")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+    assert(rows.nonEmpty && scored.size == rows.length)
+    for (r <- rows) {
+      val v = r.getSeq[Float](1)
+      // same left-to-right fold as graft_dot
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * w(i); i += 1 }
+      val raw = s + b
+      val (m, k) = scored(r.getLong(0))
+      // mirror Spark's Round: BigDecimal.valueOf (toString repr), HALF_UP
+      val want = java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(m == want, s"vec ${r.getLong(0)}: margin $m != $want")
+      assert(k == (if (raw >= 0.0) 1 else 0), s"vec ${r.getLong(0)}: keep flag wrong")
+    }
+  }
+
+  test("pagerank: integer fixed-point matches a driver power iteration exactly") {
+    import spark.implicits._
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val s1000 = 1000000000000L
+    val got = Embeddings.pageRank(edgeSeq.toDF("d1", "d2"), iters = 3, scale = s1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = edgeSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val tele = 15L * s1000 / (100L * n)
+    var r = deg.keys.map(_ -> s1000 / n).toMap
+    for (_ <- 1 to 3)
+      r = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> (tele + 85L * es.map { case (src, _) => r(src) / deg(src) }.sum / 100L)
+      }
+    assert(got == r, s"got $got want $r")
+  }
+
+  test("pagerank on the cosine graph: partitioning-invariant, mass conserved to truncation") {
+    try {
+      val embBig = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      val edges = graft.core.InternalCaches.persist(
+        Embeddings.cosineNearDup(embBig, 0.4).select(col("d1"), col("d2")))
+      val a = Embeddings.pageRank(edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Embeddings.pageRank(edges.repartition(7), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, "integer pagerank must be bit-identical across partitionings")
+      assert(a.nonEmpty, "sf0.01 cosine graph should be non-empty")
+      val e = edges.count(); val n = a.size.toLong
+      val total = a.values.sum
+      val scale = 1000000000000L
+      // every division truncates toward zero, so mass only leaks DOWN, and
+      // by < 1 unit per division: per iteration < n (teleport) + 2e
+      // (contrib splits) + n (damping) divisions
+      assert(total <= scale, s"mass grew: $total > $scale")
+      assert(total >= scale - 3L * (2L * e + 2L * n),
+        s"mass leaked beyond the truncation bound: $total")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }

@@ -266,4 +266,31 @@ class PlanContractSpec extends SparkSpec {
       assert(p.contains("InMemoryTableScan"), s"q86 edge frame not cached:\n$p")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("q93: classifier inference is a pure map stage — no shuffle before the report agg") {
+    val p = plan("q93_classifier")
+    // the model rides the plan as a literal: no join of any kind, and the
+    // only exchange is the final 8-row report aggregation
+    assert(!p.contains("Join"), s"q93 planned a join for a plan-literal model:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"q93 should shuffle exactly once (the report agg):\n$p")
+    // column pruning: the scan must not read vec_id
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,label:int>"),
+      s"q93 reads extra columns:\n$p")
+  }
+
+  test("q94: pagerank iterations are equi-joins over the cached adjacency") {
+    try {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("d1", "d2")
+      val p = graft.ops.Embeddings.pageRank(edges, iters = 3)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"pagerank planned a nested loop:\n$p")
+      // every iteration walks the SAME cached adjacency+degree frame
+      assert(p.contains("InMemoryTableScan"), s"pagerank adjacency not cached:\n$p")
+      assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length >= 3,
+        s"pagerank lost its per-iteration equi-joins:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
