@@ -110,8 +110,54 @@ object Events {
               col("l_ms").as("click_ms"), col("matched_ms").as("purchase_ms"))
   }
 
+  /** Cohort retention: users bucketed by their FIRST activity week, then
+    * distinct-user counts per (cohort week, weeks-since-cohort) — the
+    * standard product-analytics retention triangle. Weeks are pure integer
+    * arithmetic on epoch ms (ms // 1000 // 604800), no calendar functions,
+    * so the bucketing is identical on every engine and timezone-free.
+    *
+    * Scale shape: the first-week aggregate and the events side both hash
+    * on user_id, so the join sits on an exchange Catalyst can reuse (one
+    * user_id shuffle feeds both sides); the distinct-count aggregation is
+    * the only later shuffle, on the (cohort, offset) pairs whose
+    * cardinality is weeks², not rows. */
+  def qCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 1000 div 604800").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Ordered funnel: per user, the earliest view / click / purchase
+    * timestamps, then how many users progressed through each stage IN
+    * ORDER (first view before first click before first purchase). ONE
+    * conditional aggregation over one scan — the min-per-type frame is 3
+    * columns × users, and stage membership is a projection over it; no
+    * window, no self-join per stage (the naive formulation joins events
+    * to itself once per funnel step, which is 3 scans and 3 shuffles at
+    * 100 TB). Timestamps compare as epoch ms — exact integers. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val mins = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ms"))).as("v"),
+      min(when(col("event_type") === "click", col("ms"))).as("c"),
+      min(when(col("event_type") === "purchase", col("ms"))).as("p"))
+    mins.agg(
+      count(lit(1)).as("n_users"),
+      count(col("v")).as("n_view"),
+      sum(when(col("v") < col("c"), 1L).otherwise(0L)).cast(LongType).as("n_view_click"),
+      sum(when(col("v") < col("c") && col("c") < col("p"), 1L).otherwise(0L))
+        .cast(LongType).as("n_full_funnel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_asof_join"      -> (qAsOf _),
+    "q97_cohorts"        -> (qCohorts _),
+    "q98_funnel"         -> (qFunnel _),
     "q50_frequent_items" -> (qFrequentItems _),
     "q51_tumbling_window"-> (qTumblingWindow _),
     "q52_sessionize"     -> (qSessionize _),
@@ -119,6 +165,26 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // q97/q98: week buckets and stage comparisons are integer epoch-ms
+    // arithmetic — `//`/`div` truncation agrees for the positive axis
+    "q97_cohorts" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 1000 // 604800 AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+         SELECT f.cohort_wk, ev.wk - f.cohort_wk AS offset_wk,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN f ON ev.user_id = f.user_id
+         GROUP BY 1, 2""",
+    "q98_funnel" ->
+      """WITH m AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v,
+             min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_users, count(v) AS n_view,
+           CAST(sum(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         FROM m""",
     "q56_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id, c.cms AS click_ms, p.pms AS purchase_ms
          FROM (SELECT event_id, user_id, epoch_ms(ts) AS cms FROM events WHERE event_type = 'click') c

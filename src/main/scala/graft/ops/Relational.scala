@@ -303,6 +303,23 @@ object Relational {
          GROUP BY o_orderstatus""")
   }
 
+  /** Exact per-group percentiles (median / p95) over BOUNDED-cardinality
+    * measures — the exact twin of q67's GK sketch. Spark's `percentile`
+    * aggregates a value→count map, so state is O(distinct values) per
+    * group: on l_quantity (50 distinct) and l_discount (11) that is
+    * constant at any corpus size, which is what makes the exact form
+    * 100 TB-safe here; for high-cardinality measures the GK sketch (q67)
+    * is the scale path. Results rounded to 6: both engines interpolate at
+    * pos = p·(n−1), but the interpolation's float expression shape is
+    * engine-internal, so the gate pins the rounded value. */
+  def q96Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        round(expr("percentile(l_quantity, 0.5D)"), 6).as("med_qty"),
+        round(expr("percentile(l_quantity, 0.95D)"), 6).as("p95_qty"),
+        round(expr("percentile(l_discount, 0.5D)"), 6).as("med_disc"))
+
   /** Null-production and null-handling scalar functions (the fixtures carry
     * no nulls, so NULLIF manufactures them): nullif/coalesce/nvl2-style. */
   def q61Nulls(s: SparkSession, dir: String): DataFrame =
@@ -516,6 +533,7 @@ object Relational {
     "q90_pivot"          -> (q90Pivot _),
     "q91_grouping_sets"  -> (q91GroupingSets _),
     "q92_correlated_sql" -> (q92CorrelatedSql _),
+    "q96_percentiles"    -> (q96Percentiles _),
     "q01_agg"            -> (q01Agg _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_topk"           -> (q03TopK _),
@@ -650,6 +668,12 @@ object Relational {
                     / count(*)
            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
          GROUP BY o_orderstatus""",
+    "q96_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+           round(quantile_cont(l_discount, 0.5), 6) AS med_disc
+         FROM lineitem GROUP BY l_returnflag""",
     "q62_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

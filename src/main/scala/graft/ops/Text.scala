@@ -641,6 +641,39 @@ object Text {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).cast(LongType).as("sum_chars"))
 
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 97(5), 2006): each row draws a
+    * priority u^(1/w) and the global top-K priorities ARE a weighted
+    * sample. Two twists make it an engine operator rather than a driver
+    * loop:
+    *
+    *  - u comes from the content hash (first 13 md5 hex chars → 52-bit
+    *    uniform), not rand(): the sample is a pure function of the data —
+    *    reproducible across runs, partitionings, and engines, and
+    *    mergeable across shards by construction (same contract as
+    *    [[qHashSample]], upgraded from Bernoulli to weighted).
+    *  - the comparison runs on ln(u)/w (monotone in u^(1/w), one ln
+    *    instead of a pow) rounded to 9 — the q57/q88 cross-engine ln
+    *    recipe.
+    *
+    * Scale shape: priorities are a codegen'd projection over the scan; the
+    * top-K is TakeOrderedAndProject (per-partition bounded heaps + one
+    * K-row driver merge — no global sort, no shuffle of the corpus).
+    * Weight here is n_chars: sampling probability ∝ document length, the
+    * usual "token-budget" sampling for training mixes. */
+  def weightedHashSample(docs: DataFrame, k: Int, weightCol: String = "n_chars"): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 13), 16, 10).cast(LongType) + 1)
+      .cast(DoubleType) / lit(4503599627370496.0) // 16^13 = 2^52
+    docs
+      .withColumn("skey", round(log(u) / col(weightCol).cast(DoubleType), 9))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col(weightCol), col("skey"))
+  }
+
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedHashSample(Tables.documents(s, dir), k = 64)
+
   /** Train/eval decontamination over an arbitrary documents-shaped frame:
     * training documents sharing at least one `n`-token shingle with the
     * eval split are flagged (the published pretraining practice — n-gram
@@ -1129,6 +1162,7 @@ object Text {
     "q63_chunking"      -> (qChunking _),
     "q64_packing"       -> (qPacking _),
     "q65_hash_sample"   -> (qHashSample _),
+    "q95_weighted_sample" -> (qWeightedSample _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -1270,6 +1304,15 @@ object Text {
     "q65_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
+    // q95: same 52-bit content-hash uniform, A-ES priority ln(u)/w rounded
+    // to 9 (the cross-engine ln recipe); ties broken by doc_id in BOTH
+    // engines so the top-K boundary is deterministic
+    "q95_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+           round(ln((CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) + 1)
+                    / 4503599627370496.0) / CAST(n_chars AS DOUBLE), 9) AS skey
+         FROM documents
+         ORDER BY skey DESC, doc_id ASC LIMIT 64""",
     "q71_decontaminate" ->
       """WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t,
                        doc_id < 32 AS is_eval

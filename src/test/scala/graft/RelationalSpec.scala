@@ -217,4 +217,54 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == twin, s"SQL form diverged from the hand-decorrelated twin: $got vs $twin")
   }
+
+  test("exact percentiles: known tiny inputs interpolate at p*(n-1), gate invariants hold") {
+    import spark.implicits._
+    // odd count: median is the middle element, exactly
+    val odd = Seq(1.0, 3.0, 2.0).toDF("v")
+      .agg(expr("percentile(v, 0.5D)")).head.getDouble(0)
+    assert(odd == 2.0)
+    // even count: linear interpolation midway between the middle pair
+    val even = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+      .agg(expr("percentile(v, 0.5D)")).head.getDouble(0)
+    assert(even == 2.5)
+    val rows = Relational.q96Percentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // columns: l_returnflag, n, med_qty, p95_qty, med_disc
+    for (r <- rows)
+      assert(r.getDouble(2) <= r.getDouble(3), s"p95_qty below med_qty in $r")
+  }
+
+  test("cohorts and funnel match a driver recomputation from raw events") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("unix_millis(ts)").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ev.nonEmpty)
+    // cohorts twin
+    val wk = ev.map { case (u, _, ms) => (u, ms / 1000L / 604800L) }
+    val firstWk = wk.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val wantCoh = wk.map { case (u, w) => ((firstWk(u), w - firstWk(u)), u) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct.size.toLong }
+    val gotCoh = graft.ops.Events.qCohorts(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(gotCoh == wantCoh, s"cohorts diverged: $gotCoh vs $wantCoh")
+    // funnel twin
+    def minOf(u: Long, t: String): Option[Long] = {
+      val xs = ev.collect { case (`u`, `t`, ms) => ms }
+      if (xs.isEmpty) None else Some(xs.min)
+    }
+    val users = ev.map(_._1).distinct
+    val nView = users.count(minOf(_, "view").isDefined)
+    val nVC = users.count(u => (minOf(u, "view"), minOf(u, "click")) match {
+      case (Some(v), Some(c)) => v < c; case _ => false
+    })
+    val nFull = users.count(u =>
+      (minOf(u, "view"), minOf(u, "click"), minOf(u, "purchase")) match {
+        case (Some(v), Some(c), Some(p)) => v < c && c < p; case _ => false
+      })
+    val f = graft.ops.Events.qFunnel(spark, sfDir).head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3)) ==
+      (users.length.toLong, nView.toLong, nVC.toLong, nFull.toLong),
+      s"funnel diverged: $f")
+  }
 }

@@ -391,4 +391,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "stream routing diverged from batch assignment")
     assert(got.size == 48)
   }
+
+  test("streaming quality filter: ingest-time classifier margins equal the batch scores") {
+    // the ingest-time shape of the q93 quality filter: the model is a plan
+    // literal and scoring is a stateless projection, so the SAME
+    // classifierScores call works on a stream with no state store and no
+    // shuffle — documents can be kept/dropped at ingest before they ever
+    // hit storage
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (w, b) = graft.ops.Embeddings.q93Model
+    val want = graft.ops.Embeddings.classifierScores(emb, w, b)
+      .select(col("vec_id"), col("margin"), col("keep")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val rows = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    mem.addData(rows.take(17).toSeq); mem.addData(rows.drop(17).toSeq)
+    val scored = graft.ops.Embeddings.classifierScores(
+      mem.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding"),
+        col("_3").as("label")), w, b)
+    val q = scored.select(col("vec_id"), col("margin"), col("keep"))
+      .writeStream.format("memory").queryName("classify_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("classify_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(got == want, "stream scoring diverged from batch classifierScores")
+    assert(got.size == rows.length)
+  }
 }

@@ -517,4 +517,29 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(got == Set(("x", 0L, 2L, "0,2"), ("y", 0L, 1L, "1"), ("y", 1L, 1L, "0")), s"got $got")
   }
+
+  test("weighted sample: matches a driver A-ES computation, partitioning-invariant, top-k planned") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = Text.weightedHashSample(docs, k = 16)
+    // top-k must plan as TakeOrderedAndProject (bounded heaps), never a
+    // global sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"weighted sample lost its bounded top-k:\n$p")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // driver twin: same md5-prefix uniform, same rounded ln(u)/w priority
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = docs.select("doc_id", "text", "n_chars").collect().map { r =>
+      val hex = md.digest(r.getString(1).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      val key = java.math.BigDecimal.valueOf(math.log(u) / r.getLong(2).toDouble)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+      (r.getLong(0), key)
+    }.sortBy { case (id, key) => (-key, id) }.take(16)
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+    // pure function of content: physical layout cannot move the sample
+    val reparted = Text.weightedHashSample(docs.repartition(7), k = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(reparted.toSeq == got.toSeq)
+  }
 }
