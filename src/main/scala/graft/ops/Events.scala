@@ -116,11 +116,13 @@ object Events {
     * arithmetic on epoch ms (ms // 1000 // 604800), no calendar functions,
     * so the bucketing is identical on every engine and timezone-free.
     *
-    * Scale shape: the first-week aggregate and the events side both hash
-    * on user_id, so the join sits on an exchange Catalyst can reuse (one
-    * user_id shuffle feeds both sides); the distinct-count aggregation is
-    * the only later shuffle, on the (cohort, offset) pairs whose
-    * cardinality is weeks², not rows. */
+    * Scale shape (plan-dumped in PLANS.md): the first-week aggregate —
+    * one row per user — broadcasts into a BroadcastHashJoin, so the
+    * events side never shuffles for the join; the remaining exchanges
+    * belong to the distinct-count aggregation on (cohort, offset) pairs
+    * whose cardinality is weeks², not rows. At billions of users the
+    * dimension outgrows the broadcast and AQE degrades the join to
+    * sort-merge on user_id (the q78/q79 degrade contract). */
   def qCohorts(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"),
