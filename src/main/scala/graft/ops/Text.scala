@@ -674,6 +674,32 @@ object Text {
   def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     weightedHashSample(Tables.documents(s, dir), k = 64)
 
+  /** Vocabulary construction — corpus-wide token counts, a frequency
+    * floor, a hard cap V, and DETERMINISTIC dense id assignment by
+    * (freq desc, token asc): the tokenizer-training step every pipeline
+    * runs before chunking/packing, and the id table q63's chunker would
+    * consume. Counting is the plain corpus hash aggregation; the top-V
+    * selection is TakeOrderedAndProject (bounded per-partition heaps, the
+    * q95 shape — no global sort of the vocabulary ever runs); id
+    * assignment is a window over a frame whose size is the CAP — a
+    * caller-chosen constant (32k–256k in practice), NOT a function of
+    * corpus size, which is what makes the one-partition window admissible
+    * here and nowhere else in this codebase. */
+  def buildVocab(docs: DataFrame, cap: Int, minFreq: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = withTokens(docs)
+      .select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    counts.orderBy(col("freq").desc, col("tok").asc).limit(cap)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok").asc)).cast(LongType))
+      .select(col("id"), col("tok"), col("freq"))
+  }
+
+  def qVocab(s: SparkSession, dir: String): DataFrame =
+    buildVocab(Tables.documents(s, dir), cap = 20) // < the fixture's 31-token vocab, so the cap boundary is live
+
   /** Train/eval decontamination over an arbitrary documents-shaped frame:
     * training documents sharing at least one `n`-token shingle with the
     * eval split are flagged (the published pretraining practice — n-gram
@@ -1163,6 +1189,7 @@ object Text {
     "q64_packing"       -> (qPacking _),
     "q65_hash_sample"   -> (qHashSample _),
     "q95_weighted_sample" -> (qWeightedSample _),
+    "q99_vocab"         -> (qVocab _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -1304,6 +1331,12 @@ object Text {
     "q65_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
+    "q99_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+         v AS (SELECT tok, freq FROM c ORDER BY freq DESC, tok ASC LIMIT 20)
+         SELECT row_number() OVER (ORDER BY freq DESC, tok ASC) AS id, tok, freq
+         FROM v""",
     // q95: same 52-bit content-hash uniform, A-ES priority ln(u)/w rounded
     // to 9 (the cross-engine ln recipe); ties broken by doc_id in BOTH
     // engines so the top-K boundary is deterministic

@@ -542,4 +542,21 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(3)))
     assert(reparted.toSeq == got.toSeq)
   }
+
+  test("vocab: dense deterministic ids over (freq desc, token), cap via bounded top-k") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = Text.buildVocab(docs, cap = 50)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cap lost its bounded top-k:\n$p")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver twin from raw counts
+    val want = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(50)
+      .zipWithIndex.map { case ((t, f), i) => (i + 1L, t, f) }
+    assert(got.toSeq == want, s"vocab diverged\ngot  ${got.take(5).toSeq}\nwant ${want.take(5)}")
+    // ids are dense 1..n
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq)
+  }
 }
