@@ -700,6 +700,33 @@ object Text {
   def qVocab(s: SparkSession, dir: String): DataFrame =
     buildVocab(Tables.documents(s, dir), cap = 20) // < the fixture's 31-token vocab, so the cap boundary is live
 
+  /** Bigram language model table — P(w2 | w1) with exact counts: the
+    * training step behind the q88 scorer (a real pipeline scores corpus
+    * quality with an LM trained on a reference corpus; this builds that
+    * model distributively). Bigrams come straight out of the token ARRAY
+    * as a codegen'd transform+explode projection — no per-token window,
+    * no positional self-join, ONE corpus scan. The unigram denominators
+    * CASCADE from the bigram counts (sum over w2 = occurrences of w1 in
+    * non-final position — the q50 one-scan threshold trick), so the
+    * corpus is never re-scanned; the vocab²-bounded count table joins its
+    * own rollup by broadcast. */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val pairs = withTokens(docs).filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(t)), i -> " +
+          "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val nBi = graft.core.InternalCaches.persist(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12")))
+    val nUni = nBi.groupBy(col("w1")).agg(sum(col("n12")).cast(LongType).as("n1"))
+    nBi.join(broadcast(nUni), "w1")
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        round(col("n12").cast(DoubleType) / col("n1").cast(DoubleType), 6).as("cond_p"))
+  }
+
+  def qBigramModel(s: SparkSession, dir: String): DataFrame =
+    bigramModel(Tables.documents(s, dir))
+
   /** Train/eval decontamination over an arbitrary documents-shaped frame:
     * training documents sharing at least one `n`-token shingle with the
     * eval split are flagged (the published pretraining practice — n-gram
@@ -1190,6 +1217,7 @@ object Text {
     "q65_hash_sample"   -> (qHashSample _),
     "q95_weighted_sample" -> (qWeightedSample _),
     "q99_vocab"         -> (qVocab _),
+    "q100_bigram_model" -> (qBigramModel _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -1331,6 +1359,16 @@ object Text {
     "q65_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
+    "q100_bigram_model" ->
+      """WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+         px AS (SELECT unnest(range(2, len(t) + 1)) AS i, t FROM tt),
+         pr AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM px),
+         cb AS (SELECT w1, w2, count(*) AS n12 FROM pr GROUP BY w1, w2),
+         cu AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM cb GROUP BY w1)
+         SELECT cb.w1, cb.w2, cb.n12, cu.n1,
+           round(CAST(cb.n12 AS DOUBLE) / CAST(cu.n1 AS DOUBLE), 6) AS cond_p
+         FROM cb JOIN cu ON cb.w1 = cu.w1""",
     "q99_vocab" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),

@@ -559,4 +559,22 @@ class TextSpec extends SparkSpec {
     // ids are dense 1..n
     assert(got.map(_._1).toSeq == (1L to got.length).toSeq)
   }
+
+  test("bigram model: conditional probabilities sum to 1 per w1, counts match a driver twin") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b c"), (1L, "b a"), (2L, "x")).toDF("doc_id", "text")
+    val got = Text.bigramModel(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // bigrams: (a,b)x2 (b,a)x2 (b,c)x1 — the single-token doc contributes none
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2L)), ("b", "a") -> ((2L, 3L)), ("b", "c") -> ((1L, 3L))), s"got $got")
+    // real corpus: per-w1 probability mass is exactly 1 (n12 partitions n1)
+    val rows = Text.bigramModel(graft.core.Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((w1, parts) <- rows.groupBy(_._1)) {
+      assert(parts.map(_._2).sum == parts.head._3, s"mass of '$w1' does not partition n1")
+      assert(parts.map(_._3).distinct.length == 1)
+    }
+  }
 }
