@@ -79,4 +79,61 @@ object DistributedSketches {
     def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
     def outputEncoder: Encoder[Map[Long, Long]] = Encoders.kryo[Map[Long, Long]]
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 55(1),
+    * 2005): a d×w counter matrix, mergeable by CELL-WISE ADDITION — which
+    * makes the merged sketch bit-identical to the sequentially-built one
+    * regardless of how the stream was partitioned (unlike the reservoir,
+    * there is no order relaxation to document). The distributed
+    * complement to [[MisraGries]]: MG keeps WHO is frequent, count-min
+    * answers ANY point query with a one-sided guarantee — estimates only
+    * ever OVERCOUNT, by at most ~2n/w with probability 1−(1/2)^d. Row
+    * hashes are splitmix64 with per-row seeds (pairwise-independent
+    * enough in practice; the classical analysis needs only 2-universal).
+    */
+  final case class CMBuf(var cells: Array[Long], var n: Long)
+
+  final class CountMin(d: Int, w: Int, seed: Long)
+      extends Aggregator[Long, CMBuf, CMBuf] {
+    require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 buckets, got d=$d w=$w")
+    def zero: CMBuf = CMBuf(new Array[Long](d * w), 0L)
+    def reduce(b: CMBuf, item: Long): CMBuf = {
+      var r = 0
+      while (r < d) { b.cells(r * w + CountMin.bucket(r, w, seed, item)) += 1L; r += 1 }
+      b.n += 1L
+      b
+    }
+    def merge(b1: CMBuf, b2: CMBuf): CMBuf = {
+      var i = 0
+      while (i < b1.cells.length) { b1.cells(i) += b2.cells(i); i += 1 }
+      b1.n += b2.n
+      b1
+    }
+    def finish(b: CMBuf): CMBuf = b
+    def bufferEncoder: Encoder[CMBuf] = Encoders.product[CMBuf]
+    def outputEncoder: Encoder[CMBuf] = Encoders.product[CMBuf]
+  }
+
+  object CountMin {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    private[streaming] def bucket(row: Int, w: Int, seed: Long, item: Long): Int =
+      java.lang.Long.remainderUnsigned(mix(item ^ (seed + 0x5851f42d4c957f2dL * (row + 1))), w.toLong).toInt
+
+    /** Point query: min over the d row counters — never undercounts. */
+    def estimate(sk: CMBuf, d: Int, w: Int, seed: Long, item: Long): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < d) {
+        val c = sk.cells(r * w + bucket(r, w, seed, item))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
 }

@@ -117,4 +117,32 @@ class ScaleOpsSpec extends SparkSpec {
     val rows = spark.table("rc_test").as[(String, Long)].collect().toSeq
     assert(rows.contains(("x", 10L)))
   }
+
+  test("range-partitioned export: global order with NO single-reducer sort") {
+    // the canonical way to materialize a globally-ordered corpus at 100 TB:
+    // repartitionByRange samples split points, every partition sorts
+    // LOCALLY, and global order falls out of partition boundaries — a
+    // global Sort (one reducer owning the world) never appears
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val exported = orders
+      .repartitionByRange(6, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+    val plan = exported.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"export lost its range exchange:\n$plan")
+    // every Sort node must be local (global=false renders as ', false,')
+    assert(!plan.contains("Sort [") || !plan.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
+      s"export planned a GLOBAL sort:\n$plan")
+    // partitions are internally sorted and their ranges are disjoint+ordered
+    val parts = exported.rdd.mapPartitionsWithIndex { (i, it) =>
+      val vs = it.map(r => (r.getDouble(1), r.getLong(0))).toArray
+      if (vs.isEmpty) Iterator.empty
+      else Iterator((i, vs.head, vs.last, vs.zip(vs.tail).forall { case (a, b) => a._1 <= b._1 }))
+    }.collect().sortBy(_._1)
+    assert(parts.nonEmpty && parts.forall(_._4), "a partition is not locally sorted")
+    for (Array(a, b) <- parts.sliding(2).map(_.toArray) if b != null && a != null)
+      assert(a._3._1 <= b._2._1,
+        s"partition ${a._1} max ${a._3} overlaps partition ${b._1} min ${b._2}")
+  }
 }

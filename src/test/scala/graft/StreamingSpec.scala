@@ -157,6 +157,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(1L) && out.contains(2L))
   }
 
+  test("CountMin: partition-invariant cells, never undercounts, overcount bounded") {
+    import spark.implicits._
+    val (d, w, seed) = (4, 256, 7L)
+    val agg = new DistributedSketches.CountMin(d, w, seed)
+    // zipf-ish: item i appears ~4000/i times for i in 1..40
+    val data = (1 to 40).flatMap(i => Seq.fill(4000 / i)(i.toLong))
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ds = spark.createDataset(data)
+    val sk1 = ds.select(agg.toColumn).collect().head
+    val sk2 = ds.repartition(13).select(agg.toColumn).collect().head
+    // cell-wise merge is exact addition: any partitioning yields the SAME matrix
+    assert(sk1.cells.toSeq == sk2.cells.toSeq && sk1.n == sk2.n)
+    assert(sk1.n == data.length.toLong)
+    val overs = truth.map { case (item, t) =>
+      val est = DistributedSketches.CountMin.estimate(sk1, d, w, seed, item)
+      assert(est >= t, s"count-min undercounted item $item: $est < $t")
+      est - t
+    }
+    // one-sided error: overcount stays within the 2n/w analysis bound
+    assert(overs.max <= 2L * sk1.n / w, s"overcount ${overs.max} above 2n/w=${2L * sk1.n / w}")
+  }
+
   test("WindowedAnalytics tumbling window over MemoryStream with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
