@@ -158,4 +158,24 @@ class SourcesSpec extends SparkSpec {
       graft.sources.SyntheticDocs.planted(spark, nBase = 10L, nPlant = 1L, nTok = 0)
     }
   }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // a corpus that gained a column mid-life (the normal state of a long-
+    // lived 100 TB dataset): old files must read with nulls in the new
+    // column, and pruning a v1-only column must still work
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    Seq((3L, "c", 9.5), (4L, "d", 8.5)).toDF("id", "v1", "score")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "score", "gen"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(9.5), 4L -> Some(8.5)))
+    // old-column projection prunes: the scan must not read `score`
+    val p = merged.select("v1").queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<v1:string>"), s"projection did not prune:\n$p")
+  }
 }
