@@ -35,6 +35,55 @@ object Bench {
     else None
   }
 
+  /** The driver keeps the last ~2000 stdout chars and parses the literal
+    * last line; 1950 leaves slack for a noisy window widening medians. */
+  private[graft] val ContractBudget = 1950
+
+  /** Build the compact contract line, shedding until it fits the driver's
+    * stdout window: cheapest per-query medians FIRST (their full values
+    * survive in BENCH_DETAIL.json and a "queries_shed" marker records the
+    * omission — round 9's 91-query inventory outgrew the window on query
+    * names alone, the r6/r7 parsed:null failure mode), then reference
+    * sections least-graded-on first (the uber section the BASELINE.md bar
+    * reads goes last). The expensive queries — the ones a regression
+    * grader needs in front of it — and the baseline sections always
+    * outlive the cheap tail. Returns (line, nQueriesShed, sectionsShed). */
+  private[graft] def compactContractLine(
+      total: Double, sfDir: String,
+      queryMedians: Vector[(String, Double)],
+      refSections: Seq[(String, Vector[(String, String)])],
+      budget: Int = ContractBudget): (String, Int, Seq[String]) = {
+    val shedOrder = Seq("reference_vec_1m", "reference_text_skew",
+      "reference_pipeline_1m", "reference_text_1m", "reference_100m",
+      "reference_text", "reference_10m", "reference_1m", "reference")
+    var qEntries = queryMedians.sortBy { case (_, m) => -m }
+    var qShed = 0
+    var sections = refSections
+    val sectionsShed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def render(): String = {
+      val qs = qEntries.map { case (k, m) => "\"" + k + "\":" + f"$m%.2f" }
+        .mkString("{", ",", "}")
+      val shedMark = if (qShed > 0) s""","queries_shed":$qShed""" else ""
+      val refs = sections.map { case (sec, kvs) =>
+        s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
+      }.mkString
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$shedMark,"sf":"$sfDir"$refs}"""
+    }
+    var compact = render()
+    while (compact.length > budget && qEntries.nonEmpty) {
+      qEntries = qEntries.init // drop the smallest median
+      qShed += 1
+      compact = render()
+    }
+    for (victim <- shedOrder if compact.length > budget)
+      if (sections.exists(_._1 == victim)) {
+        sections = sections.filterNot(_._1 == victim)
+        sectionsShed += victim
+        compact = render()
+      }
+    (compact, qShed, sectionsShed.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -445,40 +494,15 @@ object Bench {
         (detail + "\n").getBytes("UTF-8"))
     } catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] detail file not written: $e") }
-    def renderCompactRef(m: collection.Map[String, Vector[(String, String)]]): String =
-      m.map { case (sec, kvs) =>
-        s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
-      }.mkString
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"${medianValid(v)}%.2f" }
-      .mkString("{", ",", "}")
-    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir""""
-    // If the query inventory grows past the window, shed reference sections
-    // one at a time, least-graded-on first (synthetic 10m, then 1m, then
-    // the BASELINE.md-comparable uber section last — it is the one the
-    // baseline bar reads); full detail always survives in
-    // BENCH_DETAIL.json. Warn loudly at every shedding step.
-    // Line budget: the driver keeps the last ~2000 stdout chars and parses
-    // the last line. build.sbt suppresses the "[success]" banner AND routes
-    // forked run output straight to stdout (no "[info] " prefix), so this
-    // line is the literal last stdout line, bare JSON, and ≤ ~2000 chars
-    // survives intact. 1950 leaves slack for a noisy window widening a few
-    // medians to double digits; shedding degrades gracefully from there.
-    val budget = 1950
-    val shedOrder = Seq("reference_vec_1m", "reference_text_skew",
-      "reference_pipeline_1m", "reference_text_1m", "reference_100m",
-      "reference_text", "reference_10m", "reference_1m", "reference")
-    var sections = compactRef.toSeq // LinkedHashMap: insertion order
-    def render(): String = head + renderCompactRef(
-      scala.collection.mutable.LinkedHashMap(sections: _*)) + "}"
-    var compact = render()
-    for (victim <- shedOrder if compact.length > budget) {
-      if (sections.exists(_._1 == victim)) {
-        System.err.println(s"[bench] compact line ${compact.length} chars > $budget; shedding section '$victim' (see BENCH_DETAIL.json)")
-        sections = sections.filterNot(_._1 == victim)
-        compact = render()
-      }
-    }
-    if (compact.length > budget)
+    val (compact, qShed, sectionsShed) = compactContractLine(
+      total, sfDir,
+      results.toVector.map { case (k, v) => k -> medianValid(v) },
+      compactRef.toSeq)
+    if (qShed > 0)
+      System.err.println(s"[bench] compact line over budget; shed the $qShed cheapest per-query medians (all ${results.size} remain in BENCH_DETAIL.json)")
+    for (victim <- sectionsShed)
+      System.err.println(s"[bench] compact line over budget; shed section '$victim' (see BENCH_DETAIL.json)")
+    if (compact.length > ContractBudget)
       System.err.println(s"[bench] compact line STILL ${compact.length} chars — driver tail may truncate it")
     // Stop Spark BEFORE printing the two output lines: nothing Spark-side
     // (shutdown-hook warnings relayed through sbt's logger) can then land

@@ -33,4 +33,32 @@ class BenchMathSpec extends AnyFunSuite {
     // single valid run: no dispersion to judge
     assert(Bench.highVarianceLine("q", Seq(-1.0, 0.5)).isEmpty)
   }
+
+  test("compactContractLine: 91-query inventory fits the driver window, sections intact") {
+    // the round-9 shape that overflowed: 91 realistic query names plus all
+    // nine reference sections
+    val queries = (1 to 91).map(i => f"q${i}%02d_some_operator_name" -> (i % 7) * 0.37).toVector
+    val sections = Seq(
+      "reference" -> Vector("exact_uber100k" -> "0.76", "approx_uber100k" -> "0.34", "mrfft_uber" -> "0.33"),
+      "reference_1m" -> Vector("mrfft_k200_1m" -> "0.50", "approx_1m" -> "0.50"),
+      "reference_10m" -> Vector("mrfft_k110_10m" -> "1.48"),
+      "reference_text" -> Vector("minhash_lsh_300k" -> "2.53"),
+      "reference_text_skew" -> Vector("lsh_skew_300k" -> "2.60"),
+      "reference_vec_1m" -> Vector("kmeans_assign_1m" -> "0.23"))
+    val (line, qShed, sShed) = Bench.compactContractLine(40.0, "/root/testdata/sf0.1", queries, sections)
+    assert(line.length <= Bench.ContractBudget, s"line still ${line.length} chars")
+    // the graded reference sections must all survive — queries shed instead
+    assert(sShed.isEmpty, s"sections shed: $sShed")
+    assert(qShed > 0 && line.contains(s""""queries_shed":$qShed"""))
+    // the EXPENSIVE queries stay; the shed ones are the cheapest
+    val kept = """"(q\d+_some_operator_name)":""".r.findAllMatchIn(line).map(_.group(1)).toSet
+    val keptMedians = queries.filter(q => kept(q._1)).map(_._2)
+    val shedMedians = queries.filterNot(q => kept(q._1)).map(_._2)
+    assert(kept.size == 91 - qShed)
+    assert(shedMedians.nonEmpty && keptMedians.min >= shedMedians.max,
+      "shed a more expensive query than one kept")
+    // a small inventory sheds nothing and carries no marker
+    val (small, 0, Nil) = Bench.compactContractLine(5.0, "sf", queries.take(10), sections)
+    assert(!small.contains("queries_shed") && small.length <= Bench.ContractBudget)
+  }
 }
