@@ -267,6 +267,29 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("q97: with auto-broadcast disabled the cohort join degrades to a sane shuffle join") {
+    // q97's doc claims the per-user first-week dimension broadcasts at
+    // gate SF and "AQE degrades the join to sort-merge on user_id" at
+    // billions of users — the q78/q79 scale-down proof, restated: kill
+    // size-based broadcasts, assert the degraded tree is a plain
+    // equi-join, and that it computes identical rows (integer week
+    // arithmetic, so strategy cannot move the result).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    def rows(): Set[Seq[Any]] =
+      SparkEntry.queries("q97_cohorts")(spark, sfDir).collect().map(_.toSeq).toSet
+    val want = rows()
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q97_cohorts")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"q97 degraded to a scale-killer plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q97 expected a shuffle equi-join without broadcast:\n$p")
+      assert(rows() == want, "q97 degraded plan changed the result")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q93: classifier inference is a pure map stage — no shuffle before the report agg") {
     val p = plan("q93_classifier")
     // the model rides the plan as a literal: no join of any kind, and the
