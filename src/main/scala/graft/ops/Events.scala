@@ -156,10 +156,32 @@ object Events {
         .cast(LongType).as("n_full_funnel"))
   }
 
+  /** Range-frame rolling aggregates — each event's trailing-hour activity
+    * (count + exact decimal sum) per user: rate limiting, anomaly
+    * baselines, engagement velocity. The frame is defined by the VALUE
+    * range on epoch ms (RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+    * so simultaneous events include each other symmetrically on every
+    * engine — no row-order ambiguity for the aggregate. Partitioning is
+    * per user: bounded by one user's activity, shuffled once. A single
+    * pathological user (bot firehose) is the known skew risk; the
+    * standard mitigation — pre-aggregating into fixed time buckets before
+    * the window — composes with q51's tumbling aggregation directly. */
+  def qRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ms"), col("value").cast(DecimalType(18, 2)).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    e.select(col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("v")).over(w).cast(DoubleType).as("sum_1h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_asof_join"      -> (qAsOf _),
     "q97_cohorts"        -> (qCohorts _),
     "q98_funnel"         -> (qFunnel _),
+    "q101_rolling"       -> (qRolling _),
     "q50_frequent_items" -> (qFrequentItems _),
     "q51_tumbling_window"-> (qTumblingWindow _),
     "q52_sessionize"     -> (qSessionize _),
@@ -176,6 +198,15 @@ object Events {
                 count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN f ON ev.user_id = f.user_id
          GROUP BY 1, 2""",
+    "q101_rolling" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                      CAST(value AS DECIMAL(18,2)) AS v FROM events)
+         SELECT user_id, event_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
     "q98_funnel" ->
       """WITH m AS (
            SELECT user_id,

@@ -267,4 +267,18 @@ class RelationalSpec extends SparkSpec {
       (users.length.toLong, nView.toLong, nVC.toLong, nFull.toLong),
       s"funnel diverged: $f")
   }
+
+  test("rolling window: trailing-hour counts match a driver range scan") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("unix_millis(ts)").as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val want = ev.map { case (u, eid, ms) =>
+      (u, eid) -> byUser(u).count { case (_, _, m2) => m2 >= ms - 3600000L && m2 <= ms }.toLong
+    }.toMap
+    val got = graft.ops.Events.qRolling(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want, "rolling counts diverged from the driver range scan")
+    assert(got.valuesIterator.max >= 2, "fixture should produce at least one overlap")
+  }
 }
