@@ -727,6 +727,43 @@ object Text {
   def qBigramModel(s: SparkSession, dir: String): DataFrame =
     bigramModel(Tables.documents(s, dir))
 
+  /** Phrase detection — the word2phrase collocation score (Mikolov et al.,
+    * NeurIPS 2013 §4): score(w1,w2) = (c12 − δ)·N / (c1·c2), high when a
+    * pair co-occurs far more than chance; pairs over a score threshold get
+    * merged into single tokens ("new_york") before embedding training.
+    * ALL numerators/denominators are 64-bit integer products with ONE
+    * double division at the end (round 6) — no ln, nothing engine-shaped.
+    * One cached token scan feeds both the unigram and the bigram
+    * aggregation; the unigram table is vocab-bounded and joins back by
+    * broadcast, N rides a single-row broadcast (the q77/q50 scalar
+    * pattern). The δ floor also bounds the output: only pairs seen > δ
+    * times can score, so hapax noise never reaches the join. */
+  def phraseScores(docs: DataFrame, delta: Long = 5L): DataFrame = {
+    val toks = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("t")))
+    val uni = graft.core.InternalCaches.persist(
+      toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val total = uni.agg(sum(col("c")).cast(LongType).as("n"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(t)), i -> " +
+          "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") > lit(delta))
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(((col("c12") - lit(delta)) * col("n")).cast(DoubleType) /
+              (col("c1") * col("c2")).cast(DoubleType), 6).as("score"))
+  }
+
+  def qPhrases(s: SparkSession, dir: String): DataFrame =
+    phraseScores(Tables.documents(s, dir))
+
   /** Train/eval decontamination over an arbitrary documents-shaped frame:
     * training documents sharing at least one `n`-token shingle with the
     * eval split are flagged (the published pretraining practice — n-gram
@@ -1218,6 +1255,7 @@ object Text {
     "q95_weighted_sample" -> (qWeightedSample _),
     "q99_vocab"         -> (qVocab _),
     "q100_bigram_model" -> (qBigramModel _),
+    "q102_phrases"      -> (qPhrases _),
     "q30_token_stats"   -> (qTokenStats _),
     "q31_quality"       -> (qQuality _),
     "q32_langid"        -> (qLangId _),
@@ -1359,6 +1397,20 @@ object Text {
     "q65_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
+    "q102_phrases" ->
+      """WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents),
+         u AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tt) GROUP BY w),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+         px AS (SELECT unnest(range(2, len(t) + 1)) AS i, t FROM tt WHERE len(t) >= 2),
+         pr AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM px),
+         cb AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2
+                HAVING count(*) > 5)
+         SELECT cb.w1, cb.w2, cb.c12, u1.c AS c1, u2.c AS c2,
+           round(CAST((cb.c12 - 5) * nn.n AS DOUBLE)
+                 / CAST(u1.c * u2.c AS DOUBLE), 6) AS score
+         FROM cb JOIN u u1 ON u1.w = cb.w1
+                 JOIN u u2 ON u2.w = cb.w2
+                 CROSS JOIN nn""",
     "q100_bigram_model" ->
       """WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents
                      WHERE len(string_split(text, ' ')) >= 2),

@@ -577,4 +577,24 @@ class TextSpec extends SparkSpec {
       assert(parts.map(_._3).distinct.length == 1)
     }
   }
+
+  test("phrase scores: hand-computed word2phrase values, delta floor enforced") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b"), (1L, "b a")).toDF("doc_id", "text")
+    // unigrams a:3 b:3, N=6; bigrams (a,b):2 (b,a):2
+    // score = (c12 - 1) * 6 / (3 * 3) = 0.666667 for both
+    val got = Text.phraseScores(docs, delta = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 3L, 3L, 0.666667)),
+      ("b", "a") -> ((2L, 3L, 3L, 0.666667))), s"got $got")
+    // the delta floor drops every pair when delta >= max c12
+    assert(Text.phraseScores(docs, delta = 2L).count() == 0)
+    // real corpus: every surviving pair cleared the default floor
+    val real = Text.phraseScores(graft.core.Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(2), r.getDouble(5)))
+    assert(real.nonEmpty)
+    assert(real.forall(_._1 > 5L), "a pair below the delta floor survived")
+  }
 }
