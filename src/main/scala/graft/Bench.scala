@@ -53,7 +53,7 @@ object Bench {
       queryMedians: Vector[(String, Double)],
       refSections: Seq[(String, Vector[(String, String)])],
       budget: Int = ContractBudget): (String, Int, Seq[String]) = {
-    val shedOrder = Seq("reference_vec_1m", "reference_text_skew",
+    val shedOrder = Seq("reference_graph_1m", "reference_vec_1m", "reference_text_skew",
       "reference_pipeline_1m", "reference_text_1m", "reference_100m",
       "reference_text", "reference_10m", "reference_1m", "reference")
     var qEntries = queryMedians.sortBy { case (_, m) => -m }
@@ -481,13 +481,52 @@ object Bench {
       syntheticAnchors("100m", nClusterPts = 100000008L,
         numPartitions = 256, k = 110, l = 16, withExact = true, warmReps = 1)
     else ""
+    // reference_graph_1m (opt-in: SPARK_GRAFT_BIG=1): the graph layer at
+    // scale — 3 PageRank iterations over a deterministic 6-regular graph
+    // (1M nodes: ring + chords at offsets 7919 and 104729, symmetrized to
+    // 6M directed edges). Vertex transitivity gives a FIRST-PRINCIPLES
+    // golden: every node computes the identical integer sequence, which
+    // reaches the exact fixed point r = 150000 + (85 * 6*(r div 6)) div
+    // 100 = 999996 units — so the anchor asserts rank spread EXACTLY 0
+    // and the closed-form value, proving the fixed-point arithmetic does
+    // not drift at 1000x the gate's graph size.
+    val refGraph1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1")) {
+      try {
+        import org.apache.spark.sql.functions.{col, max, min, sum}
+        val n = 1000000L
+        val base = spark.range(n).toDF("i")
+        def chord(k: Long) =
+          base.select(col("i").as("d1"), ((col("i") + k) % n).as("d2"))
+        val edgesP = graft.core.InternalCaches.persist(
+          chord(1L).union(chord(7919L)).union(chord(104729L)))
+        try {
+          var spread = -1L; var rank = -1L
+          val j1 = coldWarm("reference_graph_1m", "pagerank_1m", warmReps = 1) {
+            val agg = graft.ops.Embeddings.pageRank(edgesP, iters = 3)
+              .agg(min(col("rank_units")).as("mn"), max(col("rank_units")).as("mx"),
+                   sum(col("rank_units"))).head
+            spread = agg.getLong(1) - agg.getLong(0)
+            rank = agg.getLong(0)
+          }
+          if (spread != 0L || rank != 999996L) throw new GoldenMismatch(
+            s"pagerank 1M anchor MISMATCH: spread=$spread (want 0), rank=$rank (want 999996)")
+          addCompact("reference_graph_1m", "pagerank_rank", "999996")
+          s""","reference_graph_1m":{$j1,"pagerank_spread":$spread,"pagerank_rank":$rank}"""
+        } finally { edgesP.unpersist(); graft.core.InternalCaches.release(spark) }
+      } catch {
+        case e: GoldenMismatch => throw e
+        case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] reference_graph_1m section dropped: $e")
+          compactRef.remove("reference_graph_1m"); ""
+      }
+    } else ""
     // Two output lines + a detail file. The round driver keeps only the last
     // ~2000 chars of stdout, so the LAST line is the compact contract line
     // (metric/value/queries medians/warm reference medians — everything the
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refVec1m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refVec1m$refGraph1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -140,4 +140,22 @@ class EmbeddingsSpec extends SparkSpec {
         s"mass leaked beyond the truncation bound: $total")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("pagerank on a 6-regular graph hits the exact uniform fixed point") {
+    // vertex transitivity ⇒ every node runs the identical integer
+    // sequence: r1 = 15e12/(100n) + (85 * 6*(r0 div 6)) div 100, which is
+    // already the fixed point. At n=1000: 150000000 + 849999996 =
+    // 999999996 — the closed form the reference_graph_1m BIG anchor
+    // asserts at 1M nodes.
+    import spark.implicits._
+    val n = 1000L
+    val base = spark.range(n).toDF("i")
+    def chord(k: Long) = base.select(col("i").as("d1"), ((col("i") + k) % n).as("d2"))
+    val edges = chord(1L).union(chord(17L)).union(chord(101L))
+    val ranks = graft.ops.Embeddings.pageRank(edges, iters = 3)
+      .collect().map(_.getLong(1))
+    assert(ranks.length == n)
+    assert(ranks.min == ranks.max, s"spread ${ranks.max - ranks.min} on a transitive graph")
+    assert(ranks.head == 999999996L, s"fixed point moved: ${ranks.head}")
+  }
 }
