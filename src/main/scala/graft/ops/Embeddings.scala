@@ -352,6 +352,44 @@ object Embeddings {
       cosineNearDup(Tables.embeddings(s, dir), 0.4).select(col("d1"), col("d2"))),
       iters = 3)
 
+  /** Symmetric per-vector int8 scalar quantization — the storage/serving
+    * compression step every embedding corpus goes through before ANN
+    * serving (FAISS SQ8, Milvus/pgvector int8): scale = max|x|/127 per
+    * vector, code_i = round(x_i/scale) ∈ [-127, 127]. Implemented entirely
+    * in codegen'd array HOFs (transform/aggregate) — a pure map stage with
+    * no UDF barrier, so at 100 TB it rides the parquet scan: column
+    * pruning reads only (label, embedding) and the single shuffle is the
+    * 10-row label rollup.
+    *
+    * Cross-engine determinism: the code is floor(x·127/ma + 0.5) (round
+    * half toward +∞) on doubles cast from the stored floats — the same
+    * IEEE sequence DuckDB evaluates, and for the max-abs element
+    * x·127/ma is exactly ±127 (x·127 is exact: 24-bit mantissa × 7-bit
+    * integer; dividing the exact product 127·ma by ma yields exactly
+    * 127), so no knife-edge exists at the saturation boundary. Outputs
+    * are integer-only (code sums + saturation counts) — hash-safe.
+    *
+    * The report is the quantization-health table a corpus run publishes:
+    * per label, the code mass (sum over all elements — a drift detector:
+    * symmetric data should sum near 0) and how many elements saturate. */
+  def quantizeInt8Report(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("ma", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("codes", expr(
+        """transform(embedding, x ->
+             CASE WHEN ma = 0.0D THEN 0L
+                  ELSE cast(floor(cast(x as double) * 127.0D / ma + 0.5D) as bigint) END)"""))
+      .withColumn("row_sum", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
+      .withColumn("row_sat", expr(
+        "aggregate(codes, 0L, (a, c) -> a + CASE WHEN abs(c) = 127L THEN 1L ELSE 0L END)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast(LongType).as("n_vecs"),
+           sum(col("row_sum")).as("sum_codes"),
+           sum(col("row_sat")).as("n_sat"))
+
+  def qQuantize(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8Report(Tables.embeddings(s, dir))
+
   /** Per-label centroid norm via exact decimal element sums (order-free). */
   def qCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -381,6 +419,7 @@ object Embeddings {
     "q86_triangles"      -> (qTriangles _),
     "q93_classifier"     -> (qClassifier _),
     "q94_pagerank"       -> (qPageRank _),
+    "q103_quantize_int8" -> (qQuantize _),
   )
 
   private val CosSql =
@@ -479,6 +518,23 @@ object Embeddings {
   }
 
   val oracles: Map[String, String] = Map(
+    // q103: same floor(x*127/ma + 0.5) double sequence as
+    // quantizeInt8Report — lambdas capture the row's ma, outputs integer
+    "q103_quantize_int8" ->
+      """WITH q AS (
+           SELECT label, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+           FROM embeddings),
+         c AS (
+           SELECT label,
+             list_transform(embedding, x ->
+               CASE WHEN ma = 0.0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT) END) AS codes
+           FROM q)
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(list_aggregate(codes, 'sum')) AS BIGINT) AS sum_codes,
+           CAST(sum(len(list_filter(codes, c -> abs(c) = 127))) AS BIGINT) AS n_sat
+         FROM c GROUP BY label""",
     "q43_ann_lsh" -> annLshOracle,
     "q93_classifier" -> classifierOracle,
     "q94_pagerank" -> pageRankOracle,

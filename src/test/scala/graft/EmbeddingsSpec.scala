@@ -158,4 +158,44 @@ class EmbeddingsSpec extends SparkSpec {
     assert(ranks.min == ranks.max, s"spread ${ranks.max - ranks.min} on a transitive graph")
     assert(ranks.head == 999999996L, s"fixed point moved: ${ranks.head}")
   }
+
+  test("int8 quantization report matches a driver recompute exactly") {
+    val rows = emb.select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val expected = rows.groupBy(_._1).map { case (label, vs) =>
+      var sumCodes = 0L; var nSat = 0L
+      vs.foreach { case (_, v) =>
+        val ma = v.map(x => math.abs(x.toDouble)).max
+        v.foreach { x =>
+          val c = if (ma == 0.0) 0L
+                  else math.floor(x.toDouble * 127.0 / ma + 0.5).toLong
+          sumCodes += c; if (math.abs(c) == 127L) nSat += 1L
+        }
+      }
+      label -> ((vs.length.toLong, sumCodes, nSat))
+    }
+    val got = Embeddings.quantizeInt8Report(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "quantization report diverged from driver recompute")
+    // a non-zero vector's max-|x| element always saturates: every vector
+    // contributes >= 1 to n_sat, so the per-label counts are bounded below
+    got.foreach { case (label, (n, _, sat)) =>
+      assert(sat >= n, s"label $label: $sat saturated < $n vectors") }
+  }
+
+  test("int8 quantization: zero vectors code to all-zeros, codes stay in [-127,127]") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, -2.0f, 4.0f), 1),
+      (2L, Array(-3.0f, 3.0f, 1.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Embeddings.quantizeInt8Report(tiny).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // label 0: zero vector -> all codes 0, nothing saturates
+    assert(out(0) == ((1L, 0L, 0L)))
+    // label 1: (1,-2,4) -> round(31.75)=32, round(-63.5)=-63 (half toward
+    // +inf), 127; (-3,3,1.5) -> -127, 127, round(63.5)=64
+    assert(out(1) == ((2L, 32L - 63L + 127L - 127L + 127L + 64L, 3L)))
+  }
 }
