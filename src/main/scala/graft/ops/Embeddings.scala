@@ -390,6 +390,94 @@ object Embeddings {
   def qQuantize(s: SparkSession, dir: String): DataFrame =
     quantizeInt8Report(Tables.embeddings(s, dir))
 
+  /** ANN recall@k evaluation — the index-quality harness every ANN
+    * deployment runs before serving: per query, how many of the EXACT
+    * top-k neighbors the LSH index returned. [[bruteForceKnn]] is the
+    * ground truth, [[annKnn]] the system under test; both are already
+    * deterministic (rounded sims, id tiebreaks), so the report is too.
+    *
+    * Scale shape: the heavy frames are the two kNN computations
+    * themselves (each already scale-shaped — broadcast query side,
+    * bucket equi-join); the eval overlay is joins on k·|Q| rows, which
+    * is tiny because an eval query set is a bounded sample by
+    * construction. n_approx can fall short of k (sparse bucket) and a
+    * query with an empty bucket still reports, with n_approx = 0. */
+  def annRecallReport(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val exact = bruteForceKnn(emb, queryPred, k).select(col("qid"), col("nid"))
+    val approx = annKnn(emb, queryPred, k)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    val nap = approx.groupBy(col("aqid"))
+      .agg(count(lit(1)).cast(LongType).as("n_approx"))
+    exact
+      .join(approx, col("qid") === col("aqid") && col("nid") === col("anid"),
+        "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast(LongType).as("n_exact"),
+        sum(when(col("anid").isNotNull, 1L).otherwise(0L)).cast(LongType).as("n_hit"))
+      .join(nap.withColumnRenamed("aqid", "qid"), Seq("qid"), "left_outer")
+      .withColumn("n_approx", coalesce(col("n_approx"), lit(0L)))
+      .withColumn("recall", col("n_hit").cast(DoubleType) / col("n_exact"))
+      .select(col("qid"), col("n_exact"), col("n_approx"), col("n_hit"), col("recall"))
+  }
+
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    annRecallReport(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
+
+  /** Exact d×d covariance of the embedding corpus — the whitening /
+    * drift-detection statistic (a degenerate dimension means a wasted
+    * axis; covariance drift across snapshots means the encoder moved).
+    * cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n) over upper-triangle pairs.
+    *
+    * Sums are SCALED LONGS — each product is fixed-point-quantized as
+    * floor(xᵢxⱼ·10⁶ + 0.5) (the q103 rounding sequence, knife-edge-free
+    * and identical on every engine) and summed as 64-bit integers:
+    * order-free exactness at long-addition speed, ~10× cheaper than the
+    * decimal-sum alternative this replaced (which made q106 the slowest
+    * query in the bench). Overflow bound: n·max|xᵢxⱼ| must stay under
+    * 9.2·10¹² — ample for unit-scale embeddings at any corpus size.
+    *
+    * The pair blowup is ONE codegen'd nested-transform producing a flat
+    * d(d+1)/2 long array per row, posexploded to (k, p) — no per-row
+    * structs — and map-side partial aggregation caps each task's shuffle
+    * output at 2080 accumulator rows regardless of its input rows. The
+    * flat index maps back to (i, j) through a driver-built 2080-row
+    * broadcast; per-dimension sums reuse one posexplode pass and
+    * broadcast onto the pair grid. */
+  def covarianceReport(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val kToIj = (for (i <- 0 until dim; j <- i until dim) yield (i.toLong, j.toLong))
+      .zipWithIndex.map { case ((i, j), k) => (k.toLong, i, j) }
+      .toDF("k", "i", "j")
+    val prods = emb.select(posexplode(expr(
+      """flatten(transform(sequence(0, size(embedding) - 1), i ->
+           transform(sequence(i, size(embedding) - 1), j ->
+             cast(floor(cast(element_at(embedding, i + 1) as double) *
+                        cast(element_at(embedding, j + 1) as double)
+                        * 1000000.0D + 0.5D) as bigint))))"""))
+      .as(Seq("k", "p")))
+    val sums = prods.groupBy(col("k"))
+      .agg(sum(col("p")).as("sxy"), count(lit(1)).cast(LongType).as("n_vecs"))
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(expr("cast(floor(cast(x as double) * 1000000.0D + 0.5D) as bigint)")).as("sx"))
+    sums
+      .join(broadcast(kToIj), "k")
+      .join(broadcast(dims.select(col("pos").cast(LongType).as("i"), col("sx").as("sxa"))), "i")
+      .join(broadcast(dims.select(col("pos").cast(LongType).as("j"), col("sx").as("sxb"))), "j")
+      // + 0.0 normalizes IEEE negative zero (round can yield -0.0, whose
+      // textual repr differs between engines; -0.0 + 0.0 = +0.0 exactly)
+      .withColumn("cov", round(
+        col("sxy").cast(DoubleType) / lit(1000000.0) / col("n_vecs")
+          - (col("sxa").cast(DoubleType) / lit(1000000.0) / col("n_vecs"))
+            * (col("sxb").cast(DoubleType) / lit(1000000.0) / col("n_vecs")), 6) + lit(0.0))
+      .select(col("i"), col("j"), col("n_vecs"), col("cov"))
+  }
+
+  def qCovariance(s: SparkSession, dir: String): DataFrame =
+    covarianceReport(Tables.embeddings(s, dir))
+
   /** Per-label centroid norm via exact decimal element sums (order-free). */
   def qCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -420,6 +508,8 @@ object Embeddings {
     "q93_classifier"     -> (qClassifier _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
+    "q105_ann_recall"    -> (qAnnRecall _),
+    "q106_covariance"    -> (qCovariance _),
   )
 
   private val CosSql =
@@ -497,14 +587,21 @@ object Embeddings {
         ${prIterSql("r2", "r3")}
         SELECT vec_id, r AS rank_units FROM r3"""
 
-  private def annLshOracle: String = {
+  /** DuckDB rendering of [[lshBuckets]]'s bucket id: the same seed-42
+    * hyperplanes, emitted as SQL literals. Shared by the q43 and q105
+    * oracles. */
+  private def annBucketSql: String = {
     val nPlanes = 8; val dim = 64
     val rng = new scala.util.Random(42L)
     val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
-    val bucket = (0 until nPlanes).map { p =>
+    (0 until nPlanes).map { p =>
       val lst = planes(p).map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst) >= 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  private def annLshOracle: String = {
+    val bucket = annBucketSql
     s"""WITH bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
         scored AS (
           SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim
@@ -536,6 +633,55 @@ object Embeddings {
            CAST(sum(len(list_filter(codes, c -> abs(c) = 127))) AS BIGINT) AS n_sat
          FROM c GROUP BY label""",
     "q43_ann_lsh" -> annLshOracle,
+    // q105: the q43 LSH chain vs the q40 exact chain, overlapped per query
+    "q105_ann_recall" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, $annBucketSql AS bucket FROM embeddings),
+          lsh AS (
+            SELECT qid, nid FROM (
+              SELECT a.vec_id AS qid, b.vec_id AS nid,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY round($CosSql, 6) DESC, b.vec_id ASC) AS rk
+              FROM bk a JOIN bk b
+                ON a.bucket = b.bucket AND a.vec_id < 8 AND a.vec_id <> b.vec_id) t
+            WHERE rk <= 5),
+          ex AS (
+            SELECT qid, nid FROM (
+              SELECT a.vec_id AS qid, b.vec_id AS nid,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY round($CosSql, 6) DESC, b.vec_id ASC) AS rk
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id < 8 AND a.vec_id <> b.vec_id) t
+            WHERE rk <= 5),
+          nap AS (SELECT qid, count(*) AS n_approx FROM lsh GROUP BY qid)
+          SELECT e.qid, count(*) AS n_exact,
+            COALESCE(any_value(nap.n_approx), 0) AS n_approx,
+            CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+            CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS recall
+          FROM ex e LEFT JOIN lsh l ON e.qid = l.qid AND e.nid = l.nid
+                    LEFT JOIN nap ON nap.qid = e.qid
+          GROUP BY e.qid""",
+    // q106: identical floor(x*1e6 + 0.5) scaled-long sums + divide sequence
+    // to covarianceReport
+    "q106_covariance" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         nn AS (SELECT count(*) AS n FROM e),
+         idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 64)),
+         pairs AS (
+           SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(floor(v[a.i + 1] * v[b.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+           FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY a.i, b.i),
+         dims AS (SELECT i.i AS i,
+                    CAST(sum(CAST(floor(v[i.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx
+                  FROM e, idx i GROUP BY i.i)
+         SELECT p.i, p.j, nn.n AS n_vecs,
+           round(CAST(p.sxy AS DOUBLE) / 1000000.0 / nn.n
+             - (CAST(da.sx AS DOUBLE) / 1000000.0 / nn.n)
+               * (CAST(db.sx AS DOUBLE) / 1000000.0 / nn.n), 6)
+             + 0.0 AS cov
+         FROM pairs p JOIN dims da ON da.i = p.i JOIN dims db ON db.i = p.j
+         CROSS JOIN nn""",
     "q93_classifier" -> classifierOracle,
     "q94_pagerank" -> pageRankOracle,
     "q40_knn_bruteforce" ->

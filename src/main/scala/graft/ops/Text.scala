@@ -1244,7 +1244,127 @@ object Text {
   def qUnigramLogProb(s: SparkSession, dir: String): DataFrame =
     unigramLogProb(Tables.documents(s, dir))
 
+  /** Cross-source shingle-overlap matrix — the corpus-pair contamination /
+    * redundancy diagnostic run before fixing mixture weights: for every
+    * source pair, the Jaccard overlap of their distinct 3-gram shingle
+    * sets. High overlap between two crawls means their tokens are not
+    * independent evidence and the q77 mixing weights double-count.
+    *
+    * Scale shape: ONE distinct over (source, shingle-hash) — combine-
+    * friendly, shuffled by (source, h) — then a self-equi-join on the
+    * hash. Join fan-out per shingle is bounded by the number of SOURCES
+    * (a shingle contributes at most K(K−1)/2 pairs no matter how many
+    * documents repeat it), so the hot-shingle skew that makes document-
+    * level shingle self-joins quadratic cannot occur: K is the corpus's
+    * source count (dozens), not its document count. The pair rollup is
+    * K² rows. Shingles are the same 64-bit hashes as q34/q35 (set-
+    * identical to strings modulo ~2⁻⁶⁴ collisions).
+    *
+    * The distinct set frame is persisted: cardinalities and both join
+    * sides consume it, and Catalyst does not deduplicate self-join
+    * subtrees (the q34 lesson). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sets = graft.core.InternalCaches.persist(
+      withHashedShingles(docs)
+        .select(col("source"), explode(col("hs")).as("h"))
+        .distinct())
+    val card = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(card.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(card.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / (col("n1") + col("n2") - col("n_inter")))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_inter"), col("jaccard"))
+  }
+
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(s, dir))
+
+  /** Per-document shingle novelty — the memorization/duplication risk
+    * signal: what fraction of a document's distinct 3-gram shingles occur
+    * in NO other document. Boilerplate-heavy or near-duplicate docs score
+    * near 0; genuinely novel text scores near 1. The corpus-level twin of
+    * q83's span duplication (which measures verbatim runs, not set
+    * novelty).
+    *
+    * Scale shape: explode → document-frequency count (combine-friendly)
+    * → join the df back onto the exploded frame by hash (each (doc, h)
+    * row matches exactly ONE df row, so hot shingles fan out no further
+    * than their own occurrence list) → per-doc rollup. The exploded frame
+    * is persisted because it feeds both the df count and the scoring
+    * join — the q88 shape. */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val ex = graft.core.InternalCaches.persist(
+      withHashedShingles(docs).select(col("doc_id"), explode(col("hs")).as("h")))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast(LongType).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast(DoubleType) / col("n_shingles"))
+  }
+
+  def qNovelty(s: SparkSession, dir: String): DataFrame =
+    shingleNovelty(Tables.documents(s, dir))
+
+  /** Length-bucketed batching report — the dynamic-batching efficiency
+    * statistic a training-data loader publishes: documents are grouped
+    * into fixed-width token-length buckets (the length-bucketing trick
+    * that replaces pad-to-global-max), and per bucket the report gives
+    * the padding waste IF each bucket pads to its own observed max —
+    * exactly the cost model used to pick bucket boundaries.
+    *
+    * All-integer (bucket by `(n_tok−1) div width`, waste =
+    * n_docs·max_tok − Σtok): hash-safe, engine-independent. One scan,
+    * one combine-friendly aggregation keyed by the bounded bucket id. */
+  def lengthBuckets(docs: DataFrame, width: Int = 32): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    withTokens(docs)
+      .select(size(col("t")).cast(LongType).as("n_tok"))
+      .withColumn("bucket", expr(s"(n_tok - 1) div $width"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
+
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    lengthBuckets(Tables.documents(s, dir))
+
+  /** BPE merge-pair counting — the inner statistic of byte-pair-encoding
+    * tokenizer training: corpus-wide counts of adjacent symbol pairs
+    * (here the character-bigram base case of merge iteration 1), top-K
+    * by (count desc, pair asc). A full BPE trainer iterates this count →
+    * merge → re-count loop with the merged symbol table broadcast back;
+    * each iteration is exactly this query's shape.
+    *
+    * Scale shape: token explode → a codegen'd per-word transform to its
+    * 2-char windows → explode → ONE combine-friendly count keyed by the
+    * pair vocabulary (bounded by alphabet², not corpus size) → bounded-
+    * heap top-K (TakeOrderedAndProject, never a global sort). */
+  def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame =
+    withTokens(docs)
+      .select(explode(col("t")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_length_buckets" -> (qLengthBuckets _),
+    "q109_bpe_pairs"    -> (qBpePairs _),
     "q38_wordcount"     -> (qWordCount _),
     "q39_word_stats"    -> (qWordStats _),
     "q57_tfidf"         -> (qTfIdf _),
@@ -1276,6 +1396,8 @@ object Text {
     "q83_dup_ngrams"    -> (qDupNgrams _),
     "q84_inverted_index" -> (qInvertedIndex _),
     "q88_unigram_logprob" -> (qUnigramLogProb _),
+    "q104_source_overlap" -> (qSourceOverlap _),
+    "q107_novelty"      -> (qNovelty _),
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -1303,6 +1425,47 @@ object Text {
            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)"""
 
   val oracles: Map[String, String] = Map(
+    // q108: all-integer bucket arithmetic — (n_tok - 1) div 32
+    "q108_length_buckets" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+         SELECT (n_tok - 1) // 32 AS bucket, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+         FROM d GROUP BY 1""",
+    // q109: 2-char windows within words, top-20 by (count desc, pair asc)
+    "q109_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+                 i -> substr(w, CAST(i AS INT), 2))) AS pair
+               FROM w WHERE length(w) >= 2)
+         SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    // q104: string shingles instead of the engine's 64-bit hashes — set-
+    // identical modulo ~2^-64 collisions (the q34 contract)
+    "q104_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tok WHERE len(t) >= 3),
+         sets AS (SELECT DISTINCT source, s FROM sh),
+         card AS (SELECT source, count(*) AS n FROM sets GROUP BY source),
+         inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+                   FROM sets a JOIN sets b ON a.s = b.s AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT s1, s2, ca.n AS n1, cb.n AS n2, n_inter,
+           CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) AS jaccard
+         FROM inter JOIN card ca ON ca.source = s1 JOIN card cb ON cb.source = s2""",
+    "q107_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tok WHERE len(t) >= 3),
+         dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+         FROM sh JOIN dfreq USING (s) GROUP BY doc_id""",
     "q38_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents) t

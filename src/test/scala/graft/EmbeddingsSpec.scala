@@ -198,4 +198,54 @@ class EmbeddingsSpec extends SparkSpec {
     // +inf), 127; (-3,3,1.5) -> -127, 127, round(63.5)=64
     assert(out(1) == ((2L, 32L - 63L + 127L - 127L + 127L + 64L, 3L)))
   }
+
+  test("ann recall report equals a driver-side overlap of the two knn outputs") {
+    val pred = col("vec_id") < 8
+    val exact = Embeddings.bruteForceKnn(emb, pred, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val approx = Embeddings.annKnn(emb, pred, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val apByQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = exact.groupBy(_._1).map { case (qid, es) =>
+      val ex = es.map(_._2).toSet
+      val ap = apByQ.getOrElse(qid, Set.empty[Long])
+      val hit = (ex intersect ap).size.toLong
+      qid -> ((ex.size.toLong, ap.size.toLong, hit, hit.toDouble / ex.size))
+    }
+    val got = Embeddings.annRecallReport(emb, pred, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected, s"report diverged from driver overlap:\n$got\nvs\n$expected")
+    got.values.foreach { case (nEx, nAp, nHit, rec) =>
+      assert(nHit <= math.min(nEx, nAp) && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("covariance report matches a driver recompute with the identical numeric sequence") {
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    def q6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val got = Embeddings.covarianceReport(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val sxy = vecs.map(v => q6(v(i).toDouble * v(j).toDouble)).sum
+      val sx = vecs.map(v => q6(v(i).toDouble)).sum
+      val sy = vecs.map(v => q6(v(j).toDouble)).sum
+      // the exact engine sequence: scaled-long sums, then double divides
+      // BigDecimal.decimal = java BigDecimal.valueOf — Catalyst Round's
+      // exact double→decimal path
+      val cov = BigDecimal.decimal(sxy.toDouble / 1000000.0 / n -
+          (sx.toDouble / 1000000.0 / n) * (sy.toDouble / 1000000.0 / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val (gn, gcov) = got((i.toLong, j.toLong))
+      assert(gn == n.toLong)
+      assert(gcov == cov, s"cell ($i,$j): got $gcov, driver $cov")
+    }
+    // the matrix covers the upper triangle exactly once, diagonal included
+    assert(got.keySet == (for (i <- 0 until d; j <- i until d)
+      yield (i.toLong, j.toLong)).toSet)
+  }
 }

@@ -316,4 +316,60 @@ class PlanContractSpec extends SparkSpec {
         s"pagerank lost its per-iteration equi-joins:\n$p")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("q103/q106: quantization and covariance are scan-riding map+agg — no join of data rows") {
+    val pq = plan("q103_quantize_int8")
+    // pure map stage into one partial+final label rollup: a single exchange
+    assert(!pq.contains("Join"), s"q103 planned a join:\n$pq")
+    assert("Exchange".r.findAllIn(pq).length == 1,
+      s"q103 should shuffle exactly once (the label rollup):\n$pq")
+    assert(pq.contains("ReadSchema: struct<embedding:array<float>,label:int>"),
+      s"q103 reads extra columns:\n$pq")
+    val pc = plan("q106_covariance")
+    // the d²/2 pair explosion must be aggregated map-side BEFORE the
+    // exchange: partial+final HashAggregate pairs around the pair shuffle,
+    // and the dimension-sum frames broadcast back onto the 2080-row grid
+    assert("HashAggregate".r.findAllIn(pc).length >= 4,
+      s"q106 lost partial aggregation (explode rows would hit the shuffle raw):\n$pc")
+    assert(!pc.contains("BroadcastNestedLoop") && !pc.contains("CartesianProduct"),
+      s"q106 planned a nested loop:\n$pc")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"q106 dimension sums no longer broadcast onto the pair grid:\n$pc")
+    // column pruning: neither vec_id nor label is read
+    assert(pc.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"q106 reads extra columns:\n$pc")
+  }
+
+  test("q104/q105/q107: overlap, recall and novelty joins stay equi-joins") {
+    try {
+      for (q <- Seq("q104_source_overlap", "q107_novelty")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+          s"$q planned a nested loop:\n$p")
+      }
+      // q105's ground-truth side IS the q40 brute force: exactly one
+      // broadcast θ-join of the bounded eval sample against the corpus
+      // (the exactness baseline — the LSH side must stay an equi-join)
+      val p105 = plan("q105_ann_recall")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p105).length == 1,
+        s"q105 expected exactly the brute-force broadcast θ-join:\n$p105")
+      assert(!p105.contains("CartesianProduct"), s"q105 planned a cartesian:\n$p105")
+      assert(p105.contains("BroadcastHashJoin"),
+        s"q105 LSH side lost its bucket equi-join:\n$p105")
+      // q104's distinct over (source, shingle) must partial-aggregate
+      // map-side: a raw explode hitting the exchange is the 100 TB failure
+      val p104 = plan("q104_source_overlap")
+      assert("HashAggregate".r.findAllIn(p104).length >= 2,
+        s"q104 distinct lost its partial agg:\n$p104")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q109: pair top-K is a bounded heap, never a global sort") {
+    val p = plan("q109_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q109 top-K lost its bounded heap:\n$p")
+    assert(!p.contains("Sort "), s"q109 planned a global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"q109 pair count lost its partial agg:\n$p")
+  }
 }

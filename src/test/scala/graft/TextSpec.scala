@@ -597,4 +597,82 @@ class TextSpec extends SparkSpec {
     assert(real.nonEmpty)
     assert(real.forall(_._1 > 5L), "a pair below the delta floor survived")
   }
+
+  test("length buckets: hand-planted docs land in the right buckets with exact waste") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(3)("w").mkString(" ")),   // 3 tok  -> bucket 0
+      (1L, Seq.fill(5)("w").mkString(" ")),   // 5 tok  -> bucket 0
+      (2L, Seq.fill(32)("w").mkString(" ")),  // 32 tok -> bucket 0 (boundary)
+      (3L, Seq.fill(33)("w").mkString(" "))   // 33 tok -> bucket 1
+    ).toDF("doc_id", "text")
+    val got = Text.lengthBuckets(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bucket 0: 3 docs, 40 tokens, max 32, waste 3*32-40 = 56
+    assert(got == Map(0L -> ((3L, 40L, 32L, 56L)), 1L -> ((1L, 33L, 33L, 0L))), s"got $got")
+  }
+
+  test("bpe pairs: hand-planted corpus yields exact pair counts in rank order") {
+    import spark.implicits._
+    val docs = Seq((0L, "ab ab abc x")).toDF("doc_id", "text") // 'x' too short
+    val got = Text.bpePairCounts(docs, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // words ab, ab, abc -> pairs ab, ab, ab, bc
+    assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got ${got.toSeq}")
+  }
+
+  test("source overlap: hand-computed Jaccard on planted shingle sets") {
+    import spark.implicits._
+    // srcA shingles: {a b c, b c d}; srcB: {b c d, c d e}; srcC: {x y z}
+    val docs = Seq(
+      (0L, "a b c d", "srcA"), (1L, "b c d e", "srcB"), (2L, "x y z", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = Text.sourceOverlap(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only pairs with a non-empty intersection appear; |A|=|B|=2, inter=1
+    assert(got == Map(("srcA", "srcB") -> ((2L, 2L, 1L, 1.0 / 3.0))), s"got $got")
+  }
+
+  test("source overlap: identical sources score 1, disjoint are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "p q r s t", "s1"), (1L, "p q r s t", "s2"), (2L, "m n o p q", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = Text.sourceOverlap(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(got(("s1", "s2")) == 1.0)
+    // s3 shares no 3-gram with s1/s2 ("o p q" vs "p q r" etc. differ)
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")), s"got $got")
+  }
+
+  test("shingle novelty: duplicates score 0, unique docs score 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), // exact pair: df=2 everywhere
+      (2L, "u v w x y")                 // all shingles unique to doc 2
+    ).toDF("doc_id", "text")
+    val got = Text.shingleNovelty(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 0L, 0.0)))
+    assert(got(1L) == ((2L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+  }
+
+  test("shingle novelty: corpus totals are consistent with document frequencies") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rows = Text.shingleNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, u, nov) =>
+      assert(u <= n, s"doc $id: unique $u > total $n")
+      assert(math.abs(nov - u.toDouble / n) == 0.0, s"doc $id ratio")
+    }
+    // every doc with >= 3 tokens appears exactly once
+    val expected = docs.filter(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " ")) >= 3).count()
+    assert(rows.length.toLong == expected)
+  }
 }
