@@ -177,7 +177,47 @@ object Events {
       sum(col("v")).over(w).cast(DoubleType).as("sum_1h"))
   }
 
+  /** Per-user hourly activity anomalies in PURE INTEGER arithmetic — the
+    * bot/abuse spike detector a telemetry pipeline runs continuously: an
+    * hour is flagged when its event count exceeds the user's own
+    * mean + 3σ over their active hours. The 3σ test is evaluated on the
+    * algebraically cleared form, (c·H − S)² > 9·(H·SS − S²) with
+    * c·H > S, where H/S/SS are the user's hour count and count
+    * sums/sum-of-squares — no division, no sqrt, no doubles anywhere, so
+    * the flag set is bit-identical on every engine and partitioning.
+    * Overflow bound: H·SS must stay under 9.2·10¹⁸ — comfortably inside
+    * for any real per-user volume (the quantities are PER USER).
+    *
+    * Sample-z caveat (asserted in spec): ONE spike among H hours has
+    * z = √(H−1) no matter how large the spike, so a user needs ≥ 11
+    * active hours before any single hour can clear 3σ — the statistic's
+    * own guard against flagging short-lived users.
+    *
+    * Shape: one (user, hour) pre-aggregation (combine-friendly — the raw
+    * event volume collapses map-side), one per-user stats rollup over the
+    * ALREADY-hourly frame (≤ hours-in-window rows per user, so no hot-user
+    * skew survives the first agg), and an equi-join of stats back onto the
+    * hourly frame. */
+  def hourlyAnomalies(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("h"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    hourly.join(stats, "user_id")
+      .filter(col("cnt") * col("h") > col("s") &&
+        (col("cnt") * col("h") - col("s")) * (col("cnt") * col("h") - col("s")) >
+          lit(9L) * (col("h") * col("ss") - col("s") * col("s")))
+      .select(col("user_id"), col("hr"), col("cnt"))
+  }
+
+  def qAnomalies(s: SparkSession, dir: String): DataFrame =
+    hourlyAnomalies(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_anomalies"     -> (qAnomalies _),
     "q56_asof_join"      -> (qAsOf _),
     "q97_cohorts"        -> (qCohorts _),
     "q98_funnel"         -> (qFunnel _),
@@ -189,6 +229,15 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // q111: the cleared-form 3-sigma test — every quantity a BIGINT
+    "q111_anomalies" ->
+      """WITH hourly AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hr, count(*) AS cnt
+                         FROM events GROUP BY 1, 2),
+         st AS (SELECT user_id, count(*) AS h, CAST(sum(cnt) AS BIGINT) AS s,
+                  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM hourly GROUP BY 1)
+         SELECT hourly.user_id, hr, cnt FROM hourly JOIN st USING (user_id)
+         WHERE cnt * h > s
+           AND (cnt * h - s) * (cnt * h - s) > 9 * (h * ss - s * s)""",
     // q97/q98: week buckets and stage comparisons are integer epoch-ms
     // arithmetic — `//`/`div` truncation agrees for the positive axis
     "q97_cohorts" ->

@@ -1362,7 +1362,42 @@ object Text {
   def qBpePairs(s: SparkSession, dir: String): DataFrame =
     bpePairCounts(Tables.documents(s, dir))
 
+  /** Corpus snapshot diff — the dataset-versioning report between two
+    * crawl snapshots: per source, how many distinct content hashes were
+    * added, removed, and retained. Keyed by md5(text), so a re-crawled
+    * byte-identical page is "retained" no matter its id, and an edited
+    * page counts once removed + once added — the semantics a dataset
+    * changelog wants.
+    *
+    * Shape: DISTINCT (source, hash) per side (combine-friendly), then one
+    * full-outer equi-join on (source, hash) and a per-source rollup —
+    * every step shuffles on the same compound key, so at 100 TB the two
+    * snapshot scans co-partition and nothing re-shuffles between the
+    * distinct, the join, and the rollup's map-side combine. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val a = oldDocs.select(col("source"), md5(col("text")).as("h")).distinct()
+      .withColumn("in_a", lit(1))
+    val b = newDocs.select(col("source"), md5(col("text")).as("h")).distinct()
+      .withColumn("in_b", lit(1))
+    a.join(b, Seq("source", "h"), "full_outer")
+      .groupBy(col("source"))
+      .agg(sum(when(col("in_a").isNull, 1L).otherwise(0L)).cast(LongType).as("n_added"),
+        sum(when(col("in_b").isNull, 1L).otherwise(0L)).cast(LongType).as("n_removed"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+          .cast(LongType).as("n_common"))
+  }
+
+  /** Gate: two overlapping deterministic snapshots of the documents table
+    * (doc_id mod 3 ≠ 0 vs ≠ 1 — the mod-2 split would make every source's
+    * n_common trivially 0 on an all-unique corpus). */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    snapshotDiff(docs.filter(expr("doc_id % 3 != 0")),
+      docs.filter(expr("doc_id % 3 != 1")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
     "q109_bpe_pairs"    -> (qBpePairs _),
     "q38_wordcount"     -> (qWordCount _),
@@ -1425,6 +1460,20 @@ object Text {
            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)"""
 
   val oracles: Map[String, String] = Map(
+    // q110: same overlapping mod-3 snapshot split, keyed by content hash
+    "q110_snapshot_diff" ->
+      """WITH a AS (SELECT DISTINCT source, md5(text) AS h FROM documents
+                    WHERE doc_id % 3 != 0),
+         b AS (SELECT DISTINCT source, md5(text) AS h FROM documents
+               WHERE doc_id % 3 != 1),
+         j AS (SELECT coalesce(a.source, b.source) AS source,
+                 CASE WHEN a.h IS NULL THEN 1 ELSE 0 END AS added,
+                 CASE WHEN b.h IS NULL THEN 1 ELSE 0 END AS removed
+               FROM a FULL OUTER JOIN b ON a.source = b.source AND a.h = b.h)
+         SELECT source, CAST(sum(added) AS BIGINT) AS n_added,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN added = 0 AND removed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         FROM j GROUP BY source""",
     // q108: all-integer bucket arithmetic — (n_tok - 1) div 32
     "q108_length_buckets" ->
       """WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)

@@ -281,4 +281,59 @@ class RelationalSpec extends SparkSpec {
     assert(got == want, "rolling counts diverged from the driver range scan")
     assert(got.valuesIterator.max >= 2, "fixture should produce at least one overlap")
   }
+
+  test("hourly anomalies: planted spike flagged, uniform users never flagged") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(hour: Long, k: Int): Timestamp = new Timestamp(hour * 3600000L + k * 1000L)
+    // user 1: 15 quiet hours of 1 event + one hour with 20. A single
+    // spike among H hours has z = sqrt(H-1) REGARDLESS of its size, so
+    // H=10 sits exactly on the 3-sigma boundary (strict > -> not
+    // flagged) and H=16 gives z = sqrt(15) > 3 -> flagged.
+    // user 2: perfectly uniform (2 events every hour) -> sigma = 0, no flags
+    val rows =
+      (0 until 15).map(h => (1L, ts(h.toLong, 0))) ++
+        (0 until 20).map(k => (1L, ts(15L, k))) ++
+        (0 until 10).flatMap(h => Seq((2L, ts(h.toLong, 0)), (2L, ts(h.toLong, 1))))
+    val ev = rows.toDF("user_id", "ts")
+    val got = graft.ops.Events.hourlyAnomalies(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 15L, 20L)), s"got ${got.toSeq}")
+    // the boundary itself: 9 quiet hours + any single spike is EXACTLY
+    // 3 sigma ((cH-S)^2 == 9(H*SS-S^2) algebraically) -> never flagged
+    val boundary = ((0 until 9).map(h => (3L, ts(h.toLong, 0))) ++
+      (0 until 50).map(k => (3L, ts(9L, k)))).toDF("user_id", "ts")
+    assert(graft.ops.Events.hourlyAnomalies(boundary).count() == 0L,
+      "the sqrt(H-1) single-spike bound must not be flagged at H=10")
+    // driver twin of the cleared-form test on the real corpus
+    val real = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hourly = real.groupBy(identity).map { case ((u, hr), xs) => (u, hr, xs.length.toLong) }
+    val want = hourly.groupBy(_._1).flatMap { case (u, xs) =>
+      val h = xs.size.toLong; val s = xs.map(_._3).sum
+      val ss = xs.map(c => c._3 * c._3).sum
+      xs.filter { case (_, _, c) =>
+        c * h > s && (c * h - s) * (c * h - s) > 9L * (h * ss - s * s) }
+    }.toSet
+    val gotReal = graft.ops.Events.qAnomalies(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotReal == want, "anomaly flags diverged from the driver twin")
+  }
+
+  test("snapshot diff: planted add/remove/retain counts are exact") {
+    import spark.implicits._
+    val oldS = Seq((0L, "alpha", "s1"), (1L, "beta", "s1"), (2L, "gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    val newS = Seq((3L, "alpha", "s1"), (4L, "delta", "s1"), (5L, "gamma", "s2"),
+      (6L, "epsilon", "s3")).toDF("doc_id", "text", "source")
+    val got = graft.ops.Text.snapshotDiff(oldS, newS)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // s1: beta removed, delta added, alpha retained (id change irrelevant)
+    assert(got == Map(
+      "s1" -> ((1L, 1L, 1L)),
+      "s2" -> ((0L, 0L, 1L)),
+      "s3" -> ((1L, 0L, 0L))), s"got $got")
+  }
 }
