@@ -481,7 +481,33 @@ object Bench {
           if (recall < 0.9) throw new GoldenMismatch(
             f"IVF 1M recall MISMATCH: $recall%.3f < 0.9 vs brute force")
           addCompact("reference_vec_1m", "ivf_recall_1m", f"$recall%.3f")
-          s""","reference_vec_1m":{$j1,$j2,"ivf_recall_1m":$recall}"""
+          // int8 quantization at the full 1M: label = planted center id, so
+          // every label holds EXACTLY 1M/64 = 15625 vectors, and since no
+          // synthetic vector is the zero vector, its max-|x| element
+          // saturates — n_sat >= n_vecs per label, first principles both.
+          var qBad = -1L
+          val j3 = coldWarm("reference_vec_1m", "quantize_1m", warmReps = 1) {
+            val rep = graft.ops.Embeddings.quantizeInt8Report(
+                vecs.withColumn("label", pmod(col("vec_id"), lit(64)).cast("int")))
+              .collect()
+            qBad = rep.count(r => r.getLong(1) != 15625L || r.getLong(3) < r.getLong(1)) +
+              (64 - rep.length) }
+          if (qBad != 0L) throw new GoldenMismatch(
+            s"quantize 1M anchor MISMATCH: $qBad labels off (want 64 x n_vecs=15625, n_sat>=n_vecs)")
+          // covariance on a 100k slice (20x the gate corpus): the full
+          // upper triangle must materialize (2080 cells, n_vecs = 100000
+          // each) and every diagonal variance must be positive — the
+          // planted noise guarantees spread in every dimension.
+          var cBad = -1L
+          val j4 = coldWarm("reference_vec_1m", "covariance_100k", warmReps = 1) {
+            val cov = graft.ops.Embeddings.covarianceReport(
+                vecs.filter(col("vec_id") < 100000L)).collect()
+            cBad = cov.count(r => r.getLong(2) != 100000L ||
+                (r.getLong(0) == r.getLong(1) && r.getDouble(3) <= 0.0)) +
+              (2080 - cov.length) }
+          if (cBad != 0L) throw new GoldenMismatch(
+            s"covariance 100k anchor MISMATCH: $cBad cells off (want 2080 cells, n=100000, diag>0)")
+          s""","reference_vec_1m":{$j1,$j2,$j3,$j4,"ivf_recall_1m":$recall}"""
         } finally { vecs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e

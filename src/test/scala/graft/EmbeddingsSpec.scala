@@ -248,4 +248,16 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.keySet == (for (i <- 0 until d; j <- i until d)
       yield (i.toLong, j.toLong)).toSet)
   }
+
+  test("covariance: treeAggregate default and declarative explode twin are identical") {
+    val fast = Embeddings.covarianceReport(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val declarative = Embeddings.covarianceReportExplode(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(fast == declarative, "the two covariance paths diverged")
+    // and the fold is partitioning-independent (long sums commute)
+    val repart = Embeddings.covarianceReport(emb.repartition(7)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(repart == fast, "treeAggregate result moved under repartitioning")
+  }
 }

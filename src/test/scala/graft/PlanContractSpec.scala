@@ -325,10 +325,14 @@ class PlanContractSpec extends SparkSpec {
       s"q103 should shuffle exactly once (the label rollup):\n$pq")
     assert(pq.contains("ReadSchema: struct<embedding:array<float>,label:int>"),
       s"q103 reads extra columns:\n$pq")
-    val pc = plan("q106_covariance")
-    // the d²/2 pair explosion must be aggregated map-side BEFORE the
-    // exchange: partial+final HashAggregate pairs around the pair shuffle,
-    // and the dimension-sum frames broadcast back onto the 2080-row grid
+    // the gate's default covariance path is a treeAggregate fold (its
+    // "plan" is the driver-built result table); the declarative twin must
+    // keep the shape that makes IT scale: the d²/2 pair explosion
+    // aggregated map-side BEFORE the exchange, and the dimension-sum
+    // frames broadcast back onto the 2080-row grid
+    val pc = graft.ops.Embeddings.covarianceReportExplode(
+      graft.core.Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(pc).length >= 4,
       s"q106 lost partial aggregation (explode rows would hit the shuffle raw):\n$pc")
     assert(!pc.contains("BroadcastNestedLoop") && !pc.contains("CartesianProduct"),
