@@ -1396,7 +1396,54 @@ object Text {
       docs.filter(expr("doc_id % 3 != 1")))
   }
 
+  /** Token-budget allocation across sources by integer water-filling —
+    * the planning step between q77's mixing weights and an epoch's
+    * sampler: given per-source token counts t_i and a total budget B,
+    * small sources keep everything and large sources are capped at a
+    * common water level c, chosen so Σ min(t_i, c) fills the budget.
+    * kstar = max k (sources ordered by t asc) with P(k) + (K−k)·t_k ≤ B;
+    * the K−kstar capped sources each get c = (B − P(kstar)) div (K−kstar)
+    * (uniform integer caps; the div remainder stays unallocated — a
+    * documented contract, not a float in sight). Feasibility of kstar
+    * guarantees c ≥ t_kstar and infeasibility of kstar+1 guarantees
+    * c < t_{kstar+1}, so min(t_i, c) = c exactly on the capped set.
+    *
+    * Scale shape: the only corpus-sized work is the per-source token
+    * count (one combine-friendly agg); every window after that runs on
+    * the K-row source table — K is dozens, so the unpartitioned windows
+    * are constant-size no matter the corpus. */
+  def tokenBudget(docs: DataFrame, budget: Long = 15000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val t = withTokens(docs)
+      .groupBy(col("source"))
+      .agg(sum(size(col("t")).cast(LongType)).as("n_tokens"))
+    val byT = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = t
+      .withColumn("rn", row_number().over(byT))
+      .withColumn("pfx", sum(col("n_tokens")).over(
+        byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("kk", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val kstar = ranked
+      .filter(col("pfx") + (col("kk") - col("rn")) * col("n_tokens") <= budget)
+      .agg(coalesce(max(col("rn")), lit(0L)).cast(LongType).as("kstar"),
+        coalesce(max(col("pfx")), lit(0L)).cast(LongType).as("pk"))
+    ranked.crossJoin(broadcast(kstar))
+      .withColumn("cap", when(col("kk") === col("kstar"), lit(null).cast(LongType))
+        .otherwise(expr(s"(${budget}L - pk) div (kk - kstar)")))
+      .withColumn("capped", col("rn") > col("kstar"))
+      .withColumn("allocated",
+        when(col("capped"), least(col("n_tokens"), col("cap")))
+          .otherwise(col("n_tokens")))
+      .select(col("source"), col("n_tokens"), col("capped"), col("allocated"))
+  }
+
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
     "q109_bpe_pairs"    -> (qBpePairs _),
@@ -1460,6 +1507,24 @@ object Text {
            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)"""
 
   val oracles: Map[String, String] = Map(
+    // q112: all-integer water-filling — feasibility prefix, uniform caps,
+    // div remainder unallocated
+    "q112_token_budget" ->
+      """WITH t AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+         r AS (SELECT source, n_tokens,
+                 CAST(row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS BIGINT) AS rn,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+                 CAST(count(*) OVER () AS BIGINT) AS kk
+               FROM t),
+         ks AS (SELECT CAST(COALESCE(max(rn), 0) AS BIGINT) AS kstar,
+                  CAST(COALESCE(max(pfx), 0) AS BIGINT) AS pk
+                FROM r WHERE pfx + (kk - rn) * n_tokens <= 15000)
+         SELECT source, n_tokens, rn > kstar AS capped,
+           CAST(CASE WHEN rn > kstar THEN least(n_tokens, (15000 - pk) // (kk - kstar))
+                ELSE n_tokens END AS BIGINT) AS allocated
+         FROM r CROSS JOIN ks""",
     // q110: same overlapping mod-3 snapshot split, keyed by content hash
     "q110_snapshot_diff" ->
       """WITH a AS (SELECT DISTINCT source, md5(text) AS h FROM documents

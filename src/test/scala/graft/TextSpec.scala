@@ -622,6 +622,35 @@ class TextSpec extends SparkSpec {
     assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)), s"got ${got.toSeq}")
   }
 
+  test("token budget: water-filling bisects planted skewed sources exactly") {
+    import spark.implicits._
+    // sources with 2 / 4 / 10 / 20 tokens, budget 17:
+    // sorted [2,4,10,20]; g(1)=2+3*2=8<=17, g(2)=6+2*4=14<=17,
+    // g(3)=16+1*10=26>17 -> kstar=2, pk=6, cap=(17-6) div 2 = 5
+    // -> s1 keeps 2, s2 keeps 4, s3 and s4 capped at 5; total 16 (rem 1)
+    def doc(n: Int, src: String, id: Long) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    val docs = Seq(doc(2, "s1", 0), doc(4, "s2", 1), doc(10, "s3", 2),
+      doc(20, "s4", 3)).toDF("doc_id", "text", "source")
+    val got = Text.tokenBudget(docs, budget = 17L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, false, 2L)), "s2" -> ((4L, false, 4L)),
+      "s3" -> ((10L, true, 5L)), "s4" -> ((20L, true, 5L))), s"got $got")
+    // degenerate ends: budget covers everything -> nothing capped;
+    // budget 0 -> every source capped at 0
+    val all = Text.tokenBudget(docs, budget = 100L).collect()
+    assert(all.forall(r => !r.getBoolean(2) && r.getLong(3) == r.getLong(1)))
+    val none = Text.tokenBudget(docs, budget = 0L).collect()
+    assert(none.forall(r => r.getBoolean(2) && r.getLong(3) == 0L))
+    // invariant on the real corpus: allocation never exceeds the budget
+    // and equals min(total, budget) when uniform caps divide evenly
+    val real = Text.qTokenBudget(spark, sfDir).collect()
+    val alloc = real.map(_.getLong(3)).sum
+    assert(alloc <= 15000L, s"allocated $alloc over budget")
+  }
+
   test("source overlap: hand-computed Jaccard on planted shingle sets") {
     import spark.implicits._
     // srcA shingles: {a b c, b c d}; srcB: {b c d, c d e}; srcC: {x y z}
