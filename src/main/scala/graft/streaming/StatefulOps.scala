@@ -38,6 +38,45 @@ object StatefulOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Events.hourlyAnomalies]]: per-user
+    * hourly counts held as flatMapGroupsWithState state (hour → count,
+    * partitioned on the state store, checkpointed), and on every batch
+    * that touches a user the SAME pure-integer cleared-form 3σ test runs
+    * over the user's full hourly history — (c·H − S)² > 9·(H·SS − S²)
+    * with c·H > S — emitting the user's currently-flagged hours. After a
+    * full replay the last emission per user equals the batch operator's
+    * flag set exactly (asserted in spec): integer state plus an
+    * order-free test means ingest-time and batch answers cannot diverge.
+    * Input rows are (user_id, hour_bucket) — epoch ms div 3 600 000,
+    * the batch operator's bucketing. */
+  def streamingAnomalies(
+      stream: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    implicit val stateEnc: Encoder[Map[Long, Long]] = Encoders.kryo[Map[Long, Long]]
+    implicit val outEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val inEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Map[Long, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long] ++
+            state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, hr) => m(hr) = m.getOrElse(hr, 0L) + 1L }
+          state.update(m.toMap)
+          val h = m.size.toLong
+          var s = 0L; var ss = 0L
+          m.valuesIterator.foreach { c => s += c; ss += c * c }
+          m.iterator.collect {
+            case (hr, c) if c * h > s &&
+                (c * h - s) * (c * h - s) > 9L * (h * ss - s * s) =>
+              (user, hr, c)
+          }
+      }
+  }
+
   /** Per-key running counters (mapGroupsWithState): emits (key, total) on
     * every batch that touches the key. */
   def runningCounts[K: Encoder](

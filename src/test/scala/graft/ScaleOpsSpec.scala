@@ -118,6 +118,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.contains(("x", 10L)))
   }
 
+  test("streamingAnomalies: ingest-time flags converge to the batch operator's set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the real events corpus through the stateful stream in two
+    // batches; the LAST emission per user must equal the batch flags
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ev.nonEmpty)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, Long)]
+    // Append mode cannot retract: each batch re-emits the flags of every
+    // user it touches, evaluated over the user's FULL state so far. The
+    // converged answer is therefore each user's emission in the LAST
+    // batch that touched them — tag emissions with their batch id and
+    // compare per user.
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, Long, Long))]
+    val q = StatefulOps.streamingAnomalies(mem.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Long)], bid: Long) =>
+        val rows = batch.collect()
+        emitted.synchronized { emitted ++= rows.map(bid -> _) }
+        ()
+      }.start()
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val usersIn2 = b2.map(_._1).toSet
+    def lastBatchOf(u: Long): Long = if (usersIn2(u)) 1L else 0L
+    val converged = emitted
+      .filter { case (bid, (u, _, _)) => bid == lastBatchOf(u) }
+      .map(_._2).toSet
+    val batchFlags = graft.ops.Events.qAnomalies(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(converged == batchFlags,
+      s"stream flags diverge from batch: extra=${converged -- batchFlags} missing=${batchFlags -- converged}")
+    assert(batchFlags.nonEmpty, "corpus should produce at least one flag")
+  }
+
   test("range-partitioned export: global order with NO single-reducer sort") {
     // the canonical way to materialize a globally-ordered corpus at 100 TB:
     // repartitionByRange samples split points, every partition sorts
