@@ -26,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Geometry.oracles ++ Text.oracles ++
       Embeddings.oracles ++ Events.oracles ++ Skew.oracles ++
-      Pipeline.oracles ++ Ann.oracles ++ Clustering.oracles
+      Pipeline.oracles ++ Ann.oracles ++ Clustering.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

@@ -23,8 +23,11 @@ import graft.core.Tables
   *   to the driver to become the next iteration's expression state. Per
   *   iteration the cluster sees one scan + one k·dim-row shuffle.
   * - Iteration happens on the DRIVER over k·dim doubles; the N-row frame
-  *   is read `iters` times (callers cache upstream once — Lloyd is the
-  *   canonical "cache the working set" workload).
+  *   is read `iters` times. Lloyd is the canonical "cache the working
+  *   set" workload, so [[kmeans]] ENFORCES the cache: an input the
+  *   caller did not persist is persisted internally via
+  *   [[graft.core.InternalCaches]] rather than silently re-scanned per
+  *   iteration.
   *
   * The q85 gate pins one assignment round (seed centroids = the k
   * lowest-vec_id vectors) against a DuckDB oracle that recomputes d² =
@@ -74,19 +77,31 @@ object Clustering {
     * farthest-first seeding in [[Ann.ivfIndex]] is the engine's
     * quality-seeded variant), iterate assignment/update until centroids
     * stop moving or `maxIters`. Returns (final centroids, assigned frame).
-    * Callers cache `emb` upstream — each iteration re-reads it. */
+    *
+    * Cache contract, enforced (round 11): each iteration re-reads the
+    * N-row frame, so an uncached input at 100 TB silently pays
+    * `iters + 2` full scans. An input the caller did not persist is now
+    * persisted INTERNALLY through [[graft.core.InternalCaches]]
+    * (MEMORY_AND_DISK, released at the session's batch boundary) —
+    * "callers cache upstream" remains the best practice (they control
+    * the storage level and the unpersist moment) but is no longer a
+    * silent footgun. Asserted in ClusteringSpec. */
   def kmeans(emb: DataFrame, k: Int, maxIters: Int = 10)
       : (Array[Array[Double]], DataFrame) = {
-    var cents = seedCentroids(emb, k)._2
+    val embC =
+      if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.core.InternalCaches.persist(emb)
+      else emb
+    var cents = seedCentroids(embC, k)._2
     var it = 0
     var moved = true
     while (moved && it < maxIters) {
-      val next = updateCentroids(assign(emb, cents), cents)
+      val next = updateCentroids(assign(embC, cents), cents)
       moved = !next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
       cents = next
       it += 1
     }
-    (cents, assign(emb, cents))
+    (cents, assign(embC, cents))
   }
 
   /** Seed-and-assign in one call (the q85 shape without the rollup) —

@@ -436,14 +436,7 @@ object Embeddings {
     * query in the bench). Overflow bound: n·max|xᵢxⱼ| must stay under
     * 9.2·10¹² — ample for unit-scale embeddings at any corpus size.
     *
-    * The pair blowup is ONE codegen'd nested-transform producing a flat
-    * d(d+1)/2 long array per row, posexploded to (k, p) — no per-row
-    * structs — and map-side partial aggregation caps each task's shuffle
-    * output at 2080 accumulator rows regardless of its input rows. The
-    * flat index maps back to (i, j) through a driver-built 2080-row
-    * broadcast; per-dimension sums reuse one posexplode pass and
-    * broadcast onto the pair grid. */
-  /** Default path: dense per-partition accumulation (the MLlib
+    * Default path: dense per-partition accumulation (the MLlib
     * RowMatrix.computeCovariance shape) — each task folds its rows into
     * ONE long[2145] accumulator (2080 pair sums + 64 dim sums + count),
     * merged by a depth-2 treeAggregate, so the cluster moves ~17 KB per
@@ -455,7 +448,16 @@ object Embeddings {
     * typed fold beats the declarative explode — the d²/2-per-row
     * generator allocates and hashes 2080 rows per vector, a ~10×
     * constant-factor tax treeAggregate doesn't pay (37 s → ~4 s on the
-    * 100k BIG anchor). */
+    * 100k BIG anchor).
+    *
+    * EAGER contract — the one deliberate exception to the query map's
+    * uniform laziness: the treeAggregate runs at CALL time and the
+    * returned frame is a driver-local relation of the d(d+1)/2 result
+    * rows. Constructing-without-consuming still pays the full corpus
+    * scan, and plan-contract tooling cannot inspect the fold
+    * (PlanContractSpec asserts the explode twin's plan instead). Callers
+    * that need a lazy, inspectable plan use
+    * [[covarianceReportExplode]]. */
   def covarianceReport(emb: DataFrame, dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -502,9 +504,14 @@ object Embeddings {
   }
 
   /** Declarative twin of [[covarianceReport]] (kept for parity testing and
-    * as the pure-Catalyst formulation): pair explosion through one
-    * codegen'd nested transform, map-side partial aggregation capping the
-    * shuffle at d(d+1)/2 rows per task. */
+    * as the pure-Catalyst formulation — lazy and plan-inspectable, unlike
+    * the eager fold). The pair blowup is ONE codegen'd nested-transform
+    * producing a flat d(d+1)/2 long array per row, posexploded to (k, p)
+    * — no per-row structs — and map-side partial aggregation caps each
+    * task's shuffle output at d(d+1)/2 accumulator rows regardless of its
+    * input rows. The flat index maps back to (i, j) through a
+    * driver-built broadcast; per-dimension sums reuse one posexplode pass
+    * and broadcast onto the pair grid. */
   def covarianceReportExplode(emb: DataFrame, dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

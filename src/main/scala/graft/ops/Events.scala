@@ -185,8 +185,19 @@ object Events {
     * c·H > S, where H/S/SS are the user's hour count and count
     * sums/sum-of-squares — no division, no sqrt, no doubles anywhere, so
     * the flag set is bit-identical on every engine and partitioning.
-    * Overflow bound: H·SS must stay under 9.2·10¹⁸ — comfortably inside
-    * for any real per-user volume (the quantities are PER USER).
+    *
+    * Overflow is LOUD, not silent (round 11): Java Long arithmetic wraps
+    * where an ANSI engine raises, so the exact bot/service accounts the
+    * detector targets would otherwise diverge silently from the oracle.
+    * A `raise_error` guard fails the query when any per-user total nears
+    * the cleared-form Long bound — sufficient conditions S < 3·10⁹,
+    * c·H ≤ 3·10⁹ and H·SS ≤ 10¹⁸, each checked in division form so the
+    * guard itself cannot wrap (SS = Σc² ≤ S² < 9·10¹⁸ needs no guard of
+    * its own once S is bounded). Comfortably inside for any real
+    * per-user volume — the quantities are PER USER — so the guard costs
+    * one predicate on the already-hourly frame and never fires in
+    * practice; when it does fire, both engines now fail loudly instead
+    * of one wrapping.
     *
     * Sample-z caveat (asserted in spec): ONE spike among H hours has
     * z = √(H−1) no matter how large the spike, so a user needs ≥ 11
@@ -206,8 +217,23 @@ object Events {
     val stats = hourly.groupBy(col("user_id"))
       .agg(count(lit(1)).as("h"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("ss"))
+    // raise_error when the cleared-form products could exceed Long range
+    // (see scaladoc); division form keeps the guard itself wrap-free, and
+    // referencing the guard column in the filter keeps Catalyst from
+    // pruning the never-consumed branch away
+    val guard = when(
+      col("s") >= lit(3000000000L) ||
+        col("cnt") > lit(3000000000L) / greatest(col("h"), lit(1L)) ||
+        col("ss") > lit(1000000000000000000L) / greatest(col("h"), lit(1L)),
+      raise_error(concat(
+        lit("graft hourlyAnomalies: per-user totals exceed the cleared-form "),
+        lit("Long-overflow bound (user_id="), col("user_id").cast("string"),
+        lit(") — pre-aggregate into coarser buckets or shard the user"))))
+      .otherwise(lit(0L))
     hourly.join(stats, "user_id")
-      .filter(col("cnt") * col("h") > col("s") &&
+      .withColumn("_ofguard", guard)
+      .filter(col("_ofguard") === 0L &&
+        col("cnt") * col("h") > col("s") &&
         (col("cnt") * col("h") - col("s")) * (col("cnt") * col("h") - col("s")) >
           lit(9L) * (col("h") * col("ss") - col("s") * col("s")))
       .select(col("user_id"), col("hr"), col("cnt"))

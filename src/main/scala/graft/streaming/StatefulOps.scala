@@ -42,15 +42,36 @@ object StatefulOps {
     * hourly counts held as flatMapGroupsWithState state (hour → count,
     * partitioned on the state store, checkpointed), and on every batch
     * that touches a user the SAME pure-integer cleared-form 3σ test runs
-    * over the user's full hourly history — (c·H − S)² > 9·(H·SS − S²)
+    * over the user's retained hourly history — (c·H − S)² > 9·(H·SS − S²)
     * with c·H > S — emitting the user's currently-flagged hours. After a
     * full replay the last emission per user equals the batch operator's
     * flag set exactly (asserted in spec): integer state plus an
     * order-free test means ingest-time and batch answers cannot diverge.
     * Input rows are (user_id, hour_bucket) — epoch ms div 3 600 000,
-    * the batch operator's bucketing. */
+    * the batch operator's bucketing.
+    *
+    * BOUNDED state (round 11): a continuously-running ingest operator
+    * must not grow state without limit, so each user retains only the
+    * `maxHours` NEWEST hour buckets (default 8 784 ≈ one year of hourly
+    * state, ≤ ~140 KB/user) — older buckets are evicted on update, making
+    * the long-horizon semantics a trailing-window 3σ baseline (the
+    * rolling variant of the batch operator, which sees all history; the
+    * two agree exactly for any user whose activity spans ≤ maxHours,
+    * which is what the convergence spec replays). Eviction is by hour
+    * bucket VALUE, not arrival order, so late data cannot pin stale
+    * state.
+    *
+    * CONSUMPTION contract — latest-emission-wins: Append mode cannot
+    * retract, so every batch that touches a user re-emits the user's
+    * full CURRENT flag set and a sink must treat the latest emission per
+    * user as authoritative (a batch emitting nothing for a touched user
+    * means "no flags"). Sinks that need upsert semantics key on
+    * (user_id) and replace; the spec's converged-set comparison encodes
+    * exactly this contract. */
   def streamingAnomalies(
-      stream: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+      stream: Dataset[(Long, Long)],
+      maxHours: Int = 8784): Dataset[(Long, Long, Long)] = {
+    require(maxHours >= 1, s"maxHours must be positive, got $maxHours")
     implicit val stateEnc: Encoder[Map[Long, Long]] = Encoders.kryo[Map[Long, Long]]
     implicit val outEnc: Encoder[(Long, Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
@@ -65,6 +86,11 @@ object StatefulOps {
           val m = scala.collection.mutable.Map.empty[Long, Long] ++
             state.getOption.getOrElse(Map.empty[Long, Long])
           rows.foreach { case (_, hr) => m(hr) = m.getOrElse(hr, 0L) + 1L }
+          if (m.size > maxHours) {
+            // evict the OLDEST hour buckets beyond the retention window
+            val cutoff = m.keysIterator.toArray.sorted.apply(m.size - maxHours)
+            m.filterInPlace { case (hr, _) => hr >= cutoff }
+          }
           state.update(m.toMap)
           val h = m.size.toLong
           var s = 0L; var ss = 0L

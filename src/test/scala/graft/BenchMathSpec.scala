@@ -34,6 +34,21 @@ class BenchMathSpec extends AnyFunSuite {
     assert(Bench.highVarianceLine("q", Seq(-1.0, 0.5)).isEmpty)
   }
 
+  test("parseProbeSteady: steady state is the min run, sbt prefixes tolerated") {
+    val lines = Iterator(
+      "PROBE q34_ngram_jaccard 1.10 0.52 0.50 0.51 0.55",
+      "[info] PROBE q01_agg 0.20 0.10 0.12 0.11 0.10", // sbt-prefixed
+      "PROBE q66_pipeline_summary 0.80",                // single run
+      "PROBE broken_line_no_numbers",                   // ignored
+      "some unrelated log chatter",                     // ignored
+      "PROBE q03_topk 0.30 0.25 trailing-garbage")      // ignored (not all-numeric tail)
+    val m = Bench.parseProbeSteady(lines)
+    assert(m == Map(
+      "q34_ngram_jaccard" -> 0.50,
+      "q01_agg" -> 0.10,
+      "q66_pipeline_summary" -> 0.80))
+  }
+
   test("compactContractLine: 91-query inventory fits the driver window, sections intact") {
     // the round-9 shape that overflowed: 91 realistic query names plus all
     // nine reference sections

@@ -134,6 +134,102 @@ class ClusteringSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("kmeans persists an uncached input internally (loud cache contract)") {
+    try {
+      val emb = plantedClusters(20) // NOT persisted by the caller
+      assert(emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      val before = graft.core.InternalCaches.registeredCount(spark)
+      val (cents, assigned) = Clustering.kmeans(emb, k = 3, maxIters = 5)
+      assert(graft.core.InternalCaches.registeredCount(spark) > before,
+        "kmeans left an uncached input to be re-scanned every iteration")
+      assert(cents.length == 3 && assigned.count() == 60)
+      // a caller-persisted input is respected, not double-persisted
+      val cached = plantedClusters(20).persist()
+      try {
+        cached.count()
+        val n0 = graft.core.InternalCaches.registeredCount(spark)
+        Clustering.kmeans(cached, k = 3, maxIters = 5)
+        assert(graft.core.InternalCaches.registeredCount(spark) == n0,
+          "kmeans re-persisted a frame the caller already cached")
+      } finally cached.unpersist()
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  /** Skew twin of the semantic-dedup recall test (the vector analogue of
+    * round 9's `reference_text_skew` LSH tier): one cluster owns ~30% of
+    * the corpus. Vectors are deterministic center+jitter with jitter large
+    * enough that BASE pairs stay under the 0.999 threshold, plus planted
+    * twin pairs (tiny perturbation → sim ≥ threshold). Asserts (a) recall
+    * 1.0 on the planted pairs, (b) precision vs the exact all-pairs graph,
+    * and (c) the candidate space stayed Σ|cluster|·(|cluster|−1)/2 — the
+    * operator's documented bound — with the hot cluster's share measured,
+    * so a skewed assignment cannot silently explode the join. */
+  test("semantic dedup holds recall and the candidate bound on a skewed corpus") {
+    try {
+      val dim = 8
+      val nBase = 4000
+      val nPlant = 60
+      // cluster of vector i: 30% to cluster 0, rest uniform over 1..7
+      def clusterOf(i: Long): Int = {
+        val h = graft.functions.BitMix.splitmix64(i * 31L + 7L)
+        if (java.lang.Long.remainderUnsigned(h, 10L) < 3L) 0
+        else 1 + java.lang.Long.remainderUnsigned(
+          graft.functions.BitMix.splitmix64(h), 7L).toInt
+      }
+      def baseVec(i: Long): Array[Float] = {
+        val c = clusterOf(i)
+        Array.tabulate(dim) { j =>
+          val center = if (j == c) 10.0 else 0.0
+          val jit = (java.lang.Long.remainderUnsigned(
+            graft.functions.BitMix.splitmix64(i * dim + j + 0x9e37L), 1000L)
+            / 1000.0 - 0.5) * 2.0 // ±1 per component
+          (center + jit).toFloat
+        }
+      }
+      // ids 0..7: one clean seed per cluster so lowest-id seeding lands
+      // one seed in each basin
+      def seedVec(c: Int): Array[Float] =
+        Array.tabulate(dim)(j => if (j == c) 10.0f else 0.0f)
+      val rows =
+        (0 until 8).map(c => (c.toLong, seedVec(c).toSeq)) ++
+        (8 until nBase).map(i => (i.toLong, baseVec(i).toSeq)) ++
+        // planted twins: vector nBase+p duplicates vector 8+p with a tiny
+        // nudge on one component — cosine ≈ 1 > 0.999
+        (0 until nPlant).map { p =>
+          val src = baseVec(8L + p)
+          src(0) = src(0) + 0.001f
+          ((nBase + p).toLong, src.toSeq)
+        }
+      val emb = rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val threshold = 0.999
+      val got = graft.ops.Clustering.semanticNearDup(emb, k = 8, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = graft.ops.Embeddings.cosineNearDup(emb, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = (0 until nPlant).map(p => (8L + p, (nBase + p).toLong)).toSet
+      // every planted twin lands in its source's cluster (the nudge is
+      // tiny), so cluster-bucketing loses NONE of them: recall 1.0
+      assert(planted.subsetOf(got),
+        s"skewed corpus lost planted pairs: ${planted -- got}")
+      assert(got.subsetOf(exact), s"invented pairs: ${got -- exact}")
+      // candidate-space bound: Σ nc·(nc−1)/2 with the hot cluster at ~30%
+      val sizes = graft.ops.Clustering.assignSeeded(emb, 8)
+        .groupBy(col("cidx")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = nBase + nPlant
+      val hotShare = sizes.getOrElse(0, 0L).toDouble / n
+      assert(hotShare > 0.25 && hotShare < 0.35,
+        s"skew not planted as designed: hot share $hotShare")
+      val candPairs = sizes.values.map(c => c * (c - 1) / 2).sum
+      val allPairs = n.toLong * (n - 1) / 2
+      // the documented bound: bucketing must beat all-pairs by at least
+      // the Σ|c|² factor this skew implies (~0.30²+7·0.10² ≈ 0.16)
+      assert(candPairs < allPairs / 5,
+        s"candidate space did not shrink: $candPairs vs all-pairs $allPairs")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("updateCentroids computes exact per-component means") {
     val emb = Seq(
       (0L, Seq(0f, 0f)), (1L, Seq(2f, 4f)), // cluster 0 mean (1, 2)

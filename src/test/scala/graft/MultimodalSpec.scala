@@ -177,6 +177,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.frame_idx).sorted.sameElements(Array(0, 10)))
   }
 
+  test("q70a decoded shapes equal the synthesis closed forms, per kind") {
+    // the gate's hash-match argument at test scale: every integer Spark
+    // reports must come out of a real decode AND equal the formula the
+    // oracle recomputes — i%3 kind, (16+i%5)(12+i%3) px, 400+(i%64)*4
+    // samples, 31+i%5 frames (sampler keeps 4: every clip has >= 31)
+    val got = Multimodal.decodedShapesSummary(Multimodal.syntheticMedia(spark, 300))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def expect(kind: Int): (Long, Long, Long) = {
+      val is = (0 until 300).filter(_ % 3 == kind)
+      val units = is.map { i =>
+        kind match {
+          case 0 => (16L + i % 5) * (12L + i % 3)
+          case 1 => 400L + (i % 64) * 4
+          case _ => 31L + i % 5
+        }
+      }.sum
+      (is.size.toLong, units, if (kind == 2) 4L * is.size else 0L)
+    }
+    assert(got == Map("image" -> expect(0), "audio" -> expect(1), "video" -> expect(2)))
+  }
+
   test("resize keeps ids and updates metadata") {
     val resized = Multimodal.resize(media, 64, 64).collect()
     assert(resized.length == 30)

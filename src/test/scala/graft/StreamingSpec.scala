@@ -384,6 +384,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch("en") == out.values.count(identity).toLong)
   }
 
+  test("decontaminateStream resumes from checkpoint: no doc dropped, re-flagged, or double-processed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the operator is stateless (broadcast eval set, per-row map), so
+    // restart semantics are: source offsets resume exactly where they
+    // committed, and the eval shingle set is REBUILT at query
+    // construction — this proves both: the post-restart half is flagged
+    // with the same rule, pre-restart docs are neither lost nor replayed
+    // (an ArrayBuffer, not a Set, so a double-emission would show)
+    val evalText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val contaminated = "lead in words " + (3 to 15).map(i => s"tok$i").mkString(" ") + " trailing"
+    val cleanDoc = (100 to 120).map(i => s"word$i").mkString(" ")
+    val shortDoc = "too short for any thirteen gram"
+    val evalDocs = Seq((1L, evalText)).toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def startQuery() = graft.streaming.StreamJoins.decontaminateStream(
+        mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")), evalDocs)
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => r.getLong(0) -> r.getBoolean(2))
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.start()
+    val q1 = startQuery()
+    mem.addData((2L, contaminated), (3L, cleanDoc))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = startQuery()
+    mem.addData((4L, shortDoc), (5L, evalText)) // 5 = verbatim eval copy
+    q2.processAllAvailable(); q2.stop()
+    assert(emitted.sorted.toSeq ==
+      Seq(2L -> true, 3L -> false, 4L -> false, 5L -> true),
+      s"restart broke ingest flags: ${emitted.sorted}")
+    // and the flag set still matches the batch operator on the full corpus
+    val batchDocs = Seq((1L, "en", evalText), (2L, "en", contaminated),
+      (3L, "en", cleanDoc), (4L, "en", shortDoc), (5L, "en", evalText))
+      .toDF("doc_id", "lang", "text")
+    val batch = graft.ops.Text.decontaminate(batchDocs, col("doc_id") === 1L, n = 13)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(batch("en") == emitted.count(_._2).toLong)
+  }
+
   test("streaming centroid assignment: ingest-time routing equals the batch argmin") {
     // the serving-side shape of the clustering layer: vectors arriving on
     // a stream are routed to their centroid by the SAME stateless

