@@ -568,7 +568,86 @@ object Embeddings {
   def qAnnKnn(s: SparkSession, dir: String): DataFrame =
     annKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
 
+  /** Hard-negative mining for contrastive training — for each query
+    * vector, the top-k most-similar vectors carrying a DIFFERENT label
+    * (the "looks alike, isn't" rows a dual-encoder trains against). The
+    * [[bruteForceKnn]] shape with the label-mismatch predicate folded into
+    * the broadcast join condition, so disagreeing labels are the join
+    * output and no post-filter re-ranks: candidates shrink BEFORE the
+    * window. Same scale contract as q40 — the query side is bounded and
+    * broadcast; at 100 TB the candidate side swaps in [[annKnn]]'s
+    * bucketed candidates with the same predicate, unchanged downstream. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = withNorm(emb)
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val cand = n.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("nv"), col("nrm").as("nn"))
+    val scored = broadcast(q).join(cand, col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", round(dotExpr("qv", "nv") / (col("qn") * col("nn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("nlabel"), col("sim"))
+  }
+
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
+
+  /** Embedding-distribution drift as Population Stability Index between
+    * two corpus snapshots (here the deterministic even/odd vec_id split;
+    * production passes two crawl versions): one coordinate's values are
+    * histogrammed into a FIXED bucket domain (20 equal-width bins over
+    * [−1, 1], clamped — the domain is enumerated, so empty bins appear
+    * identically on every engine), counts are Laplace-smoothed (+1 per
+    * bin) so PSI stays finite, and contrib = (pa − pb)·ln(pa/pb) per bin
+    * with the total summed over the 20-row frame.
+    *
+    * Scale shape: the corpus-sized work is ONE projection + one bounded
+    * (≤ nBuckets keys) aggregation; everything after runs on the
+    * constant-size bucket frame, where the unpartitioned windows are
+    * admissible (q112 precedent). Numerics: counts are integers, pa/pb
+    * one division each, contrib ≥ 0 by (x−y)(ln x−ln y) ≥ 0 so no −0.0
+    * knife-edge; the total sums the rounded contribs as DECIMAL
+    * (order-free, the q88 recipe). */
+  def driftPsi(emb: DataFrame, dim: Int = 0, nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val width = 2.0 / nBuckets
+    val v = col("embedding").getItem(dim).cast(DoubleType)
+    val bucket = least(greatest(floor((v + lit(1.0)) / lit(width)).cast(LongType),
+      lit(0L)), lit((nBuckets - 1).toLong))
+    val counts = emb
+      .select(bucket.as("bucket"), (col("vec_id") % 2 === 0).as("is_a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_a"), lit(1L)).otherwise(lit(0L))).as("n_a"),
+        sum(when(!col("is_a"), lit(1L)).otherwise(lit(0L))).as("n_b"))
+    val domain = emb.sparkSession.range(0, nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nB = lit(nBuckets.toDouble)
+    domain.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("ta", sum(col("n_a")).over(all))
+      .withColumn("tb", sum(col("n_b")).over(all))
+      .withColumn("pa", (col("n_a") + lit(1.0)) / (col("ta") + nB))
+      .withColumn("pb", (col("n_b") + lit(1.0)) / (col("tb") + nB))
+      .withColumn("contrib", round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9))
+      .withColumn("psi_total",
+        round(sum(col("contrib").cast(DecimalType(28, 12))).over(all).cast(DoubleType), 6))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("contrib"), col("psi_total"))
+  }
+
+  def qDriftPsi(s: SparkSession, dir: String): DataFrame =
+    driftPsi(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_hard_negatives" -> (qHardNegatives _),
+    "q117_drift_psi"     -> (qDriftPsi _),
     "q40_knn_bruteforce" -> (qKnn _),
     "q41_cosine_neardup" -> (qCosineNearDup _),
     "q42_centroids"      -> (qCentroids _),
@@ -684,6 +763,41 @@ object Embeddings {
   }
 
   val oracles: Map[String, String] = Map(
+    // q116: the q40 oracle with the label-mismatch predicate in the join
+    "q116_hard_negatives" ->
+      s"""WITH scored AS (
+            SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+                   round($CosSql, 6) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < 8 AND a.label <> b.label)
+          SELECT qid, rk, nid, nlabel, sim FROM (
+            SELECT qid, nid, nlabel, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+            FROM scored) t
+          WHERE rk <= 5""",
+    // q117: fixed 20-bin domain via range(), Laplace-smoothed PSI; the
+    // contrib chain mirrors the Spark expression (pa/pb computed as the
+    // same one-division doubles), decimal total (order-free)
+    "q117_drift_psi" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v FROM embeddings),
+         bk AS (SELECT least(greatest(CAST(floor((v + 1.0) / 0.1) AS BIGINT), 0), 19) AS bucket,
+                       vec_id % 2 = 0 AS is_a FROM e),
+         c AS (SELECT bucket,
+                 CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+               FROM bk GROUP BY bucket),
+         d AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 20)),
+         f AS (SELECT d.bucket, COALESCE(n_a, CAST(0 AS BIGINT)) AS n_a,
+                      COALESCE(n_b, CAST(0 AS BIGINT)) AS n_b
+               FROM d LEFT JOIN c USING (bucket)),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM f),
+         g AS (SELECT bucket, n_a, n_b,
+                 round(((n_a + 1.0) / (ta + 20.0) - (n_b + 1.0) / (tb + 20.0))
+                   * ln(((n_a + 1.0) / (ta + 20.0)) / ((n_b + 1.0) / (tb + 20.0))), 9) AS contrib
+               FROM f CROSS JOIN t)
+         SELECT bucket, n_a, n_b, contrib,
+           round(CAST((SELECT sum(CAST(contrib AS DECIMAL(28,12))) FROM g) AS DOUBLE), 6) AS psi_total
+         FROM g""",
     // q103: same floor(x*127/ma + 0.5) double sequence as
     // quantizeInt8Report — lambdas capture the row's ma, outputs integer
     "q103_quantize_int8" ->

@@ -1442,7 +1442,143 @@ object Text {
   def qTokenBudget(s: SparkSession, dir: String): DataFrame =
     tokenBudget(Tables.documents(s, dir))
 
+  /** Okapi BM25 retrieval (Robertson et al., TREC-3) for a bounded query
+    * term set — the ranking function behind every lexical retrieval /
+    * RAG-recall stage, and the natural consumer of q84's inverted index.
+    * Only rows whose token matches a query term survive the explode
+    * FILTER, so the per-(doc, term) tf aggregation shuffles query-matching
+    * tokens only — at 100 TB the shuffle is sized by the posting lists,
+    * not the corpus. Corpus stats (N, Σdl) are ONE combine-friendly agg
+    * broadcast as a 1-row frame; df is a terms-bounded rollup of the tf
+    * table joined back by broadcast. Top-k is orderBy+limit ⇒
+    * TakeOrderedAndProject (bounded per-partition heaps, no global sort).
+    *
+    * Numerics (cross-engine contract): the per-(doc, term) score is one
+    * double chain with pinned association — idf = ln(1 + (N − df + .5)/(df
+    * + .5)), tf·(k1+1) / (tf + k1·((1−b) + b·(dl·N/Σdl))) — rounded to 9;
+    * per-doc totals sum the rounded scalar as DECIMAL(28,12) (order-free,
+    * the q88 recipe) and round to 6. Ties break by doc_id. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tok = withTokens(docs).select(col("doc_id"), col("t"))
+    val stats = tok.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(size(col("t")).cast(LongType)).as("sum_dl"))
+    val tf = tok
+      .withColumn("dl", size(col("t")).cast(LongType))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfTbl = tf.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
+    val scored = tf
+      .join(broadcast(dfTbl), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast(DoubleType) * col("n_docs") / col("sum_dl"))))), 9))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        round(sum(col("score").cast(DecimalType(28, 12))).cast(DoubleType), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), Seq("vector", "join", "scan"))
+
+  /** Temperature-scaled source mixing (the UniMax / multilingual-sampling
+    * α-exponent family, here pinned at α = 1/2 so the exponent is a
+    * correctly-rounded IEEE sqrt, not a libm pow): upweights small sources
+    * relative to proportional sampling without q112's hard caps. The
+    * scaled mass s_i = ⌊√(t_i · 10⁶)⌋ is a BIGINT, so the normalizer
+    * Σs_i is an exact integer sum (no float accumulation order anywhere);
+    * weight_i is then ONE double division and alloc_i = B·s_i div Σs_i
+    * stays in integer arithmetic (div remainder unallocated — the q112
+    * contract). The ·10⁶ pre-scale keeps three fractional sqrt digits
+    * while holding B·s_i under the i64 bound out to corpus sizes of ~10¹³
+    * tokens per source.
+    *
+    * Scale shape: the only corpus-sized work is the per-source token
+    * count; the unpartitioned window runs on the K-row source table — a
+    * constant (q112 precedent). */
+  def temperatureMix(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withTokens(docs)
+      .groupBy(col("source"))
+      .agg(sum(size(col("t")).cast(LongType)).as("n_tokens"))
+      .withColumn("s_scaled",
+        floor(sqrt(col("n_tokens").cast(DoubleType) * lit(1000000.0))).cast(LongType))
+      .withColumn("s_total", sum(col("s_scaled")).over(all))
+      .withColumn("weight", round(col("s_scaled").cast(DoubleType) / col("s_total"), 9))
+      .withColumn("alloc_tokens", expr(s"(${budget}L * s_scaled) div s_total"))
+      .select(col("source"), col("n_tokens"), col("s_scaled"), col("weight"),
+        col("alloc_tokens"))
+  }
+
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(s, dir))
+
+  /** Windowed PMI co-occurrence (Church & Hanks 1990) — the collocation
+    * statistic behind word-vector objectives and topic coherence, and the
+    * ±w generalization of q102's adjacent-bigram score. Pairs come out of
+    * the token ARRAY as one codegen'd nested transform (for each position
+    * i, partners j ∈ (i, i+w]) — fan-out ≤ w per token, no positional
+    * self-join, ONE corpus pass; unordered pairs canonicalize as
+    * (least, greatest) at emission so the count table is vocab²-bounded.
+    * Unigram occurrence counts read the SAME internally-persisted token
+    * scan (the q102 one-cached-scan shape); both count tables broadcast
+    * back onto the pair rollup.
+    *
+    * Numerics: pmi = ln(c12·N²tok / (c1·c2·Npairs)) evaluated as a pinned
+    * double chain — ((c12·Ntok)·Ntok) / ((c1·c2)·Npairs) — so no integer
+    * product can overflow at scale and the one ln rides the q57/q88
+    * cross-engine recipe, rounded to 9. The minCount floor keeps hapax
+    * noise out (the q102 δ contract). */
+  def pmiCooc(docs: DataFrame, window: Int = 3, minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val tok = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("t")))
+    val pairs = tok.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(t) - 1), i ->
+              transform(sequence(i + 1, least(i + $window, size(t))), j ->
+                struct(least(element_at(t, i), element_at(t, j)) AS w1,
+                       greatest(element_at(t, i), element_at(t, j)) AS w2))))""")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast(LongType).as("c12"))
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c"))
+    // both rollups are vocab-bounded: persist so the totals agg below does
+    // not re-run the corpus scans
+    val c12P = graft.core.InternalCaches.persist(c12)
+    val uniP = graft.core.InternalCaches.persist(uni)
+    val totals = c12P.agg(sum(col("c12")).as("n_pairs"))
+      .crossJoin(uniP.agg(sum(col("c")).as("n_tok")))
+    c12P.filter(col("c12") >= minCount)
+      .join(broadcast(uniP.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uniP.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        ((col("c12").cast(DoubleType) * col("n_tok")) * col("n_tok")) /
+          ((col("c1").cast(DoubleType) * col("c2")) * col("n_pairs"))), 9))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
+  def qPmiCooc(s: SparkSession, dir: String): DataFrame =
+    pmiCooc(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_bm25"         -> (qBm25 _),
+    "q114_temperature_mix" -> (qTemperatureMix _),
+    "q115_pmi_cooc"     -> (qPmiCooc _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -1507,6 +1643,62 @@ object Text {
            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)"""
 
   val oracles: Map[String, String] = Map(
+    // q113: the BM25 double chain mirrors the Spark expression
+    // parenthesis-for-parenthesis (idf, then tf·(k1+1) over the length-
+    // normalized denominator), per-term round 9, per-doc decimal sum
+    // (order-free) rounded to 6, ties by doc_id
+    "q113_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tok),
+         ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS tok,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ex WHERE w IN ('vector', 'join', 'scan')
+                GROUP BY doc_id, dl, w),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         sc AS (SELECT doc_id,
+                  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * ((1.0 - 0.75) +
+                          0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))), 9) AS score
+                FROM tf JOIN dfq USING (tok) CROSS JOIN st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+    // q114: integer scaled masses, exact integer normalizer, one double
+    // division per row, integer div allocation
+    "q114_temperature_mix" ->
+      """WITH t AS (SELECT source,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+         s AS (SELECT source, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 1000000.0)) AS BIGINT) AS s_scaled
+               FROM t),
+         tot AS (SELECT CAST(sum(s_scaled) AS BIGINT) AS s_total FROM s)
+         SELECT source, n_tokens, s_scaled,
+           round(CAST(s_scaled AS DOUBLE) / s_total, 9) AS weight,
+           CAST((1000000 * s_scaled) // s_total AS BIGINT) AS alloc_tokens
+         FROM s CROSS JOIN tot""",
+    // q115: positional self-join on 1 <= Δpos <= 3 reproduces the Spark
+    // nested-transform pair generation; least/greatest canonicalization,
+    // the pinned ((c12·N)·N)/((c1·c2)·Np) double chain, ln, round 9
+    "q115_pmi_cooc" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pos AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w FROM tok),
+         pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                  AND b.pos > a.pos AND b.pos <= a.pos + 3),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pr GROUP BY w1, w2),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+         tot AS (SELECT (SELECT CAST(sum(c12) AS BIGINT) FROM c12) AS n_pairs,
+                        (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_tok)
+         SELECT w1, w2, c12,
+           round(ln(((CAST(c12 AS DOUBLE) * n_tok) * n_tok) /
+                    ((CAST(u1.c AS DOUBLE) * u2.c) * n_pairs)), 9) AS pmi
+         FROM c12 JOIN uni u1 ON u1.w = c12.w1 JOIN uni u2 ON u2.w = c12.w2
+         CROSS JOIN tot WHERE c12 >= 5""",
     // q112: all-integer water-filling — feasibility prefix, uniform caps,
     // div remainder unallocated
     "q112_token_budget" ->

@@ -260,4 +260,54 @@ class EmbeddingsSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
     assert(repart == fast, "treeAggregate result moved under repartitioning")
   }
+
+  test("hardNegatives: matches a driver brute force and never emits the query's label") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expected = all.filter(_._1 < 8).flatMap { case (qid, ql, qv) =>
+      val qn = math.sqrt(dot(qv, qv))
+      all.filter(_._2 != ql)
+        .map { case (nid, nl, nv) =>
+          (nid, nl, round6(dot(qv, nv) / (qn * math.sqrt(dot(nv, nv))))) }
+        .sortBy { case (nid, _, sim) => (-sim, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, nl, sim), i) => (qid, (i + 1).toLong, nid, nl, sim) }
+    }.toSet
+    val got = Embeddings.hardNegatives(emb, col("vec_id") < 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    val labels = all.toSeq.map(t => t._1 -> t._2).toMap
+    got.foreach { case (qid, _, nid, nlabel, _) =>
+      assert(labels(qid) != nlabel && labels(nid) == nlabel, s"q$qid -> n$nid label")
+    }
+  }
+
+  test("driftPsi: fixed bucket domain, conserved counts, non-negative PSI, partition-stable") {
+    val rows = Embeddings.driftPsi(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 20L).toSeq, "bucket domain")
+    val n = emb.count()
+    assert(rows.map(_._2).sum + rows.map(_._3).sum == n, "counts conserve")
+    rows.foreach { case (b, _, _, contrib, total) =>
+      assert(contrib >= 0.0, s"bucket $b contrib negative")
+      assert(total >= 0.0 && total == rows.head._5, s"bucket $b total")
+    }
+    val again = Embeddings.driftPsi(emb.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again == rows.map { case (b, a2, b2, c, t) =>
+      org.apache.spark.sql.Row(b, a2, b2, c, t).toString }.sorted.toSeq)
+    // identical snapshots -> PSI exactly 0 (pa == pb in every bucket)
+    val sym = Embeddings.driftPsi(
+      emb.withColumn("vec_id", col("vec_id") * 2)
+        .unionByName(emb.withColumn("vec_id", col("vec_id") * 2 + 1)))
+    assert(sym.collect().forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
 }

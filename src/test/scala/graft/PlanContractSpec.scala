@@ -376,4 +376,64 @@ class PlanContractSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"q109 pair count lost its partial agg:\n$p")
   }
+
+  test("q113: BM25 top-k is a bounded heap; df and stats broadcast; tf partial-aggs") {
+    val p = plan("q113_bm25")
+    // the final ranking must never be a global sort of the scored docs
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q113 top-k lost its bounded heap:\n$p")
+    // terms-bounded df table and the 1-row stats frame join by broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"q113 df join no longer broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q113 planned a cartesian:\n$p")
+    // per-(doc, term) tf must partial-aggregate before its exchange: the
+    // explode's surviving rows, not raw tokens, size the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"q113 tf lost its partial agg:\n$p")
+  }
+
+  test("q114/q117: corpus work is one partial-agg'd aggregation; windows run post-agg") {
+    for (q <- Seq("q114_temperature_mix", "q117_drift_psi")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$q planned a nested loop:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q corpus agg lost its map-side combine:\n$p")
+      // exactly one corpus scan: the bounded-frame windows must never
+      // trigger a second read of the fact table
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q expected one corpus scan, got $scans:\n$p")
+    }
+  }
+
+  test("q115: PMI pairs come from one Generate per scan — no positional self-join") {
+    try {
+      val p = plan("q115_pmi_cooc")
+      // the only permitted nested loops are the 1-row × 1-row join that
+      // assembles the totals frame and its cross join onto the
+      // vocab-bounded pair table — both constant-sized by construction
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+        s"q115 planned a data-sized nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q115 planned a cartesian:\n$p")
+      // unigram tables join the pair rollup by broadcast (vocab-bounded)
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+        s"q115 unigram joins no longer broadcast:\n$p")
+      // pair generation is explode (Generate), never a positional self-join
+      assert(p.contains("Generate"), s"q115 lost its generator:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"q115 pair count lost its partial agg:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q116: hard negatives ride the bounded-query broadcast, ranked per query") {
+    val p = plan("q116_hard_negatives")
+    // the label-mismatch θ-join is the q40 shape: the BOUNDED query side
+    // broadcasts; the corpus is never shuffled pairwise
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      s"q116 expected exactly the bounded-query broadcast θ-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q116 planned a cartesian:\n$p")
+    // query-side pushdown: vec_id < 8 reaches the scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)")
+      || p.contains("LessThan(vec_id,8)"), s"q116 query filter not pushed:\n$p")
+  }
 }

@@ -704,4 +704,89 @@ class TextSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("text"), " ")) >= 3).count()
     assert(rows.length.toLong == expected)
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25: matches a driver-side recomputation of the Okapi formula") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val terms = Seq("vector", "join", "scan")
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val nDocs = corpus.length.toLong
+    val sumDl = corpus.map(_._2.length.toLong).sum
+    val dfMap = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val expected = corpus.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val scores = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (nDocs - dfMap(t) + 0.5) / (dfMap(t) + 0.5))
+          Some(round9(idf * ((tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.toDouble * nDocs / sumDl))))))
+        }
+      }
+      if (scores.isEmpty) None
+      else Some((id, scores.length.toLong,
+        // mirror Spark's cast(double AS DECIMAL(28,12)) before the sum
+        round6(scores.map(s => BigDecimal(s)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10).toSeq
+    val got = Text.bm25(docs, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("temperatureMix: sqrt-scaled masses, exact integer allocation within budget") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val budget = 1000000L
+    val rows = Text.temperatureMix(docs, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val sTotal = rows.map(_._3).sum
+    rows.foreach { case (src, nTok, s, w, alloc) =>
+      assert(s == math.sqrt(nTok.toDouble * 1000000.0).floor.toLong, s"$src mass")
+      assert(w == round9(s.toDouble / sTotal), s"$src weight")
+      assert(alloc == budget * s / sTotal, s"$src alloc")
+    }
+    // allocation never exceeds the budget; weights sum to 1 up to rounding
+    assert(rows.map(_._5).sum <= budget)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-6)
+    // temperature flattens: the largest source's weight share is strictly
+    // below its proportional token share (and smallest's strictly above)
+    val totTok = rows.map(_._2).sum
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._4 < big._2.toDouble / totTok)
+    assert(small._4 > small._2.toDouble / totTok)
+  }
+
+  test("pmiCooc: planted corpus — window pairs, canonical order, hand-computed PMI") {
+    import spark.implicits._
+    val docs = Seq("a b c d", "b a").toDF("text")
+    val got = Text.pmiCooc(docs, window = 3, minCount = 1L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // doc1 (window 3 over 4 tokens): ab ac ad bc bd cd; doc2: ab (canonical)
+    val expectedCounts = Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("a", "d") -> 1L,
+      ("b", "c") -> 1L, ("b", "d") -> 1L, ("c", "d") -> 1L)
+    assert(got.view.mapValues(_._1).toMap == expectedCounts)
+    // unigrams: a=2 b=2 c=1 d=1, nTok=6, nPairs=7
+    val nTok = 6L; val nPairs = 7L
+    def pmi(c12: Long, c1: Long, c2: Long): Double =
+      round9(math.log(((c12.toDouble * nTok) * nTok) / ((c1.toDouble * c2) * nPairs)))
+    assert(got(("a", "b"))._2 == pmi(2, 2, 2))
+    assert(got(("c", "d"))._2 == pmi(1, 1, 1))
+  }
+
+  test("pmiCooc: partitioning-independent and minCount floor is live") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val a = Text.pmiCooc(docs).collect().map(_.toString).sorted.toSeq
+    val b = Text.pmiCooc(docs.repartition(7)).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    val counts = Text.pmiCooc(docs, minCount = 5L).collect().map(_.getLong(2))
+    assert(counts.nonEmpty && counts.forall(_ >= 5L))
+  }
 }
