@@ -1575,10 +1575,108 @@ object Text {
   def qPmiCooc(s: SparkSession, dir: String): DataFrame =
     pmiCooc(Tables.documents(s, dir))
 
+  /** BM25 scoring served from the q84 inverted index — the deployment
+    * shape: the posting table is built once ([[invertedIndex]], persisted/
+    * bucketed by token in production) and every query then touches ONLY
+    * its terms' posting rows, never the corpus. Semantically identical to
+    * [[bm25]] (same pinned double chain, same decimal sums — asserted in
+    * TextSpec); the difference is purely physical: tf comes from the
+    * pre-built postings (filter on token = posting-list lookup), dl/N/Σdl
+    * from a doc-length side table a real index stores alongside. */
+  def bm25FromIndex(postings: DataFrame, docLens: DataFrame, terms: Seq[String],
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25FromIndex needs at least one query term")
+    val stats = docLens.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("dl")).cast(LongType).as("sum_dl"))
+    val tf = postings
+      .filter(col("token").isin(terms: _*))
+      .select(col("token").as("tok"), col("doc_id"), col("tf"))
+      .join(docLens, "doc_id")
+    val dfTbl = tf.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
+    tf.join(broadcast(dfTbl), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast(DoubleType) * col("n_docs") / col("sum_dl"))))), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        round(sum(col("score").cast(DecimalType(28, 12))).cast(DoubleType), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Doc-length side table for [[bm25FromIndex]] — what a real index
+    * build writes next to the postings. */
+  def docLengths(docs: DataFrame): DataFrame =
+    withTokens(docs).select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
+
+  /** Full BPE tokenizer training (Sennrich et al., ACL 2016) — the
+    * count → argmax → merge loop q109 counts one iteration of, run to
+    * `nMerges` merges. The scale contract: ONE corpus scan builds the
+    * word-frequency table, which is vocab-bounded — every iteration after
+    * runs on that bounded cached frame (a pair-count aggregation plus a
+    * 1-row argmax action, both constant-sized in corpus terms), so
+    * training cost is O(corpus) + nMerges·O(vocab) no matter the corpus.
+    *
+    * Words are carried as a delimiter-anchored symbol string — `" a  b "`
+    * (double-space between symbols, single-space borders) — so a merge is
+    * ONE literal leftmost-nonoverlapping string replace
+    * `" a  b " → " ab "`: the double internal delimiter donates one
+    * anchor space to each neighbor, which makes consecutive merge sites
+    * independent and false sub-symbol matches impossible (symbols never
+    * contain spaces). That exact replace runs identically in any engine
+    * with sequential-leftmost replace semantics, which is what lets the
+    * DuckDB oracle unroll the training loop as materialized per-iteration
+    * CTE stages (the q25 Gonzalez-unroll precedent). Ties break by
+    * (count desc, left asc, right asc); symbols are ASCII in this corpus
+    * (the multi-byte contract would follow q37's code-point recipe). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+    val words = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
+        .withColumn("s", concat(lit(" "),
+          expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
+          lit(" "))))
+    var cur = words.select(col("freq"), col("s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (it <- 1 to nMerges if !exhausted) {
+      val top = cur
+        .select(col("freq"), expr("split(trim(s), '  ')").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> " +
+            "struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it.toLong, a, b, a + b, cnt))
+        cur = cur.withColumn("s",
+          expr(s"replace(s, ${sq(s" $a  $b ")}, ${sq(s" ${a + b} ")})"))
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25"         -> (qBm25 _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
+    "q118_bpe_train"    -> (qBpeTrain _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -1642,7 +1740,45 @@ object Text {
            UNION
            SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a WHERE r.n <> u.b)"""
 
+  /** The q118 oracle unrolls BPE training as materialized per-iteration
+    * CTE stages (the q25 Gonzalez-unroll recipe): stage k counts adjacent
+    * symbol pairs of w{k-1}, takes the (cnt desc, a, b) argmax, and
+    * applies the ONE anchored string replace — identical leftmost-
+    * nonoverlapping semantics to the Spark side's `replace`. */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w0 AS MATERIALIZED (
+           SELECT freq, ' ' || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
+           FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 GROUP BY w))"""
+    for (k <- 1 to nMerges) {
+      sb ++= s""",
+         p$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(sy)), i ->
+               struct_pack(a := sy[i], b := sy[i + 1])), recursive := true)
+             FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM w${k - 1})
+             WHERE len(sy) >= 2)
+           GROUP BY a, b),
+         m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k
+           ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         w$k AS MATERIALIZED (SELECT freq,
+           replace(s, ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+                      ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
+           FROM w${k - 1})"""
+    }
+    sb ++= (1 to nMerges).map { k =>
+      s"""
+         SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+                a || b AS merged, cnt FROM m$k"""
+    }.mkString("", " UNION ALL", "")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q118_bpe_train" -> bpeTrainOracle(8),
     // q113: the BM25 double chain mirrors the Spark expression
     // parenthesis-for-parenthesis (idf, then tf·(k1+1) over the length-
     // normalized denominator), per-term round 9, per-doc decimal sum

@@ -781,6 +781,67 @@ class TextSpec extends SparkSpec {
     assert(got(("c", "d"))._2 == pmi(1, 1, 1))
   }
 
+  test("bm25FromIndex: the served path equals the direct corpus scorer") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val terms = Seq("vector", "join", "scan")
+    val direct = Text.bm25(docs, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = Text.bm25FromIndex(
+      Text.invertedIndex(docs), Text.docLengths(docs), terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == direct)
+  }
+
+  private def refBpe(corpus: Seq[String], nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    var words: Map[String, (List[String], Long)] = corpus
+      .flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (w, occ) => w -> (w.toList.map(_.toString), occ.length.toLong) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (it <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, f)) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((it.toLong, a, b, a + b, c))
+        words = words.map { case (w, (syms, f)) =>
+          val merged = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          w -> (merged.toList, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain: matches an independent driver implementation on the corpus") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val expected = refBpe(docs.select("text").collect().map(_.getString(0)).toSeq, 8)
+    val got = Text.bpeTrain(docs, nMerges = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("bpeTrain: greedy leftmost-nonoverlap merge semantics on a planted corpus") {
+    import spark.implicits._
+    // "aaaa" x3: pairs (a,a) count 9 -> merge1 aa; then [aa, aa] pairs
+    // (aa,aa) count 3 vs (b,c) count 3 from "bc" x3 -> tie broken
+    // lexically: "aa" < "b"
+    val docs = Seq.fill(3)("aaaa bc").toDF("text")
+    val got = Text.bpeTrain(docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 9L),
+      (2L, "aa", "aa", "aaaa", 3L)))
+  }
+
   test("pmiCooc: partitioning-independent and minCount floor is live") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val a = Text.pmiCooc(docs).collect().map(_.toString).sorted.toSeq
