@@ -612,20 +612,35 @@ object Embeddings {
     * one division each, contrib ≥ 0 by (x−y)(ln x−ln y) ≥ 0 so no −0.0
     * knife-edge; the total sums the rounded contribs as DECIMAL
     * (order-free, the q88 recipe). */
-  def driftPsi(emb: DataFrame, dim: Int = 0, nBuckets: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+  /** The PSI histogram bucket for one embedding coordinate — the
+    * stateless map both the batch path and the ingest-time streaming
+    * twin ([[graft.streaming.StatefulOps.streamingDriftBuckets]]) apply
+    * before counting: nBuckets equal-width bins over [−1, 1], clamped. */
+  def driftBucketExpr(dim: Int, nBuckets: Int): Column = {
     val width = 2.0 / nBuckets
     val v = col("embedding").getItem(dim).cast(DoubleType)
-    val bucket = least(greatest(floor((v + lit(1.0)) / lit(width)).cast(LongType),
+    least(greatest(floor((v + lit(1.0)) / lit(width)).cast(LongType),
       lit(0L)), lit((nBuckets - 1).toLong))
-    val counts = emb
-      .select(bucket.as("bucket"), (col("vec_id") % 2 === 0).as("is_a"))
+  }
+
+  /** Non-empty (bucket, n_a, n_b) counts — the corpus-sized half of PSI
+    * (one projection + one bounded agg). */
+  def driftBucketCounts(emb: DataFrame, dim: Int, nBuckets: Int): DataFrame =
+    emb
+      .select(driftBucketExpr(dim, nBuckets).as("bucket"),
+        (col("vec_id") % 2 === 0).as("is_a"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("is_a"), lit(1L)).otherwise(lit(0L))).as("n_a"),
         sum(when(!col("is_a"), lit(1L)).otherwise(lit(0L))).as("n_b"))
-    val domain = emb.sparkSession.range(0, nBuckets.toLong)
-      .select(col("id").as("bucket"))
+
+  /** The constant-frame half of PSI: enumerate the full bucket domain,
+    * Laplace-smooth, contrib + total. Shared verbatim by the batch gate
+    * and the streaming twin's converged counts (asserted equal in spec),
+    * so ingest-time and batch PSI cannot diverge. */
+  def psiFromCounts(spark: SparkSession, counts: DataFrame, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val domain = spark.range(0, nBuckets.toLong).select(col("id").as("bucket"))
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val nB = lit(nBuckets.toDouble)
     domain.join(counts, Seq("bucket"), "left")
@@ -641,6 +656,9 @@ object Embeddings {
         round(sum(col("contrib").cast(DecimalType(28, 12))).over(all).cast(DoubleType), 6))
       .select(col("bucket"), col("n_a"), col("n_b"), col("contrib"), col("psi_total"))
   }
+
+  def driftPsi(emb: DataFrame, dim: Int = 0, nBuckets: Int = 20): DataFrame =
+    psiFromCounts(emb.sparkSession, driftBucketCounts(emb, dim, nBuckets), nBuckets)
 
   def qDriftPsi(s: SparkSession, dir: String): DataFrame =
     driftPsi(Tables.embeddings(s, dir))

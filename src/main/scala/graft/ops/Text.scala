@@ -1635,9 +1635,20 @@ object Text {
     * (count desc, left asc, right asc); symbols are ASCII in this corpus
     * (the multi-byte contract would follow q37's code-point recipe). */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, nMerges)._1.toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** The final word table of the training loop — one row per distinct
+    * word, `s` holding its learned segmentation in the anchored string
+    * form. This IS the segmented corpus (weighted by `freq`). */
+  private def bpeTrainSegmented(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeLoop(docs, nMerges)._2
+
+  private def bpeLoop(docs: DataFrame, nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     def sq(s: String): String = "'" + s.replace("'", "''") + "'"
     val words = graft.core.InternalCaches.persist(
       withTokens(docs).select(explode(col("t")).as("w"))
@@ -1666,17 +1677,90 @@ object Text {
           expr(s"replace(s, ${sq(s" $a  $b ")}, ${sq(s" ${a + b} ")})"))
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+    (merges.toSeq, cur)
   }
 
   def qBpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(s, dir))
+
+  /** BPE applied — the inference half of the tokenizer lifecycle
+    * (count q109 → train q118 → APPLY): segment the corpus with the
+    * learned merge table and report the top-K symbol counts, i.e. the
+    * post-tokenization vocabulary histogram a pipeline checks before
+    * committing to a tokenizer. Shares [[bpeTrain]]'s loop (the final
+    * word table IS the segmented corpus — symbols fall out of the
+    * delimiter-anchored string by one split), so cost over training is
+    * one more vocab-bounded aggregation; corpus-frequency weighting
+    * comes from the word-frequency table, never a corpus re-scan.
+    * Top-K is a bounded heap with (cnt desc, symbol asc) ties. */
+  def bpeSegmentCounts(docs: DataFrame, nMerges: Int = 8, topK: Int = 20): DataFrame = {
+    val segmented = bpeTrainSegmented(docs, nMerges)
+    segmented
+      .select(col("freq"), explode(expr("split(trim(s), '  ')")).as("sym"))
+      .filter(col("sym") =!= "")
+      .groupBy(col("sym")).agg(sum(col("freq")).cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(topK)
+  }
+
+  def qBpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeSegmentCounts(Tables.documents(s, dir))
+
+  /** Held-out LM scoring — train the q100 bigram model on one corpus
+    * half and score the OTHER half with add-1 smoothing: the
+    * train/apply split q88's self-scored unigram filter lacks, and the
+    * shape of every "score the crawl with a reference-corpus LM"
+    * quality gate (CCNet et al. — a KenLM slots in as a bigger model,
+    * same plumbing). P(w2|w1) = (n12 + 1)/(n1 + V); per-doc mean of
+    * round(ln P, 9) over bigram positions, decimal sums (order-free).
+    *
+    * Scale shape: the model tables are vocab-bounded and BROADCAST onto
+    * the eval side's bigram explode — scoring is one eval-corpus scan,
+    * no shuffle of eval rows at all; the unigram denominators cascade
+    * from the bigram counts (the q100 one-scan trick), so training is
+    * one train-corpus scan + bounded rollups. */
+  def bigramScore(train: DataFrame, eval: DataFrame): DataFrame = {
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    val n12 = graft.core.InternalCaches.persist(
+      trainTok.filter(size(col("t")) >= 2)
+        .select(explode(bigramExpr).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast(LongType).as("n12")))
+    val n1 = n12.groupBy(col("w1")).agg(sum(col("n12")).cast(LongType).as("n1"))
+    val v = trainTok.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).cast(LongType).as("v"))
+    withTokens(eval).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigramExpr).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .join(broadcast(n12), Seq("w1", "w2"), "left")
+      .join(broadcast(n1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp", round(log(
+        (coalesce(col("n12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("n1"), lit(0L)) + col("v")).cast(DoubleType)), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_lp"))
+  }
+
+  def qBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    bigramScore(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25"         -> (qBm25 _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
+    "q119_bpe_apply"    -> (qBpeApply _),
+    "q120_bigram_score" -> (qBigramScore _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -1745,7 +1829,7 @@ object Text {
     * symbol pairs of w{k-1}, takes the (cnt desc, a, b) argmax, and
     * applies the ONE anchored string replace — identical leftmost-
     * nonoverlapping semantics to the Spark side's `replace`. */
-  private def bpeTrainOracle(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++=
       """WITH w0 AS MATERIALIZED (
@@ -1769,16 +1853,56 @@ object Text {
                       ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
            FROM w${k - 1})"""
     }
-    sb ++= (1 to nMerges).map { k =>
+    sb.toString
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String =
+    bpeCtes(nMerges) + (1 to nMerges).map { k =>
       s"""
          SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
                 a || b AS merged, cnt FROM m$k"""
     }.mkString("", " UNION ALL", "")
-    sb.toString
-  }
+
+  /** The q119 oracle re-derives the merge chain (same CTEs) and counts
+    * symbols straight off the final anchored strings. */
+  private def bpeApplyOracle(nMerges: Int, topK: Int): String =
+    bpeCtes(nMerges) + s"""
+         SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM w$nMerges)
+         WHERE sym <> '' GROUP BY sym
+         ORDER BY cnt DESC, sym ASC LIMIT $topK"""
 
   val oracles: Map[String, String] = Map(
     "q118_bpe_train" -> bpeTrainOracle(8),
+    "q119_bpe_apply" -> bpeApplyOracle(8, 20),
+    // q120: add-1 smoothed bigram scoring — model CTEs mirror the q100
+    // cascade; the ln chain and decimal per-doc means mirror the Spark
+    // expressions parenthesis-for-parenthesis
+    "q120_bigram_score" ->
+      """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         n12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM (
+             SELECT unnest(list_transform(range(2, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 1], w2 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 2)
+           GROUP BY w1, w2),
+         n1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM n12 GROUP BY w1),
+         vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                FROM (SELECT unnest(t) AS w FROM tr)),
+         ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 2 = 1),
+         eb AS (SELECT doc_id, w1, w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(2, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 1], w2 := t[i])), recursive := true)
+             FROM ev WHERE len(t) >= 2)),
+         lp AS (SELECT doc_id,
+                  round(ln((COALESCE(n12, 0) + 1.0) /
+                    CAST(COALESCE(n1, 0) + v AS DOUBLE)), 9) AS lp
+                FROM eb LEFT JOIN n12 USING (w1, w2)
+                        LEFT JOIN n1 USING (w1) CROSS JOIN vv)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id""",
     // q113: the BM25 double chain mirrors the Spark expression
     // parenthesis-for-parenthesis (idf, then tf·(k1+1) over the length-
     // normalized denominator), per-term round 9, per-doc decimal sum

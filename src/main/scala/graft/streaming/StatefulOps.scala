@@ -103,6 +103,37 @@ object StatefulOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Embeddings.driftPsi]]'s counting half:
+    * per-bucket (n_a, n_b) running totals held as state, keyed by the
+    * histogram bucket a stateless map assigns upstream (the SAME
+    * [[graft.ops.Embeddings.driftBucketExpr]] the batch gate uses — input
+    * rows are (bucket, is_a)). Every batch that touches a bucket re-emits
+    * its current totals; the converged answer is the LATEST emission per
+    * bucket (the Append latest-emission-wins contract the anomaly twin
+    * documents), which feeds [[graft.ops.Embeddings.psiFromCounts]] —
+    * asserted equal to the batch PSI after a full replay.
+    *
+    * State is bounded BY CONSTRUCTION: at most nBuckets keys ever exist
+    * (each two longs), so no TTL/eviction is needed — the one streaming
+    * operator here whose state cannot grow with the stream. */
+  def streamingDriftBuckets(
+      stream: Dataset[(Long, Boolean)]): Dataset[(Long, Long, Long)] = {
+    implicit val stateEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    stream
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Boolean)], state: GroupState[(Long, Long)]) =>
+          var (na, nb) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, isA) => if (isA) na += 1L else nb += 1L }
+          state.update((na, nb))
+          (bucket, na, nb)
+      }
+  }
+
   /** Per-key running counters (mapGroupsWithState): emits (key, total) on
     * every batch that touches the key. */
   def runningCounts[K: Encoder](

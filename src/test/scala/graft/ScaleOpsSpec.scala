@@ -171,6 +171,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(batchFlags.nonEmpty, "corpus should produce at least one flag")
   }
 
+  test("streamingDriftBuckets: converged stream counts reproduce the batch PSI exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val rows = emb.select(graft.ops.Embeddings.driftBucketExpr(0, 20).as("bucket"),
+        (col("vec_id") % 2 === 0).as("is_a"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(rows.nonEmpty)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Boolean)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, Long, Long))]
+    val q = StatefulOps.streamingDriftBuckets(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Long)], bid: Long) =>
+        val rs = batch.collect()
+        emitted.synchronized { emitted ++= rs.map(bid -> _) }
+        ()
+      }.start()
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    // running totals are monotone, so the converged count per bucket is
+    // its emission with the highest observed batch id
+    val fin = emitted.synchronized(emitted.toVector)
+      .groupBy(_._2._1).map { case (_, rs) => rs.maxBy(_._1)._2 }.toSeq
+    val streamPsi = graft.ops.Embeddings
+      .psiFromCounts(spark, fin.toDF("bucket", "n_a", "n_b"), 20)
+      .collect().map(_.toString).sorted.toSeq
+    val batchPsi = graft.ops.Embeddings.driftPsi(emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamPsi == batchPsi)
+    assert(fin.map(t => t._2 + t._3).sum == rows.length.toLong, "counts conserve")
+  }
+
   test("streamingAnomalies state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -842,6 +842,49 @@ class TextSpec extends SparkSpec {
       (2L, "aa", "aa", "aaaa", 3L)))
   }
 
+  test("bpeSegmentCounts: planted corpus segments as trained; symbol mass conserves") {
+    import spark.implicits._
+    val docs = Seq.fill(3)("aaaa bc").toDF("text")
+    // after 2 merges: "aaaa" -> [aaaa], "bc" -> [b, c]; ties by symbol
+    val got = Text.bpeSegmentCounts(docs, nMerges = 2, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aaaa", 3L), ("b", 3L), ("c", 3L)))
+    // real corpus: segmentation is a partition of every word's characters,
+    // so Σ cnt·len(sym) must equal the corpus's total token characters
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val syms = Text.bpeSegmentCounts(corpus, nMerges = 8, topK = 100000).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val charMass = syms.map { case (s, c) => s.length.toLong * c }.sum
+    val expected = corpus.select("text").collect()
+      .map(_.getString(0).split(" ", -1).map(_.length.toLong).sum).sum
+    assert(charMass == expected)
+  }
+
+  test("bigramScore: held-out add-1 scoring matches a driver recomputation") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val train = corpus.filter(_._1 % 2 == 0).map(_._2)
+    val eval = corpus.filter(_._1 % 2 == 1)
+    val n12 = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- train if t.length >= 2; i <- 1 until t.length)
+      n12((t(i - 1), t(i))) = n12.getOrElse((t(i - 1), t(i)), 0L) + 1L
+    val n1 = n12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = train.flatten.distinct.length.toLong
+    val expected = eval.filter(_._2.length >= 2).map { case (id, t) =>
+      val lps = (1 until t.length).map { i =>
+        val c12 = n12.getOrElse((t(i - 1), t(i)), 0L)
+        val c1 = n1.getOrElse(t(i - 1), 0L)
+        round9(math.log((c12 + 1.0) / (c1 + v).toDouble))
+      }
+      id -> ((lps.length.toLong, round6(lps.map(x => BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / lps.length)))
+    }.toMap
+    val got = Text.qBigramScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
   test("pmiCooc: partitioning-independent and minCount floor is live") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val a = Text.pmiCooc(docs).collect().map(_.toString).sorted.toSeq
