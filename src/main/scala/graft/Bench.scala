@@ -533,6 +533,50 @@ object Bench {
           compactRef.remove("reference_pipeline_1m"); ""
       }
     } else ""
+    // reference_tok_1m (opt-in: SPARK_GRAFT_BIG=1): the round-11 tokenizer
+    // and retrieval layer at 1M docs (~2000x the gate corpus). BPE training
+    // must stay ONE corpus scan + vocab-bounded iterations — a trainer that
+    // accidentally re-scans the corpus per merge shows up here as ~8x the
+    // expected time; the merge table must also be IDENTICAL across reps
+    // (training is a pure function of the corpus). BM25's posting-filtered
+    // explode must return the full k with every hit containing a query
+    // term. Self-evident invariants only — both operators' exact values
+    // are oracle-gated at sf tiers; this tier proves the SCALE shape.
+    val refTok1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1")) {
+      try {
+        val docs = graft.sources.SyntheticDocs.planted(spark,
+            nBase = 1000000L, nPlant = 0L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          docs.count()
+          var mergeTables = Vector.empty[Seq[(Long, String, String, String, Long)]]
+          val bpeJson = coldWarm("reference_tok_1m", "bpe_train_1m", warmReps = 3) {
+            mergeTables = mergeTables :+ graft.ops.Text.bpeTrain(docs, nMerges = 8)
+              .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+                r.getString(2), r.getString(3), r.getLong(4))) }
+          val bad = mergeTables.exists { t =>
+            t.size != 8 || t.exists { case (_, l, r2, m, c) => m != l + r2 || c <= 0L } } ||
+            mergeTables.distinct.size != 1
+          if (bad) throw new GoldenMismatch(
+            s"bpe 1M anchor MISMATCH: ${mergeTables.map(_.take(2)).mkString(" | ")} " +
+            "(want 8 stable merges, merged = lhs+rhs, positive counts)")
+          var hits = Array.empty[org.apache.spark.sql.Row]
+          val bmJson = coldWarm("reference_tok_1m", "bm25_1m", warmReps = 3) {
+            hits = graft.ops.Text.bm25(docs, Seq("t0", "t1", "t2")).collect() }
+          if (hits.length != 10 ||
+              hits.exists(r => r.getLong(1) < 1L || r.getLong(1) > 3L))
+            throw new GoldenMismatch(
+              s"bm25 1M anchor MISMATCH: ${hits.length} rows " +
+              s"n_hit=${hits.map(_.getLong(1)).mkString(",")} (want 10 rows, hits in [1,3])")
+          s""","reference_tok_1m":{$bpeJson,$bmJson}"""
+        } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+      } catch {
+        case e: GoldenMismatch => throw e
+        case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] reference_tok_1m section dropped: $e")
+          compactRef.remove("reference_tok_1m"); ""
+      }
+    } else ""
     // reference_vec_1m (opt-in: SPARK_GRAFT_BIG=1): the similarity-search /
     // clustering layer at 1M vectors (500x the gate corpus) with cluster
     // membership as ground truth by construction (SyntheticVectors): the
@@ -656,7 +700,7 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refVec1m$refGraph1m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

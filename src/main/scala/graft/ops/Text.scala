@@ -1633,7 +1633,13 @@ object Text {
     * DuckDB oracle unroll the training loop as materialized per-iteration
     * CTE stages (the q25 Gonzalez-unroll precedent). Ties break by
     * (count desc, left asc, right asc); symbols are ASCII in this corpus
-    * (the multi-byte contract would follow q37's code-point recipe). */
+    * (the multi-byte contract would follow q37's code-point recipe).
+    *
+    * EAGER contract (the covarianceReport exception, same reason): each
+    * merge choice is DATA the next iteration's plan is built from, so
+    * the loop runs per-iteration argmax actions at call time and the
+    * returned merge table is a driver-local frame — callers pay training
+    * cost on call, not on first consume. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1657,6 +1663,17 @@ object Text {
           expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
           lit(" "))))
     var cur = words.select(col("freq"), col("s"))
+    // Each iteration's argmax is an action; persist the evolving word
+    // table so iteration k applies ONE replace over iteration k-1's
+    // cached blocks instead of replaying the whole chain from `words` —
+    // per-iteration work stays O(vocab) at any merge count. The loop
+    // owns the action boundary, so it unpersists its own prior handle
+    // directly (the base `words` stays registered for the batch-boundary
+    // release). At production merge counts (30k+) the plan DEPTH still
+    // grows one replace per merge; that regime moves the vocab-bounded
+    // table driver-side or localCheckpoints every few hundred merges —
+    // same loop, different lineage cut.
+    var prevHandle: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
     for (it <- 1 to nMerges if !exhausted) {
@@ -1673,10 +1690,17 @@ object Text {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it.toLong, a, b, a + b, cnt))
-        cur = cur.withColumn("s",
+        val next = cur.withColumn("s",
           expr(s"replace(s, ${sq(s" $a  $b ")}, ${sq(s" ${a + b} ")})"))
+        next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (prevHandle != null) prevHandle.unpersist(blocking = false)
+        prevHandle = next
+        cur = next
       }
     }
+    // the final segmented table stays persisted for an immediate consumer
+    // (bpeSegmentCounts); register it for the batch-boundary release
+    if (prevHandle != null) graft.core.InternalCaches.persist(prevHandle)
     (merges.toSeq, cur)
   }
 
@@ -1692,7 +1716,9 @@ object Text {
     * delimiter-anchored string by one split), so cost over training is
     * one more vocab-bounded aggregation; corpus-frequency weighting
     * comes from the word-frequency table, never a corpus re-scan.
-    * Top-K is a bounded heap with (cnt desc, symbol asc) ties. */
+    * Top-K is a bounded heap with (cnt desc, symbol asc) ties.
+    * Inherits [[bpeTrain]]'s EAGER contract — the merge loop runs at
+    * call time; only the final histogram aggregation stays lazy. */
   def bpeSegmentCounts(docs: DataFrame, nMerges: Int = 8, topK: Int = 20): DataFrame = {
     val segmented = bpeTrainSegmented(docs, nMerges)
     segmented
