@@ -1465,12 +1465,16 @@ object Text {
     val stats = tok.agg(
       count(lit(1)).cast(LongType).as("n_docs"),
       sum(size(col("t")).cast(LongType)).as("sum_dl"))
-    val tf = tok
+    // tf is consumed twice (the scored join AND its df rollup) and
+    // Catalyst never dedupes self-referencing subtrees — without the
+    // persist the corpus explode+filter+agg runs twice. The persisted
+    // frame is posting-list-sized (query-matching tokens only).
+    val tf = graft.core.InternalCaches.persist(tok
       .withColumn("dl", size(col("t")).cast(LongType))
       .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .agg(count(lit(1)).cast(LongType).as("tf")))
     val dfTbl = tf.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
     val scored = tf
       .join(broadcast(dfTbl), "tok")
@@ -1589,10 +1593,12 @@ object Text {
     val stats = docLens.agg(
       count(lit(1)).cast(LongType).as("n_docs"),
       sum(col("dl")).cast(LongType).as("sum_dl"))
-    val tf = postings
+    // same double-consume shape as bm25's tf: persist the
+    // posting-list-sized lookup so the postings filter runs once
+    val tf = graft.core.InternalCaches.persist(postings
       .filter(col("token").isin(terms: _*))
       .select(col("token").as("tok"), col("doc_id"), col("tf"))
-      .join(docLens, "doc_id")
+      .join(docLens, "doc_id"))
     val dfTbl = tf.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
     tf.join(broadcast(dfTbl), "tok")
       .crossJoin(broadcast(stats))
