@@ -885,6 +885,56 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bm25: terms absent from the corpus contribute nothing; all-absent query is empty") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val withGhost = Text.bm25(docs, Seq("vector", "join", "scan", "zzz_unseen")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val without = Text.bm25(docs, Seq("vector", "join", "scan")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(withGhost == without, "an unseen term changed the ranking")
+    assert(Text.bm25(docs, Seq("zzz_unseen")).count() == 0L)
+    // single-doc-term sanity: idf is positive, so scores are positive
+    assert(without.forall(_._3 > 0.0))
+  }
+
+  test("temperatureMix: degenerate budgets and single-source corpora") {
+    import spark.implicits._
+    val one = Seq((0L, "a b c", "only")).toDF("doc_id", "text", "source")
+    val rows = Text.temperatureMix(one, budget = 100L).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(3) == 1.0, "single source must carry weight 1.0")
+    assert(rows(0).getLong(4) == 100L, "single source takes the whole budget")
+    val zero = Text.temperatureMix(one, budget = 0L).collect()
+    assert(zero(0).getLong(4) == 0L, "zero budget allocates zero")
+    intercept[IllegalArgumentException](Text.temperatureMix(one, budget = -1L))
+  }
+
+  test("pmiCooc at window=1 counts exactly the adjacent unordered bigrams") {
+    import spark.implicits._
+    val docs = Seq("a b a b c", "c a").toDF("text")
+    val got = Text.pmiCooc(docs, window = 1, minCount = 1L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // adjacent pairs: doc1 ab, ab(b->a canonical), ab, bc; doc2 ac
+    assert(got(("a", "b")) == 3L)
+    assert(got(("b", "c")) == 1L)
+    assert(got(("a", "c")) == 1L)
+    assert(got.size == 3)
+  }
+
+  test("bpeTrain: pair exhaustion stops early with the merges found so far") {
+    import spark.implicits._
+    // single-character words only -> no adjacent pairs at all
+    val bare = Seq("a b c", "a b").toDF("text")
+    assert(Text.bpeTrain(bare, nMerges = 5).count() == 0L)
+    // one mergeable word: "ab" merges once, then its single symbol
+    // leaves no pairs -> exactly 1 merge from a 5-merge request
+    val one = Seq("ab c d").toDF("text")
+    val merges = Text.bpeTrain(one, nMerges = 5).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq((1L, "ab", 1L)))
+  }
+
   test("pmiCooc: partitioning-independent and minCount floor is live") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val a = Text.pmiCooc(docs).collect().map(_.toString).sorted.toSeq
