@@ -205,6 +205,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fin.map(t => t._2 + t._3).sum == rows.length.toLong, "counts conserve")
   }
 
+  test("streamingDriftBuckets state survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // kill-and-restart mid-corpus: a new query on the same checkpoint
+    // must recover every bucket's running totals from the state store,
+    // so the converged counts (and thus the PSI) still equal the batch
+    // operator's despite the restart.
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val rows = emb.select(graft.ops.Embeddings.driftBucketExpr(0, 20).as("bucket"),
+        (col("vec_id") % 2 === 0).as("is_a"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ckpt").toString
+    val mem = MemoryStream[(Long, Boolean)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, Long, Long))]
+    def startQuery() = StatefulOps.streamingDriftBuckets(mem.toDS())
+      .writeStream.option("checkpointLocation", ckpt).outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Long)], bid: Long) =>
+        val rs = batch.collect()
+        emitted.synchronized { emitted ++= rs.map(bid -> _) }
+        ()
+      }.start()
+    val q1 = startQuery()
+    mem.addData(b1.toIndexedSeq); q1.processAllAvailable(); q1.stop()
+    val q2 = startQuery()
+    mem.addData(b2.toIndexedSeq); q2.processAllAvailable(); q2.stop()
+    val fin = emitted.synchronized(emitted.toVector)
+      .groupBy(_._2._1).map { case (_, rs) => rs.maxBy(_._1)._2 }.toSeq
+    val streamPsi = graft.ops.Embeddings
+      .psiFromCounts(spark, fin.toDF("bucket", "n_a", "n_b"), 20)
+      .collect().map(_.toString).sorted.toSeq
+    val batchPsi = graft.ops.Embeddings.driftPsi(emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamPsi == batchPsi, "restart lost bucket state")
+  }
+
   test("streamingAnomalies state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -935,6 +935,33 @@ class TextSpec extends SparkSpec {
     assert(merges == Seq((1L, "ab", 1L)))
   }
 
+  test("bpeTrain: a deep merge chain (24 iterations) stays correct on cached lineage") {
+    import spark.implicits._
+    // one long repetitive word: "ab" * 16. Merge 1 is (a,b)->ab; each
+    // later merge doubles the run length: (ab,ab)->abab, ... — the
+    // chain exhausts once the whole word is one symbol (log2(16)+1 = 5
+    // merges), exercising the per-iteration persist/unpersist path well
+    // past the gate's 8-iteration depth budget when run on a corpus
+    // that sustains it
+    val word = "ab" * 16
+    val deep = Seq.fill(4)(word).toDF("text")
+    val merges = Text.bpeTrain(deep, nMerges = 24).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
+    assert(merges.map(_._2) == Seq("ab", "abab", "abababab",
+      "ab" * 8, word))
+    // counts are the pair frequency BEFORE each merge: 16 (a,b) pairs
+    // per word, then k-symbol runs carry k-1 adjacent pairs (x4 docs)
+    assert(merges.map(_._3) == Seq(64L, 60L, 28L, 12L, 4L))
+    // a corpus that sustains 24 merges: distinct two-char words chain
+    // pair frequencies; just assert the full request is served and every
+    // merge is structurally valid
+    val wide = Seq.tabulate(200)(i => ("w" + i) + " " + ("x" + (i % 50))).toDF("text")
+    val wideMerges = Text.bpeTrain(wide, nMerges = 24).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(wideMerges.length == 24)
+    assert(wideMerges.forall { case (l, r2, m, c) => m == l + r2 && c > 0L })
+  }
+
   test("pmiCooc: partitioning-independent and minCount floor is live") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val a = Text.pmiCooc(docs).collect().map(_.toString).sorted.toSeq
