@@ -1786,6 +1786,47 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Asymmetric shingle containment — quote/subset detection: C(A→B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)|. A short document embedded verbatim in a
+    * long one scores containment ≈ 1 while its Jaccard is tiny, so this
+    * catches exactly the wrapper-page/quotation duplication the
+    * symmetric q34/q35 family is blind to (the Lee-et-al substring
+    * signal at document granularity).
+    *
+    * Scale contract: candidate pairs come from the shingle equi-join
+    * AFTER a document-frequency cap drops boilerplate shingles
+    * (df > maxDf — the same hot-shingle discipline as q104), so fan-out
+    * per shingle is ≤ maxDf docs and pair work is ≤ maxDf² per shingle —
+    * a viral header can never go quadratic in the corpus. Cardinalities
+    * are the CAPPED per-doc counts, making the score "containment over
+    * non-boilerplate shingles" — the semantics a dedup pass wants anyway.
+    * Shingles are 64-bit hashes (the q34 contract: set identity modulo
+    * ~2⁻⁴⁰); the one division per direction rounds to 6. */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.9, maxDf: Long = 64L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    val sh = graft.core.InternalCaches.persist(
+      withHashedShingles(docs).select(col("doc_id"), explode(col("hs")).as("h")))
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val ex = graft.core.InternalCaches.persist(sh.join(keep, Seq("h"), "leftsemi"))
+    val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(cards.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(cards.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      .withColumn("cont_a", round(col("n_common").cast(DoubleType) / col("na"), 6))
+      .withColumn("cont_b", round(col("n_common").cast(DoubleType) / col("nb"), 6))
+      .filter(col("cont_a") >= tau || col("cont_b") >= tau)
+      .select(col("d1"), col("d2"), col("n_common"), col("cont_a"), col("cont_b"))
+  }
+
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25"         -> (qBm25 _),
     "q114_temperature_mix" -> (qTemperatureMix _),
@@ -1793,6 +1834,7 @@ object Text {
     "q118_bpe_train"    -> (qBpeTrain _),
     "q119_bpe_apply"    -> (qBpeApply _),
     "q120_bigram_score" -> (qBigramScore _),
+    "q121_containment"  -> (qContainment _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -1907,6 +1949,28 @@ object Text {
   val oracles: Map[String, String] = Map(
     "q118_bpe_train" -> bpeTrainOracle(8),
     "q119_bpe_apply" -> bpeApplyOracle(8, 20),
+    // q121: string shingles stand in for the Spark side's 64-bit hashes
+    // (identical counts modulo the documented ~2^-40 collision bound, the
+    // q34/q58 recipe); the df cap and capped cardinalities mirror the
+    // operator exactly
+    "q121_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tok WHERE len(t) >= 3),
+         keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+                  WHERE df <= 64),
+         ex AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM keep)),
+         cards AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_common
+                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT d1, d2, n_common,
+           round(CAST(n_common AS DOUBLE) / ca.n, 6) AS cont_a,
+           round(CAST(n_common AS DOUBLE) / cb.n, 6) AS cont_b
+         FROM common JOIN cards ca ON ca.doc_id = d1 JOIN cards cb ON cb.doc_id = d2
+         WHERE round(CAST(n_common AS DOUBLE) / ca.n, 6) >= 0.9
+            OR round(CAST(n_common AS DOUBLE) / cb.n, 6) >= 0.9""",
     // q120: add-1 smoothed bigram scoring — model CTEs mirror the q100
     // cascade; the ln chain and decimal per-doc means mirror the Spark
     // expressions parenthesis-for-parenthesis

@@ -15,7 +15,7 @@ class PlanContractSpec extends SparkSpec {
 
   private val pairwiseOps = Seq(
     "q34_ngram_jaccard", "q35_minhash_lsh", "q36_simhash_pairs",
-    "q43_ann_lsh", "q58_dedup_components",
+    "q43_ann_lsh", "q58_dedup_components", "q121_containment",
     "q75_range_join", "q24_exact_outliers", "q22_cell_neighborhood",
     "q56_asof_join", "q66_pipeline_summary")
 

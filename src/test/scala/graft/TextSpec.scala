@@ -962,6 +962,38 @@ class TextSpec extends SparkSpec {
     assert(wideMerges.forall { case (l, r2, m, c) => m == l + r2 && c > 0L })
   }
 
+  test("containmentPairs: catches the embedded-quote pair Jaccard misses; df cap is live") {
+    import spark.implicits._
+    // doc 0 is 12 tokens; doc 1 embeds it verbatim inside 60 tokens of
+    // filler -> containment(0 -> 1) = 1.0 while Jaccard ~ 12/70 << 0.5
+    val quote = (1 to 12).map("q" + _).mkString(" ")
+    val filler = (1 to 30).map("f" + _).mkString(" ")
+    val filler2 = (31 to 60).map("f" + _).mkString(" ")
+    val docs = Seq(
+      (0L, quote),
+      (1L, s"$filler $quote $filler2"),
+      (2L, (1 to 40).map("z" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = Text.containmentPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.contains((0L, 1L)), "embedded quote not detected")
+    val (ca, cb) = got((0L, 1L))
+    assert(ca == 1.0, "containment of the quote in its host must be 1.0")
+    assert(cb < 0.5, "host containment must stay below the symmetric bar")
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // Jaccard at 0.5 misses the same pair
+    val jac = Text.ngramJaccardPairs(docs).collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    // df cap: 80 byte-identical boilerplate docs would form 80*79/2
+    // quadratic pairs uncapped; with the cap every shared shingle blows
+    // df <= 8 and the pair set is empty — the cap is what keeps a viral
+    // header from going quadratic in the corpus
+    val many = (0L until 80L).map(i => (i, "h1 h2 h3 h4 h5 h6 h7 h8"))
+      .toDF("doc_id", "text")
+    assert(Text.containmentPairs(many, maxDf = 100L).count() == 80L * 79L / 2L)
+    assert(Text.containmentPairs(many, maxDf = 8L).count() == 0L,
+      "capped boilerplate shingles still generated pairs")
+  }
+
   test("pmiCooc: partitioning-independent and minCount floor is live") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val a = Text.pmiCooc(docs).collect().map(_.toString).sorted.toSeq
