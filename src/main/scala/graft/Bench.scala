@@ -433,7 +433,8 @@ object Bench {
     // defense as the geometry anchors (the single-rep r7 number was the
     // noisiest published figure). The 100k-doc spec test additionally
     // pins full SET equality.
-    def textAnchor(tag: String, nBase: Long, warmReps: Int): String = {
+    def textAnchor(tag: String, nBase: Long, warmReps: Int,
+                   withContainment: Boolean = false): String = {
       val section = if (tag == "300k") "reference_text" else s"reference_text_$tag"
       try {
         val docs = graft.sources.SyntheticDocs.planted(spark,
@@ -447,7 +448,21 @@ object Bench {
           if (nPairs != 1500L)
             throw new GoldenMismatch(
               s"text dedup anchor ($tag) MISMATCH: $nPairs LSH pairs (want the 1500 planted)")
-          s""","$section":{$lshJson}"""
+          // q121 at scale (opt-in with the 1m tier): each planted copy
+          // differs by ONE mid-doc token, so containment ≈ 35/38 ≈ 0.92
+          // per pair while unrelated docs share ~no shingles — at
+          // tau = 0.85 the answer is EXACTLY the 1500 planted pairs, and
+          // the df-capped shingle join must stay linear to find them
+          val contJson = if (withContainment) {
+            var nCont = -1L
+            val j = coldWarm(section, s"containment_$tag", warmReps) {
+              nCont = graft.ops.Text.containmentPairs(docs, tau = 0.85).count() }
+            if (nCont != 1500L)
+              throw new GoldenMismatch(
+                s"containment anchor ($tag) MISMATCH: $nCont pairs (want the 1500 planted)")
+            "," + j
+          } else ""
+          s""","$section":{$lshJson$contJson}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -497,7 +512,7 @@ object Bench {
     // holds at 1M docs (~2000x the gate corpus) with the same 1500-pair
     // recall assert. One warm rep keeps the opt-in run bounded.
     val refText1m = if (sys.env.get("SPARK_GRAFT_BIG").contains("1"))
-      textAnchor("1m", nBase = 1000000L, warmReps = 3)
+      textAnchor("1m", nBase = 1000000L, warmReps = 3, withContainment = true)
     else ""
     // reference_pipeline_1m (opt-in: SPARK_GRAFT_BIG=1): the full
     // clean→dedup→chunk→pack pipeline at 1M docs with goldens derived
