@@ -39,6 +39,16 @@ object Bench {
     * last line; 1950 leaves slack for a noisy window widening medians. */
   private[graft] val ContractBudget = 1950
 
+  /** 1-minute host load average (first /proc/loadavg field) — the load
+    * evidence BENCH_DETAIL carries per measurement round and per BIG
+    * anchor, so a contended window is machine-readable in the artifact.
+    * -1.0 when unreadable (non-Linux dev box). */
+  private[graft] def loadAvg(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+  } catch { case e if scala.util.control.NonFatal(e) => -1.0 }
+
   /** Parse a TimeProbe sweep (`PROBE <name> t1 .. t5` lines, with or
     * without sbt log prefixes) into name → steady state (min of the runs —
     * the probe's first run re-JITs, so min is steady; the same reading
@@ -174,6 +184,12 @@ object Bench {
     }
     val runsByQ = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val failedQ = scala.collection.mutable.Set.empty[String]
+    // host load per measurement phase (round 12): the committed artifact
+    // used to explain contended windows only in prose; one loadavg reading
+    // per round makes them machine-readable (tools/compare_probe flags can
+    // be cross-checked against the load the round actually ran under)
+    val roundLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    roundLoads("warm") = Bench.loadAvg()
     for ((name, fn) <- qseq) {
       runsByQ(name) = Vector.empty
       // a transient warm-run failure must not erase the query from every
@@ -200,19 +216,23 @@ object Bench {
     // inventory by ~10%. One full untimed pass in the same round-robin
     // order absorbs that window; failures here are already recorded by
     // the warm pass, so they only log.
+    roundLoads("settle") = Bench.loadAvg()
     for ((name, fn) <- qseq if !failedQ(name)) {
       try once(fn)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed (settling round, ignored): ${e.getMessage}") }
     }
-    for (round <- 1 to measuredRuns; (name, fn) <- qseq if !failedQ(name)) {
-      // a late-round transient failure APPENDS the -1 marker instead of
-      // replacing the vector: earlier valid minutes-apart runs are exactly
-      // the evidence the interleaving scheme exists to preserve
-      try runsByQ(name) = runsByQ(name) :+ once(fn)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
-        failedQ += name; runsByQ(name) = runsByQ(name) :+ -1.0 }
+    for (round <- 1 to measuredRuns) {
+      roundLoads(s"r$round") = Bench.loadAvg()
+      for ((name, fn) <- qseq if !failedQ(name)) {
+        // a late-round transient failure APPENDS the -1 marker instead of
+        // replacing the vector: earlier valid minutes-apart runs are exactly
+        // the evidence the interleaving scheme exists to preserve
+        try runsByQ(name) = runsByQ(name) :+ once(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (round $round): ${e.getMessage}")
+          failedQ += name; runsByQ(name) = runsByQ(name) :+ -1.0 }
+      }
     }
     // Auto-requeue: any query whose run vector trips the HIGH VARIANCE
     // guard gets ONE extra interleaved-equivalent run (median over 4 — two
@@ -226,6 +246,7 @@ object Bench {
     if (flagged.nonEmpty) {
       System.err.println(s"[bench] requeueing ${flagged.size} HIGH VARIANCE " +
         s"queries for one extra round: ${flagged.mkString(", ")}")
+      roundLoads("requeue") = Bench.loadAvg()
       for ((name, fn) <- qseq if flagged(name)) {
         try runsByQ(name) = runsByQ(name) :+ once(fn)
         catch { case e: Throwable =>
@@ -262,6 +283,7 @@ object Bench {
         probeFlagged.toSeq.sorted.map { n =>
           f"$n (median ${medianValid(runsByQ(n))}%.2f vs steady ${probeSteady(n)}%.2f)"
         }.mkString(", "))
+      roundLoads(s"probe${probeExtra + 1}") = Bench.loadAvg()
       for ((name, fn) <- qseq if probeFlagged(name)) {
         try runsByQ(name) = runsByQ(name) :+ once(fn)
         catch { case e: Throwable =>
@@ -310,15 +332,37 @@ object Bench {
       val rt = Runtime.getRuntime
       (rt.maxMemory - (rt.totalMemory - rt.freeMemory)) / (1024 * 1024)
     }
+    // pull a recorded figure back out of a coldWarm JSON fragment (for
+    // cross-anchor asserts like the BPE flatness ratio); -1.0 if absent
+    def timeOf(fragment: String, key: String): Double = {
+      val re = ("\"" + java.util.regex.Pattern.quote(key) + "\":([0-9.]+)").r.unanchored
+      fragment match { case re(v) => v.toDouble; case _ => -1.0 }
+    }
+    // anchor-dispersion requeue + load evidence (round 12): the r11
+    // exact_outliers_100m anchor published warm [41.6, 20.2, 39.6]
+    // (max/min 2.06, median above cold) with no recourse, while gate
+    // queries got a requeue at max/min > 4. Anchors run back-to-back, so
+    // they get a TIGHTER bar (2x) with up to 2 extra reps, and every
+    // anchor records the 1-minute /proc/loadavg observed after its reps —
+    // a contended window is then machine-readable in the artifact instead
+    // of needing prose.
     def coldWarm(section: String, name: String, warmReps: Int = 3)(f: => Unit): String = {
       val cold = time(f)
-      val warms = Vector.fill(warmReps)(time(f))
+      var warms = Vector.fill(warmReps)(time(f))
+      var extra = 0
+      while (extra < 2 && warms.length > 1 && warms.min > 0 &&
+          warms.max / warms.min > 2.0) {
+        System.err.println(f"[bench] $name%s anchor dispersion " +
+          f"${warms.max / warms.min}%.2f > 2.0 — requeueing one rep")
+        warms = warms :+ time(f)
+        extra += 1
+      }
       dispersionGuard(name, warms)
       val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
       addCompact(section, name, f"${median(warms)}%.2f")
       f""""${name}_cold":$cold%.3f,"${name}_warm":${median(warms)}%.3f,""" +
         f""""${name}_warm_runs":$runs%s,"${name}_mem_headroom_mb":${heapHeadroomMb()}%d,""" +
-        f""""$name":${median(warms)}%.3f"""
+        f""""${name}_loadavg":${loadAvg()}%.2f,"$name":${median(warms)}%.3f"""
     }
     // BASELINE.md-comparable reference workloads (uber-100k, D=0.02 M=10):
     // published numbers are ExactOutliers 61 655 ms / MRApproxOutliers 960 ms
@@ -575,6 +619,30 @@ object Bench {
           if (bad) throw new GoldenMismatch(
             s"bpe 1M anchor MISMATCH: ${mergeTables.map(_.take(2)).mkString(" | ")} " +
             "(want 8 stable merges, merged = lhs+rhs, positive counts)")
+          // bpe_train_1m_256 (round 12): PRODUCTION merge counts. The
+          // per-merge eager localCheckpoint keeps plan depth constant, so
+          // cost must stay ~linear in merges (flat per-merge) — the r11
+          // regime this contract covered only in prose. The 8-merge
+          // anchor above already cached the base word table, so the
+          // ratio below is a near-pure merge-loop measurement: flat
+          // per-merge cost predicts ~32x the 8-merge time; quadratic
+          // lineage replay predicts >1000x. The merge table must also be
+          // identical across reps AND serve the full 256 requested (the
+          // 5000-token synthetic vocab sustains far more).
+          var mergeTables256 = Vector.empty[Seq[(Long, String, String)]]
+          val bpe256Json = coldWarm("reference_tok_1m", "bpe_train_1m_256", warmReps = 3) {
+            mergeTables256 = mergeTables256 :+ graft.ops.Text.bpeTrain(docs, nMerges = 256)
+              .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2))) }
+          if (mergeTables256.exists(_.size != 256) || mergeTables256.distinct.size != 1)
+            throw new GoldenMismatch(
+              s"bpe 1M 256-merge anchor MISMATCH: sizes ${mergeTables256.map(_.size)} " +
+              "(want 3 identical 256-merge tables)")
+          val warm8 = timeOf(bpeJson, "bpe_train_1m_warm")
+          val warm256 = timeOf(bpe256Json, "bpe_train_1m_256_warm")
+          val mergeScale = warm256 / math.max(warm8, 0.05)
+          if (mergeScale > 96.0) throw new GoldenMismatch(
+            f"bpe per-merge cost NOT FLAT: 256 merges took $mergeScale%.1fx the " +
+            "8-merge anchor (flat predicts ~32x, bound 96x — lineage cut regressed?)")
           var hits = Array.empty[org.apache.spark.sql.Row]
           val bmJson = coldWarm("reference_tok_1m", "bm25_1m", warmReps = 3) {
             hits = graft.ops.Text.bm25(docs, Seq("t0", "t1", "t2")).collect() }
@@ -583,7 +651,8 @@ object Bench {
             throw new GoldenMismatch(
               s"bm25 1M anchor MISMATCH: ${hits.length} rows " +
               s"n_hit=${hits.map(_.getLong(1)).mkString(",")} (want 10 rows, hits in [1,3])")
-          s""","reference_tok_1m":{$bpeJson,$bmJson}"""
+          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bmJson,""" +
+            f""""bpe_merge_scale_ratio":$mergeScale%.2f}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -715,7 +784,9 @@ object Bench {
     // BASELINE.md comparison grades) and MUST fit that window. The full
     // record (per-run values, cold times, radii) goes on an earlier line and
     // into BENCH_DETAIL.json in the working directory for human inspection.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
+    val loadsJson = roundLoads.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -1520,8 +1520,15 @@ object Text {
       .withColumn("s_scaled",
         floor(sqrt(col("n_tokens").cast(DoubleType) * lit(1000000.0))).cast(LongType))
       .withColumn("s_total", sum(col("s_scaled")).over(all))
-      .withColumn("weight", round(col("s_scaled").cast(DoubleType) / col("s_total"), 9))
-      .withColumn("alloc_tokens", expr(s"(${budget}L * s_scaled) div s_total"))
+      // degenerate-corpus guard (round 12): a corpus whose every source has
+      // zero tokens gives s_total = 0; the weights are then DEFINED as 0
+      // (nothing to sample, allocate nothing) instead of silently nulling
+      // out of the division — mirrored in the oracle's CASE
+      .withColumn("weight", when(col("s_total") > 0,
+        round(col("s_scaled").cast(DoubleType) / col("s_total"), 9))
+        .otherwise(lit(0.0)))
+      .withColumn("alloc_tokens", when(col("s_total") > 0,
+        expr(s"(${budget}L * s_scaled) div s_total")).otherwise(lit(0L)))
       .select(col("source"), col("n_tokens"), col("s_scaled"), col("weight"),
         col("alloc_tokens"))
   }
@@ -1638,8 +1645,14 @@ object Text {
     * with sequential-leftmost replace semantics, which is what lets the
     * DuckDB oracle unroll the training loop as materialized per-iteration
     * CTE stages (the q25 Gonzalez-unroll precedent). Ties break by
-    * (count desc, left asc, right asc); symbols are ASCII in this corpus
-    * (the multi-byte contract would follow q37's code-point recipe).
+    * (count desc, left asc, right asc). Symbols are arbitrary Unicode
+    * (code-point units, the q37 recipe): the initial character split is
+    * Spark's code-point `substring`, and the merge pattern/replacement
+    * travel as `lit()` columns — never through a SQL string literal — so
+    * backslashes and multi-byte symbols round-trip exactly (the q123
+    * gate hash-matches a non-ASCII corpus against DuckDB, whose `s[i:i]`
+    * slicing is code-point-based for precomposed characters; combining
+    * sequences are out of contract on both sides).
     *
     * EAGER contract (the covarianceReport exception, same reason): each
     * merge choice is DATA the next iteration's plan is built from, so
@@ -1661,7 +1674,6 @@ object Text {
   private def bpeLoop(docs: DataFrame, nMerges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    def sq(s: String): String = "'" + s.replace("'", "''") + "'"
     val words = graft.core.InternalCaches.persist(
       withTokens(docs).select(explode(col("t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
@@ -1669,17 +1681,23 @@ object Text {
           expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
           lit(" "))))
     var cur = words.select(col("freq"), col("s"))
-    // Each iteration's argmax is an action; persist the evolving word
-    // table so iteration k applies ONE replace over iteration k-1's
-    // cached blocks instead of replaying the whole chain from `words` —
-    // per-iteration work stays O(vocab) at any merge count. The loop
-    // owns the action boundary, so it unpersists its own prior handle
-    // directly (the base `words` stays registered for the batch-boundary
-    // release). At production merge counts (30k+) the plan DEPTH still
-    // grows one replace per merge; that regime moves the vocab-bounded
-    // table driver-side or localCheckpoints every few hundred merges —
-    // same loop, different lineage cut.
-    var prevHandle: DataFrame = null
+    // Lineage discipline (round 12): each merge EAGERLY localCheckpoints
+    // the word table — one O(vocab) job that applies the single replace
+    // over the previous checkpoint's in-memory blocks and truncates
+    // lineage to a depth-1 LogicalRDD. That makes per-merge cost flat BY
+    // CONSTRUCTION out to production merge counts (the bpe_train_1m_256
+    // anchor measures it): no replace chain ever re-executes (the r11
+    // persist-based scheme unpersisted the parent before the lazily
+    // persisted child ran, silently replaying the whole chain each
+    // iteration), and no plan or cache-entry chain accumulates (a chain
+    // of nested InMemoryRelations blew up AQE's plan-string rendering at
+    // depth ~24). Superseded checkpoint blocks are reclaimed by the
+    // ContextCleaner once unreferenced; `words` stays registered for the
+    // batch-boundary release. Cluster caveat, by design: localCheckpoint
+    // trades fault-tolerance for speed — an executor loss mid-training
+    // fails the job (acceptable: training re-runs from the corpus, which
+    // IS the reliable input); a deployment that can't re-run swaps in
+    // reliable checkpointing, same loop.
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
     for (it <- 1 to nMerges if !exhausted) {
@@ -1696,17 +1714,16 @@ object Text {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it.toLong, a, b, a + b, cnt))
-        val next = cur.withColumn("s",
-          expr(s"replace(s, ${sq(s" $a  $b ")}, ${sq(s" ${a + b} ")})"))
-        next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (prevHandle != null) prevHandle.unpersist(blocking = false)
-        prevHandle = next
-        cur = next
+        // the pattern/replacement travel as lit() columns, never through a
+        // SQL string literal — backslash- and multi-byte-safe (q123)
+        cur = cur.withColumn("s",
+            replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+          .localCheckpoint(true)
       }
     }
-    // the final segmented table stays persisted for an immediate consumer
-    // (bpeSegmentCounts); register it for the batch-boundary release
-    if (prevHandle != null) graft.core.InternalCaches.persist(prevHandle)
+    // the final checkpointed table is already materialized for an
+    // immediate consumer (bpeSegmentCounts); its blocks free with the
+    // frame (ContextCleaner), not via the cache registry
     (merges.toSeq, cur)
   }
 
@@ -1737,6 +1754,19 @@ object Text {
 
   def qBpeApply(s: SparkSession, dir: String): DataFrame =
     bpeSegmentCounts(Tables.documents(s, dir))
+
+  /** q123 — BPE training over a NON-ASCII corpus: the byte-safety gate for
+    * the lifted ASCII contract. The corpus is the documents table pushed
+    * through three deterministic transliterations (a→ä, e→é, o→ø — all
+    * precomposed single code points, so grapheme = code point on both
+    * engines), which makes multi-byte symbols land in the very first
+    * merges. Hash-matching the DuckDB unroll proves the whole chain —
+    * code-point character split, lit()-borne merge patterns, multi-byte
+    * replace — is engine-exact, not just ASCII-exact. */
+  def qBpeUnicode(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(s, dir).withColumn("text",
+      replace(replace(replace(col("text"), lit("a"), lit("ä")),
+        lit("e"), lit("é")), lit("o"), lit("ø"))))
 
   /** Held-out LM scoring — train the q100 bigram model on one corpus
     * half and score the OTHER half with add-1 smoothing: the
@@ -1783,6 +1813,91 @@ object Text {
   def qBigramScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     bigramScore(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
+  /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 — "Large
+    * Language Models in Machine Translation") — the round-12 upgrade of
+    * [[bigramScore]]'s held-out quality gate from a bigram to the
+    * trigram-with-backoff LM the CCNet-style filters actually run:
+    *
+    *   S(w3|w1,w2) = n123/n12                  if the trigram was seen
+    *               = α · n23/n1(w2)            else if the bigram was seen
+    *               = α² · (n1(w3)+1)/(N+V)     else (add-1 unigram floor,
+    *                                           PINNED so unseen words score
+    *                                           finitely and deterministically
+    *                                           — Brants leaves the floor
+    *                                           open; this is our contract)
+    *
+    * with α = 0.4 (the published backoff constant). Scores are relative
+    * frequencies, not a normalized distribution — the point of stupid
+    * backoff is skipping the discounting math at scale. Per-doc output is
+    * the mean of round(ln S, 9) over trigram positions, decimal-summed
+    * (order-free) and rounded to 6, the q120 recipe.
+    *
+    * Scale shape (q120's contract, one table bigger): the model tables are
+    * bounded by the TRAIN corpus's distinct n-grams and broadcast onto the
+    * eval side's trigram explode — scoring is one eval-corpus scan with
+    * zero eval-row shuffles; training is one cached train-corpus scan +
+    * three bounded rollups. The broadcast contract is the
+    * reference-corpus-LM shape (train ≪ crawl); a crawl-sized train side
+    * would swap the broadcasts for shuffle joins, same plan otherwise.
+    * Every branch divides a BIGINT by a BIGINT in one double division with
+    * the multiplication order pinned, so the oracle reproduces the IEEE
+    * chain bit-for-bit. */
+  def trigramScore(train: DataFrame, eval: DataFrame, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val trigramExpr = expr(
+      "transform(sequence(3, size(t)), i -> " +
+        "struct(element_at(t, i - 2) AS w1, element_at(t, i - 1) AS w2, " +
+        "element_at(t, i) AS w3))")
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    val n123 = trainTok.filter(size(col("t")) >= 3)
+      .select(explode(trigramExpr).as("g"))
+      .select(col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast(LongType).as("n123"))
+    val n2 = trainTok.filter(size(col("t")) >= 2)
+      .select(explode(bigramExpr).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n2"))
+    val n1 = trainTok.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast(LongType).as("n1"))
+    val tot = trainTok.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).cast(LongType).as("nn"),
+        countDistinct(col("w")).cast(LongType).as("v"))
+    withTokens(eval).filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(trigramExpr).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .join(broadcast(n123), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(n2.withColumnRenamed("n2", "n12")), Seq("w1", "w2"), "left")
+      .join(broadcast(n2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("n2").as("n23"))), Seq("w2", "w3"), "left")
+      .join(broadcast(n1.select(col("w").as("w2"), col("n1").as("n1_2"))),
+        Seq("w2"), "left")
+      .join(broadcast(n1.select(col("w").as("w3"), col("n1").as("n1_3"))),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(log(
+        when(col("n123").isNotNull,
+          col("n123").cast(DoubleType) / col("n12"))
+        .when(col("n23").isNotNull,
+          (lit(alpha) * col("n23")) / col("n1_2"))
+        .otherwise(
+          ((lit(alpha) * lit(alpha)) * (coalesce(col("n1_3"), lit(0L)) + lit(1.0)))
+            / (col("nn") + col("v")).cast(DoubleType))), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_trigrams"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_lp"))
+  }
+
+  def qTrigramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    trigramScore(docs.filter(expr("doc_id % 2 = 0")),
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
@@ -1835,6 +1950,8 @@ object Text {
     "q119_bpe_apply"    -> (qBpeApply _),
     "q120_bigram_score" -> (qBigramScore _),
     "q121_containment"  -> (qContainment _),
+    "q122_trigram_score" -> (qTrigramScore _),
+    "q123_bpe_unicode"  -> (qBpeUnicode _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -1903,14 +2020,14 @@ object Text {
     * symbol pairs of w{k-1}, takes the (cnt desc, a, b) argmax, and
     * applies the ONE anchored string replace — identical leftmost-
     * nonoverlapping semantics to the Spark side's `replace`. */
-  private def bpeCtes(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int, src: String = "documents"): String = {
     val sb = new StringBuilder
     sb ++=
-      """WITH w0 AS MATERIALIZED (
+      s"""WITH w0 AS MATERIALIZED (
            SELECT freq, ' ' || array_to_string(
              list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
            FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
-                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
                  GROUP BY w))"""
     for (k <- 1 to nMerges) {
       sb ++= s""",
@@ -1930,8 +2047,8 @@ object Text {
     sb.toString
   }
 
-  private def bpeTrainOracle(nMerges: Int): String =
-    bpeCtes(nMerges) + (1 to nMerges).map { k =>
+  private def bpeTrainOracle(nMerges: Int, src: String = "documents"): String =
+    bpeCtes(nMerges, src) + (1 to nMerges).map { k =>
       s"""
          SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
                 a || b AS merged, cnt FROM m$k"""
@@ -1949,6 +2066,55 @@ object Text {
   val oracles: Map[String, String] = Map(
     "q118_bpe_train" -> bpeTrainOracle(8),
     "q119_bpe_apply" -> bpeApplyOracle(8, 20),
+    // q123: the SAME unrolled training oracle over the transliterated
+    // (non-ASCII) corpus — nested replace() is engine-identical
+    "q123_bpe_unicode" -> bpeTrainOracle(8,
+      "(SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 'o', 'ø') AS text FROM documents)"),
+    // q122: stupid-backoff trigram — model CTEs mirror the Spark rollups;
+    // every CASE branch pins the same one-multiply-one-divide double
+    // chain (explicit DOUBLE casts: DuckDB decimal literals would
+    // otherwise run the α products in exact decimal)
+    "q122_trigram_score" ->
+      """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         n123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n123 FROM (
+             SELECT unnest(list_transform(range(3, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 3)
+           GROUP BY w1, w2, w3),
+         n2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM (
+             SELECT unnest(list_transform(range(2, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 1], w2 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 2)
+           GROUP BY w1, w2),
+         n1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1
+                FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                        CAST(count(DISTINCT w) AS BIGINT) AS v
+                 FROM (SELECT unnest(t) AS w FROM tr)),
+         ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 2 = 1),
+         eg AS (SELECT doc_id, w1, w2, w3 FROM (
+             SELECT doc_id, unnest(list_transform(range(3, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
+             FROM ev WHERE len(t) >= 3)),
+         lp AS (SELECT doc_id,
+             round(ln(CASE
+               WHEN a.n123 IS NOT NULL THEN CAST(a.n123 AS DOUBLE) / b12.n2
+               WHEN b23.n2 IS NOT NULL THEN (CAST(0.4 AS DOUBLE) * b23.n2) / u2.n1
+               ELSE ((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) *
+                     CAST(COALESCE(u3.n1, 0) + 1 AS DOUBLE)) / CAST(t.nn + t.v AS DOUBLE)
+             END), 9) AS lp
+           FROM eg
+           LEFT JOIN n123 a USING (w1, w2, w3)
+           LEFT JOIN n2 b12 ON eg.w1 = b12.w1 AND eg.w2 = b12.w2
+           LEFT JOIN n2 b23 ON eg.w2 = b23.w1 AND eg.w3 = b23.w2
+           LEFT JOIN n1 u2 ON eg.w2 = u2.w
+           LEFT JOIN n1 u3 ON eg.w3 = u3.w
+           CROSS JOIN tot t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id""",
     // q121: string shingles stand in for the Spark side's 64-bit hashes
     // (identical counts modulo the documented ~2^-40 collision bound, the
     // q34/q58 recipe); the df cap and capped cardinalities mirror the
@@ -2034,8 +2200,11 @@ object Text {
                FROM t),
          tot AS (SELECT CAST(sum(s_scaled) AS BIGINT) AS s_total FROM s)
          SELECT source, n_tokens, s_scaled,
-           round(CAST(s_scaled AS DOUBLE) / s_total, 9) AS weight,
-           CAST((1000000 * s_scaled) // s_total AS BIGINT) AS alloc_tokens
+           CASE WHEN s_total > 0
+             THEN round(CAST(s_scaled AS DOUBLE) / s_total, 9) ELSE 0.0 END AS weight,
+           CASE WHEN s_total > 0
+             THEN CAST((1000000 * s_scaled) // s_total AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS alloc_tokens
          FROM s CROSS JOIN tot""",
     // q115: positional self-join on 1 <= Δpos <= 3 reproduces the Spark
     // nested-transform pair generation; least/greatest canonicalization,

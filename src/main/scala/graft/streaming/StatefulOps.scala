@@ -17,23 +17,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulOps {
 
   /** Emit only the first occurrence of each (key, token) pair; per-key
-    * state is the set of seen tokens. For unbounded token domains swap the
-    * Set for a Bloom filter buffer — the plumbing is identical. */
+    * state is the INSERTION-ORDERED set of seen tokens, capped at
+    * `maxTokens` (round 12 — the r11 version grew without bound, the one
+    * remaining unbounded-state streaming operator).
+    *
+    * BOUNDED-state contract: while a key has seen ≤ `maxTokens` distinct
+    * tokens the dedup is EXACT. Past the cap the oldest-first-seen tokens
+    * are evicted (FIFO by first arrival), so an evicted token that
+    * re-arrives is re-emitted — the error mode is a duplicate passing
+    * through, NEVER a genuinely-new token being dropped, which is the
+    * safe direction for an ingest filter (downstream batch dedup catches
+    * stragglers; dropped data is unrecoverable). The default cap holds
+    * ~8 MB/key of state (2²⁰ longs); sizing it to the key's expected
+    * distinct-token horizon makes the approximation window explicit. A
+    * Bloom-backed variant trades the FIFO window for a small
+    * false-POSITIVE (over-suppression) rate — the wrong error direction
+    * here, which is why the exact-window form is the default. */
   def streamingDedup[K: Encoder](
-      stream: Dataset[(K, Long)])(implicit kt: Encoder[(K, Long)]): Dataset[(K, Long)] = {
-    implicit val stateEnc: Encoder[Set[Long]] = Encoders.kryo[Set[Long]]
+      stream: Dataset[(K, Long)],
+      maxTokens: Int = 1 << 20)(implicit kt: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    implicit val stateEnc: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
     stream
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Set[Long], (K, Long)](
+      .flatMapGroupsWithState[Vector[Long], (K, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: K, rows: Iterator[(K, Long)], state: GroupState[Set[Long]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[Long])
+        (key: K, rows: Iterator[(K, Long)], state: GroupState[Vector[Long]]) =>
+          // state carries first-arrival order so eviction is FIFO, not
+          // value-ordered: a LinkedHashSet rebuild per touched key is
+          // O(state) — the same per-batch cost the membership checks pay
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long] ++
+            state.getOption.getOrElse(Vector.empty[Long])
           val fresh = scala.collection.mutable.ArrayBuffer.empty[(K, Long)]
-          var cur = seen
           rows.foreach { case (_, tok) =>
-            if (!cur.contains(tok)) { cur += tok; fresh += ((key, tok)) }
+            if (!seen.contains(tok)) { seen += tok; fresh += ((key, tok)) }
           }
-          if (cur.size != seen.size) state.update(cur)
+          if (fresh.nonEmpty) {
+            while (seen.size > maxTokens) seen -= seen.head
+            state.update(seen.toVector)
+          }
           fresh.iterator
       }
   }
@@ -109,9 +131,11 @@ object StatefulOps {
     * [[graft.ops.Embeddings.driftBucketExpr]] the batch gate uses — input
     * rows are (bucket, is_a)). Every batch that touches a bucket re-emits
     * its current totals; the converged answer is the LATEST emission per
-    * bucket (the Append latest-emission-wins contract the anomaly twin
-    * documents), which feeds [[graft.ops.Embeddings.psiFromCounts]] —
-    * asserted equal to the batch PSI after a full replay.
+    * bucket — mapGroupsWithState runs in UPDATE output mode (the specs'
+    * outputMode("update")), whose sink contract is exactly
+    * latest-emission-per-key-wins — which feeds
+    * [[graft.ops.Embeddings.psiFromCounts]], asserted equal to the batch
+    * PSI after a full replay.
     *
     * State is bounded BY CONSTRUCTION: at most nBuckets keys ever exist
     * (each two longs), so no TTL/eviction is needed — the one streaming

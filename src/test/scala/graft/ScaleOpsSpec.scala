@@ -73,6 +73,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.sorted == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
   }
 
+  test("streamingDedup: the maxTokens state cap is live, evicting oldest-first-seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val out = StatefulOps.streamingDedup(mem.toDS(), maxTokens = 3)
+    val q = out.writeStream.format("memory").queryName("dedup_cap_test")
+      .outputMode("append").start()
+    mem.addData(("a", 1L), ("a", 2L), ("a", 3L))
+    q.processAllAvailable()
+    mem.addData(("a", 4L))              // cap 3: evicts oldest-seen token 1
+    q.processAllAvailable()
+    mem.addData(("a", 1L), ("a", 4L))   // 1 was evicted -> re-emitted; 4 retained -> suppressed
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_cap_test").as[(String, Long)].collect().toSeq.sorted
+    // the documented error direction: one duplicate passes (the evicted
+    // 1L re-emits), nothing genuinely new is ever dropped
+    assert(rows == Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L)),
+      s"FIFO cap semantics violated: $rows")
+  }
+
   test("streamingDedup state survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

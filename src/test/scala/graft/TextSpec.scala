@@ -885,6 +885,106 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("trigramScore: stupid-backoff matches a driver recomputation") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val train = corpus.filter(_._1 % 2 == 0).map(_._2)
+    val eval = corpus.filter(_._1 % 2 == 1)
+    val n123 = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    for (t <- train if t.length >= 3; i <- 2 until t.length)
+      n123((t(i - 2), t(i - 1), t(i))) =
+        n123.getOrElse((t(i - 2), t(i - 1), t(i)), 0L) + 1L
+    val n2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- train if t.length >= 2; i <- 1 until t.length)
+      n2((t(i - 1), t(i))) = n2.getOrElse((t(i - 1), t(i)), 0L) + 1L
+    val n1 = train.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nn = train.flatten.length.toLong
+    val v = train.flatten.distinct.length.toLong
+    val expected = eval.filter(_._2.length >= 3).map { case (id, t) =>
+      val lps = (2 until t.length).map { i =>
+        val tri = n123.getOrElse((t(i - 2), t(i - 1), t(i)), 0L)
+        val p =
+          if (tri > 0L) tri.toDouble / n2((t(i - 2), t(i - 1)))
+          else {
+            val bg = n2.getOrElse((t(i - 1), t(i)), 0L)
+            if (bg > 0L) (0.4 * bg) / n1(t(i - 1))
+            else ((0.4 * 0.4) * (n1.getOrElse(t(i), 0L) + 1.0)) / (nn + v).toDouble
+          }
+        round9(math.log(p))
+      }
+      id -> ((lps.length.toLong, round6(lps.map(x => BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / lps.length)))
+    }.toMap
+    val got = Text.qTrigramScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("trigramScore: the three backoff tiers order as seen > bigram-backoff > floor") {
+    import spark.implicits._
+    val train = Seq((0L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a b c"), (3L, "x b c"), (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Text.trigramScore(train, eval).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // hand-computed: n123(a,b,c)=3, n2(a,b)=3 -> S=1, ln=0;
+    // (x,b,c) unseen, n2(b,c)=3, n1(b)=3 -> S=0.4;
+    // (x,y,z) and (y,z) unseen, z unseen in train? z IS unseen: n1(z)=0,
+    // N=9, V=3 -> S = 0.16 * 1 / 12
+    assert(got(1L) == 0.0)
+    assert(got(3L) == round6(round9(math.log((0.4 * 3L) / 3L.toDouble))))
+    assert(got(5L) == round6(round9(math.log(((0.4 * 0.4) * 1.0) / 12.0))))
+    assert(got(1L) > got(3L) && got(3L) > got(5L),
+      "backoff tiers must score strictly lower")
+  }
+
+  test("bpeTrain: the per-merge localCheckpoint cut changes no values past the oracle depth") {
+    // the gate oracle pins 8 merges; this drives the checkpoint-per-merge
+    // loop to 12 on the real corpus against the independent driver
+    // implementation, so the lineage cut is value-checked beyond the
+    // oracle's unroll depth
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val expected = refBpe(docs.select("text").collect().map(_.getString(0)).toSeq, 12)
+    val got = Text.bpeTrain(docs, nMerges = 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("bpeTrain: multi-byte and backslash symbols merge exactly (code-point contract)") {
+    import spark.implicits._
+    // hand-computed over code points with BINARY string ordering (UTF-8
+    // bytes): merge1 ties at count 2 between (h,é),(l,l),(l,o),(é,l) —
+    // 'h' (0x68) < 'l' < 'é' (0xC3A9) so (h,é) wins; the chain then walks
+    // hé -> hél -> héll -> héllo; merge5 falls to naïve's count-1 pairs
+    // where (a,ï) sorts first
+    val uni = Seq("héllo héllo naïve").toDF("text")
+    val got = Text.bpeTrain(uni, nMerges = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, "h", "é", "hé"), (2L, "hé", "l", "hél"), (3L, "hél", "l", "héll"),
+      (4L, "héll", "o", "héllo"), (5L, "a", "ï", "aï")))
+    // backslash is a plain symbol, not an escape: the lit()-borne pattern
+    // must merge it (the interpolated-SQL path corrupted this case)
+    val bs = Seq("a\\b a\\b").toDF("text")
+    val bsGot = Text.bpeTrain(bs, nMerges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(bsGot == Seq(("\\", "b", "\\b", 2L)))
+  }
+
+  test("temperatureMix: an all-zero-token corpus weights and allocates zero") {
+    import spark.implicits._
+    // pre-tokenized frame with empty token arrays — the only route to
+    // s_total = 0 (withTokens passes a `t` column through untouched)
+    val docs = Seq((0L, Seq.empty[String], "s0"), (1L, Seq.empty[String], "s1"))
+      .toDF("doc_id", "t", "source")
+    val rows = Text.temperatureMix(docs, budget = 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq.sorted
+    assert(rows == Seq(("s0", 0L, 0.0, 0L), ("s1", 0L, 0.0, 0L)),
+      s"degenerate corpus must yield zero weights/allocations, got $rows")
+  }
+
   test("bm25: terms absent from the corpus contribute nothing; all-absent query is empty") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
