@@ -1674,12 +1674,17 @@ object Text {
   private def bpeLoop(docs: DataFrame, nMerges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // the word table is vocab-bounded, so carrying it at corpus shuffle
+    // parallelism makes every merge iteration pay (partitions × stages)
+    // of pure task overhead — coalesce to a small constant (no shuffle;
+    // a 1M-word vocab in 4 partitions is still ~250k short rows each)
     val words = graft.core.InternalCaches.persist(
       withTokens(docs).select(explode(col("t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
         .withColumn("s", concat(lit(" "),
           expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
-          lit(" "))))
+          lit(" ")))
+        .coalesce(4))
     var cur = words.select(col("freq"), col("s"))
     // Lineage discipline (round 12): each merge EAGERLY localCheckpoints
     // the word table — one O(vocab) job that applies the single replace
