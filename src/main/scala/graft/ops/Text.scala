@@ -1760,6 +1760,61 @@ object Text {
   def qBpeApply(s: SparkSession, dir: String): DataFrame =
     bpeSegmentCounts(Tables.documents(s, dir))
 
+  /** BPE INFERENCE — segment a corpus with an ALREADY-TRAINED merge table
+    * (the deployment half q119's self-segmenting apply doesn't cover: a
+    * tokenizer is trained once on a reference corpus and then applied to
+    * every new crawl). `merges` is the (lhs, rhs) table in rank order, as
+    * [[bpeTrain]] emits it.
+    *
+    * Scale shape — BETTER than training: the merge choices are KNOWN data,
+    * so there is no per-merge action at all. The whole chain compiles
+    * into ONE projection of nested anchored replaces over the corpus's
+    * word table (built in one scan, vocab-bounded, constant-partition) —
+    * a single job regardless of merge count, with the per-word top-level
+    * loop entirely inside codegen'd string ops. Production merge counts
+    * (30k+) chunk the chain every `chunkEvery` replaces with an eager
+    * localCheckpoint — the q118 lineage-cut recipe — bounding expression
+    * depth while keeping jobs at merges/chunkEvery, not merges. Patterns
+    * ride lit() columns (byte-safe, q123's contract). Output is the
+    * applied-vocabulary histogram (top-K symbols by corpus-weighted
+    * count), the same report shape as [[bpeSegmentCounts]]. */
+  def bpeApplyMerges(docs: DataFrame, merges: Seq[(String, String)],
+                     topK: Int = 20, chunkEvery: Int = 64): DataFrame = {
+    require(chunkEvery >= 1, s"chunkEvery must be >= 1, got $chunkEvery")
+    val words = withTokens(docs).select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
+      .withColumn("s", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
+        lit(" ")))
+      .coalesce(4)
+    var cur = words.select(col("freq"), col("s"))
+    merges.grouped(chunkEvery).foreach { chunk =>
+      val chained = chunk.foldLeft(col("s")) { case (acc, (a, b)) =>
+        replace(acc, lit(s" $a  $b "), lit(s" ${a + b} "))
+      }
+      cur = cur.withColumn("s", chained)
+      if (merges.length > chunkEvery) cur = cur.localCheckpoint(true)
+    }
+    cur
+      .select(col("freq"), explode(expr("split(trim(s), '  ')")).as("sym"))
+      .filter(col("sym") =!= "")
+      .groupBy(col("sym")).agg(sum(col("freq")).cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(topK)
+  }
+
+  /** q124 — the full deployed-tokenizer lifecycle over a train/apply
+    * corpus split: train merges on the doc_id-even half, segment the
+    * doc_id-odd half with the FROZEN table. Symbols unseen in training
+    * stay split at character level — exactly the OOV behavior a deployed
+    * BPE exhibits. */
+  def qBpeInference(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = bpeTrain(docs.filter(expr("doc_id % 2 = 0"))).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeApplyMerges(docs.filter(expr("doc_id % 2 = 1")), merges)
+  }
+
   /** q123 — BPE training over a NON-ASCII corpus: the byte-safety gate for
     * the lifted ASCII contract. The corpus is the documents table pushed
     * through three deterministic transliterations (a→ä, e→é, o→ø — all
@@ -1957,6 +2012,7 @@ object Text {
     "q121_containment"  -> (qContainment _),
     "q122_trigram_score" -> (qTrigramScore _),
     "q123_bpe_unicode"  -> (qBpeUnicode _),
+    "q124_bpe_inference" -> (qBpeInference _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -2059,6 +2115,36 @@ object Text {
                 a || b AS merged, cnt FROM m$k"""
     }.mkString("", " UNION ALL", "")
 
+  /** The q124 oracle: train-half merge CTEs (the q118 unroll over the
+    * doc_id-even half), then the eval-half word table pushed through the
+    * SAME anchored replace chain via scalar subqueries — the frozen-table
+    * inference the Spark side compiles into one nested-replace
+    * projection. */
+  private def bpeInferenceOracle(nMerges: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeCtes(nMerges, "(SELECT text FROM documents WHERE doc_id % 2 = 0)")
+    sb ++= s""",
+         e0 AS MATERIALIZED (
+           SELECT freq, ' ' || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
+           FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE doc_id % 2 = 1)
+                 GROUP BY w))"""
+    for (k <- 1 to nMerges)
+      sb ++= s""",
+         e$k AS (SELECT freq,
+           replace(s, ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+                      ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
+           FROM e${k - 1})"""
+    sb ++= s"""
+         SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM e$nMerges)
+         WHERE sym <> '' GROUP BY sym
+         ORDER BY cnt DESC, sym ASC LIMIT $topK"""
+    sb.toString
+  }
+
   /** The q119 oracle re-derives the merge chain (same CTEs) and counts
     * symbols straight off the final anchored strings. */
   private def bpeApplyOracle(nMerges: Int, topK: Int): String =
@@ -2075,6 +2161,7 @@ object Text {
     // (non-ASCII) corpus — nested replace() is engine-identical
     "q123_bpe_unicode" -> bpeTrainOracle(8,
       "(SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 'o', 'ø') AS text FROM documents)"),
+    "q124_bpe_inference" -> bpeInferenceOracle(8, 20),
     // q122: stupid-backoff trigram — model CTEs mirror the Spark rollups;
     // every CASE branch pins the same one-multiply-one-divide double
     // chain (explicit DOUBLE casts: DuckDB decimal literals would

@@ -952,6 +952,39 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpeApplyMerges: frozen-table inference — OOV splits to characters, seen words segment") {
+    import spark.implicits._
+    val train = Seq("ab ab").toDF("text")
+    val merges = Text.bpeTrain(train, nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b")))
+    val eval = Seq("ab abc xd").toDF("text")
+    val got = Text.bpeApplyMerges(eval, merges, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ab -> [ab]; abc -> [ab, c] (prefix merges, c is OOV-adjacent);
+    // xd -> [x, d] (fully unseen: character split survives)
+    assert(got == Seq(("ab", 2L), ("c", 1L), ("d", 1L), ("x", 1L)))
+  }
+
+  test("bpeApplyMerges: replaying the trained table on the train corpus equals self-apply") {
+    // sequential rank-order replay is exact (a merge's constituent
+    // symbols always form strictly earlier, so no merge site can appear
+    // after its rank passes) — on the training corpus itself the frozen
+    // replay must reproduce bpeSegmentCounts; chunkEvery=2 also drives
+    // the chunked-checkpoint chain across 4 cuts
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val merges = Text.bpeTrain(docs, nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val selfApply = Text.bpeSegmentCounts(docs, nMerges = 8, topK = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val frozen = Text.bpeApplyMerges(docs, merges, topK = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val frozenChunked = Text.bpeApplyMerges(docs, merges, topK = 50, chunkEvery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(frozen == selfApply)
+    assert(frozenChunked == selfApply)
+  }
+
   test("bpeTrain: multi-byte and backslash symbols merge exactly (code-point contract)") {
     import spark.implicits._
     // hand-computed over code points with BINARY string ordering (UTF-8
