@@ -436,4 +436,38 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)")
       || p.contains("LessThan(vec_id,8)"), s"q116 query filter not pushed:\n$p")
   }
+
+  test("q120/q122: LM scoring joins all broadcast — eval rows never shuffle") {
+    // the reference-corpus-LM contract: model tables (vocab/n-gram
+    // bounded) broadcast onto the eval explode; the only non-hash join is
+    // the 1-row totals crossJoin. A SortMergeJoin here means the eval
+    // corpus started shuffling by n-gram — the shape that dies at 100 TB.
+    try {
+      for (q <- Seq("q120_bigram_score", "q122_trigram_score")) {
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$q shuffles eval rows:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+        assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+          s"$q expected exactly the 1-row totals broadcast crossJoin:\n$p")
+        val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+        val want = if (q.startsWith("q122")) 5 else 2
+        assert(bhj == want, s"$q expected $want broadcast model joins, got $bhj:\n$p")
+      }
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q124: frozen-table BPE inference is join-free — one replace projection, bounded heap") {
+    // the merge table is plan-time data, so the apply side must contain
+    // NO join operator of any kind: scan -> word agg -> nested-replace
+    // project -> symbol explode -> agg -> TakeOrderedAndProject
+    try {
+      val p = plan("q124_bpe_inference")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"q124 apply side planned a join:\n$p")
+      assert(p.contains("replace("), s"q124 lost the replace projection:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"q124 top-K not a bounded heap:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
