@@ -678,7 +678,7 @@ object Embeddings {
     "q106_covariance"    -> (qCovariance _),
   )
 
-  private val CosSql =
+  private[ops] val CosSql =
     """list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
        / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),

@@ -1622,6 +1622,55 @@ object Text {
       .limit(k)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) — the standard way production search serves
+    * BOTH a lexical and a semantic ranker: fuse the BM25 top-k and the
+    * embedding-cosine top-k by rrf(d) = Σᵢ 1/(k₀ + rankᵢ(d)), k₀ = 60
+    * (the published constant). Rank fusion needs only the two bounded
+    * top-k lists — never the underlying scores' scales — which is exactly
+    * why RRF is the hybrid default: BM25 scores and cosine similarities
+    * are not comparable, ranks are.
+    *
+    * Scale shape: both inputs are already k-row bounded (BM25's
+    * TakeOrderedAndProject heap, kNN's per-query rank window), so the
+    * fusion itself — a full-outer join of two ≤ k-row frames plus one
+    * division per side — is CONSTANT-sized no matter the corpus; all
+    * corpus-scale work stays inside the two retrieval operators, each
+    * with its own audited plan. The serve-path twins ([[bm25FromIndex]],
+    * [[graft.ops.Ann.ivfKnn]]) slot in unchanged — rank lists are rank
+    * lists. Doc identity bridges the `documents`/`embeddings` tables by
+    * the corpus contract doc_id = vec_id. Absent-from-one-list docs
+    * carry rank 0 (absent marker) and contribute nothing to the sum. */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                queryVecId: Long = 0L, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned window over the ≤ k-row BM25 frame — a constant, the
+    // q112-precedent admissible exception
+    val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lex = bm25(docs, terms, k)
+      .withColumn("r_lex", row_number().over(lexW).cast(LongType))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = graft.ops.Embeddings.bruteForceKnn(emb, col("vec_id") === queryVecId, k)
+      .select(col("nid").as("doc_id"), col("rk").cast(LongType).as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("r_lex").isNotNull, lit(1.0) / (lit(kRrf) + col("r_lex")))
+          .otherwise(lit(0.0)) +
+        when(col("r_sem").isNotNull, lit(1.0) / (lit(kRrf) + col("r_sem")))
+          .otherwise(lit(0.0)), 9))
+      .withColumn("r_lex", coalesce(col("r_lex"), lit(0L)))
+      .withColumn("r_sem", coalesce(col("r_sem"), lit(0L)))
+      .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame =
+    rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      Seq("vector", "join", "scan"))
+
   /** Doc-length side table for [[bm25FromIndex]] — what a real index
     * build writes next to the postings. */
   def docLengths(docs: DataFrame): DataFrame =
@@ -2013,6 +2062,7 @@ object Text {
     "q122_trigram_score" -> (qTrigramScore _),
     "q123_bpe_unicode"  -> (qBpeUnicode _),
     "q124_bpe_inference" -> (qBpeInference _),
+    "q125_rrf_fusion"   -> (qRrfFusion _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -2162,6 +2212,47 @@ object Text {
     "q123_bpe_unicode" -> bpeTrainOracle(8,
       "(SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 'o', 'ø') AS text FROM documents)"),
     "q124_bpe_inference" -> bpeInferenceOracle(8, 20),
+    // q125: the lexical CTE chain is q113's verbatim; the semantic side is
+    // the q40 cosine-rank recipe pinned to query vec 0; ranks fuse as one
+    // DOUBLE-cast division per side (DuckDB decimal literals would
+    // otherwise fuse in exact decimal), absent ranks marked 0
+    "q125_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tok),
+         ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS tok,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ex WHERE w IN ('vector', 'join', 'scan')
+                GROUP BY doc_id, dl, w),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         sc AS (SELECT doc_id,
+                  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * ((1.0 - 0.75) +
+                          0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))), 9) AS score
+                FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+         lexbase AS (SELECT doc_id,
+                round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+              FROM sc GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         lex AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_lex FROM lexbase),
+         sem AS (SELECT nid AS doc_id, CAST(rk AS BIGINT) AS r_sem FROM (
+             SELECT b.vec_id AS nid, row_number() OVER
+               (ORDER BY round(${graft.ops.Embeddings.CosSql}, 6) DESC, b.vec_id ASC) AS rk
+             FROM embeddings a JOIN embeddings b
+               ON a.vec_id = 0 AND a.vec_id <> b.vec_id) t
+           WHERE rk <= 10)
+         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(l.r_lex, 0) AS r_lex,
+           COALESCE(s.r_sem, 0) AS r_sem,
+           round((CASE WHEN l.r_lex IS NULL THEN 0.0
+                       ELSE CAST(1 AS DOUBLE) / (60 + l.r_lex) END)
+               + (CASE WHEN s.r_sem IS NULL THEN 0.0
+                       ELSE CAST(1 AS DOUBLE) / (60 + s.r_sem) END), 9) AS rrf
+         FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+         ORDER BY rrf DESC, doc_id ASC LIMIT 10""",
     // q122: stupid-backoff trigram — model CTEs mirror the Spark rollups;
     // every CASE branch pins the same one-multiply-one-divide double
     // chain (explicit DOUBLE casts: DuckDB decimal literals would

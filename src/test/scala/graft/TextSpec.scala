@@ -952,6 +952,50 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rrfFusion: fusion equals a driver recomputation from the two rank lists") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val lex = Text.bm25(docs, Seq("vector", "join", "scan")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val sem = graft.ops.Embeddings
+      .bruteForceKnn(emb, org.apache.spark.sql.functions.col("vec_id") === 0L, 10)
+      .collect().map(r => (r.getLong(2), r.getInt(1).toLong)).toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { d =>
+      val rrf = lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (d, lex.getOrElse(d, 0L), sem.getOrElse(d, 0L), round9(rrf))
+    }.sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(10)
+    val got = Text.qRrfFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the fusion is rank-only: both single-list docs (one rank 0) and
+    // both-list docs must appear for the property to have teeth
+    assert(got.exists(r => r._2 == 0L || r._3 == 0L),
+      "corpus produced fully-overlapping lists — pick different terms/query")
+  }
+
+  test("rrfFusion: a doc ranked in both lists outranks the same-rank single-list docs") {
+    import spark.implicits._
+    // hand corpus: doc 1 is the best BM25 hit AND the nearest embedding
+    // neighbor; docs 2/3 are single-list. rrf(1) = 1/61 + 1/61 beats any
+    // single-list 1/(60+r).
+    val docs = Seq((1L, "alpha alpha alpha"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // the query vector
+      (1L, Array(0.9f, 0.1f)),   // nearest
+      (3L, Array(0.0f, 1.0f)))   // distant
+      .toDF("vec_id", "embedding")
+    val got = Text.rrfFusion(docs, emb, Seq("alpha"), queryVecId = 0L, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.head._1 == 1L && got.head._2 == 1L && got.head._3 == 1L,
+      s"doc 1 must win both lists and the fusion: $got")
+    assert(got.head._4 == round9(1.0 / 61 + 1.0 / 61))
+    // doc 2: lexical-only (rank 2); doc 3: semantic-only (rank 2)
+    assert(got.toSet.contains((2L, 2L, 0L, round9(1.0 / 62))))
+    assert(got.toSet.contains((3L, 0L, 2L, round9(1.0 / 62))))
+  }
+
   test("bpeApplyMerges: frozen-table inference — OOV splits to characters, seen words segment") {
     import spark.implicits._
     val train = Seq("ab ab").toDF("text")
