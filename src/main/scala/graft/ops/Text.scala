@@ -1622,6 +1622,64 @@ object Text {
       .limit(k)
   }
 
+  /** Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1) — the
+    * document-level filter stack production pipelines run before any
+    * model-based scoring, as ONE pass emitting each rule's statistic plus
+    * the conjunctive keep flag (a pipeline tunes thresholds per corpus;
+    * surfacing the raw statistics is what makes that possible):
+    *
+    *   R1 word count ∈ [minWords, maxWords]        (50, 100 000 in the paper)
+    *   R2 mean word length ∈ [3, 10] characters
+    *   R3 symbol-to-word ratio ≤ 0.1 ('#' and non-overlapping "...")
+    *   R4 ≥ 80% of words contain an alphabetic character
+    *   R5 ≥ 2 stopwords present (the corpus stop list)
+    *
+    * Scale shape: every statistic is a per-row projection over one corpus
+    * scan — integer counts and ONE pinned double division each, no joins,
+    * no shuffle at all before a caller's aggregation; at 100 TB this is
+    * embarrassingly parallel and rides whole-stage codegen. Ratios round
+    * to 6 for the report; the keep flag compares the UNROUNDED doubles
+    * (both engines compute the identical IEEE chain). The "..."
+    * count uses leftmost-nonoverlapping replace-and-diff — engine-exact
+    * (the q118 replace contract). */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+                  maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"bad word-count bounds [$minWords, $maxWords]")
+    val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    withTokens(docs)
+      .withColumn("n_words", size(col("t")).cast(LongType))
+      .withColumn("sum_wlen",
+        expr("aggregate(t, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("mean_wlen_raw",
+        col("sum_wlen").cast(DoubleType) / col("n_words"))
+      .withColumn("n_symbols",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast(LongType)
+          + ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast(LongType))
+      .withColumn("symbol_ratio_raw",
+        col("n_symbols").cast(DoubleType) / col("n_words"))
+      .withColumn("n_alpha",
+        expr("size(filter(t, x -> x rlike '[a-zA-Z]'))").cast(LongType))
+      .withColumn("alpha_ratio_raw",
+        col("n_alpha").cast(DoubleType) / col("n_words"))
+      .withColumn("n_stop",
+        expr(s"size(filter(t, x -> array_contains($stopArr, x)))").cast(LongType))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_wlen_raw") >= 3.0 && col("mean_wlen_raw") <= 10.0 &&
+          col("symbol_ratio_raw") <= 0.1 &&
+          col("alpha_ratio_raw") >= 0.8 &&
+          col("n_stop") >= 2L).cast(LongType))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_wlen_raw"), 6).as("mean_wlen"),
+        round(col("symbol_ratio_raw"), 6).as("symbol_ratio"),
+        round(col("alpha_ratio_raw"), 6).as("alpha_ratio"),
+        col("n_stop"), col("keep"))
+  }
+
+  def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(s, dir))
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, SIGIR 2009) — the standard way production search serves
     * BOTH a lexical and a semantic ranker: fuse the BM25 top-k and the
@@ -2063,6 +2121,7 @@ object Text {
     "q123_bpe_unicode"  -> (qBpeUnicode _),
     "q124_bpe_inference" -> (qBpeInference _),
     "q125_rrf_fusion"   -> (qRrfFusion _),
+    "q126_gopher_rules" -> (qGopherRules _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -2212,6 +2271,32 @@ object Text {
     "q123_bpe_unicode" -> bpeTrainOracle(8,
       "(SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 'o', 'ø') AS text FROM documents)"),
     "q124_bpe_inference" -> bpeInferenceOracle(8, 20),
+    // q126: per-row integer counts + one DOUBLE division per ratio; the
+    // keep CASE compares the UNROUNDED division (identical IEEE chain);
+    // '...' counted by leftmost-nonoverlap replace-and-diff (integer //
+    // equals Spark's truncating cast for non-negative counts)
+    "q126_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_wlen,
+           CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+             + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(t, x -> x IN ($StopListSql))) AS BIGINT) AS n_stop
+         FROM base)
+         SELECT doc_id, n_words,
+           round(CAST(sum_wlen AS DOUBLE) / n_words, 6) AS mean_wlen,
+           round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+           round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_ratio,
+           n_stop,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+             AND CAST(sum_wlen AS DOUBLE) / n_words >= 3.0
+             AND CAST(sum_wlen AS DOUBLE) / n_words <= 10.0
+             AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+             AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+             AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM st""",
     // q125: the lexical CTE chain is q113's verbatim; the semantic side is
     // the q40 cosine-rank recipe pinned to query vec 0; ranks fuse as one
     // DOUBLE-cast division per side (DuckDB decimal literals would

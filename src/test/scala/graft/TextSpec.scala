@@ -952,6 +952,28 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("gopherRules: each rule independently fails its planted violator") {
+    import spark.implicits._
+    val pass = (("word " * 49) + "the of").trim            // 51 words, 2 stops
+    val docs = Seq(
+      (0L, pass),                                          // keep = 1
+      (1L, "the of tiny"),                                 // R1: 3 words < minWords
+      (2L, (("xy " * 49) + "the of").trim),                // R2: mean wlen < 3
+      (3L, (("word# " * 49) + "the of").trim),             // R3: 49 '#' / 51 words > 0.1
+      (4L, (("1234 " * 49) + "the of").trim),              // R4: 49/51 non-alpha words
+      (5L, ("word " * 51).trim))                           // R5: 0 stopwords
+      .toDF("doc_id", "text")
+    val got = Text.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L),
+      s"rule battery misfired: $got")
+    // the "..." symbol counter is non-overlapping replace-and-diff
+    val dots = Seq((9L, (("w... " * 49) + "the of").trim)).toDF("doc_id", "text")
+    val r = Text.gopherRules(dots).collect().head
+    assert(r.getLong(1) == 51L && r.getDouble(3) == round6(49.0 / 51.0)
+      && r.getLong(6) == 0L, s"ellipsis count wrong: $r")
+  }
+
   test("rrfFusion: fusion equals a driver recomputation from the two rank lists") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
