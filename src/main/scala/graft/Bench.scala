@@ -49,6 +49,40 @@ object Bench {
       .split("\\s+")(0).toDouble
   } catch { case e if scala.util.control.NonFatal(e) => -1.0 }
 
+  /** Ambient-load GATE for the anchor sections (round 13 — the r12 BIG
+    * tier measured at loadavg 4-27 and published a 2.5x-inflated
+    * minhash_lsh_300k; recording load wasn't enough, the bench must
+    * DEFER). Before an anchor's measurement starts — and before each
+    * dispersion-requeue rep — the bench waits until the 1-minute
+    * /proc/loadavg drops below the threshold (SPARK_GRAFT_LOAD_GATE,
+    * default 8; <= 0 disables), sleeping 20 s per check up to
+    * `maxWaitSec` (default 900; SPARK_GRAFT_LOAD_GATE_WAIT). Returns
+    * (ambient load at go-time, seconds waited). The published
+    * `*_loadavg` is THIS pre-measurement ambient reading: a saturating
+    * 32-thread anchor's own reps drive the post-reps 1-min average
+    * toward ~32 all by themselves, so a post reading (kept as
+    * `*_loadavg_post` for transparency) cannot distinguish contention
+    * from honest work — ambient-at-start can. */
+  private[graft] def awaitQuietLoad(name: String): (Double, Long) = {
+    val thr = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(8.0)
+    val maxWait = sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT")
+      .flatMap(_.toLongOption).getOrElse(900L)
+    var l = loadAvg()
+    var waited = 0L
+    while (thr > 0 && l >= thr && waited < maxWait) {
+      System.err.println(f"[bench] $name%s deferred: ambient loadavg $l%.2f >= " +
+        f"$thr%.2f (waited $waited%d s of $maxWait%d)")
+      Thread.sleep(20000L)
+      waited += 20L
+      l = loadAvg()
+    }
+    if (thr > 0 && l >= thr)
+      System.err.println(f"[bench] $name%s load gate EXPIRED after $waited%d s " +
+        f"(loadavg $l%.2f) — measuring anyway; treat this anchor as contended")
+    (l, waited)
+  }
+
   /** Parse a TimeProbe sweep (`PROBE <name> t1 .. t5` lines, with or
     * without sbt log prefixes) into name → steady state (min of the runs —
     * the probe's first run re-JITs, so min is steady; the same reading
@@ -296,6 +330,41 @@ object Bench {
     if (probeFlagged.nonEmpty)
       System.err.println(s"[bench] still over the probe bar after $probeExtra requeues " +
         s"(real regression or sustained contention): ${probeFlagged.toSeq.sorted.mkString(", ")}")
+    // ISOLATED STEADY-STATE re-measure (round 13 — root-causing the
+    // persist-heavy sweep signature): every round the same pairwise family
+    // (q34/q58/q76/q80/q83/q97/q22/q24/…) publishes interleaved medians
+    // 1.5-2.6x the committed probe steady state — the documented cache-
+    // pressure hypothesis (118 queries' operator persists coexist through
+    // the whole measurement phase; the probes run ONE query per JVM). Make
+    // the experiment part of the artifact: for each query still over the
+    // compare_probe bar, RELEASE every operator cache, rebuild only this
+    // query's persists with one untimed run, then take 3 timed runs —
+    // min = the probe's own steady-state reading. Isolated ≈ probe steady
+    // confirms cache pressure machine-readably; isolated ≫ probe means
+    // something real. Published medians are NOT replaced — this is a
+    // separate evidence column in BENCH_DETAIL.
+    val isolatedJson: String = {
+      val flaggedNow = qseq.collect {
+        case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
+      if (flaggedNow.isEmpty) "" else {
+        System.err.println(s"[bench] isolated steady-state re-measure of " +
+          s"${flaggedNow.size} over-probe-bar queries: ${flaggedNow.toSeq.sorted.mkString(", ")}")
+        val load0 = Bench.loadAvg()
+        val entries = qseq.filter(q => flaggedNow(q._1)).map { case (name, fn) =>
+          graft.core.InternalCaches.release(spark)
+          try {
+            once(fn)
+            val runs = Vector.fill(3)(once(fn))
+            f""""$name":{"runs":[${runs.map(x => f"$x%.3f").mkString(",")}],""" +
+              f""""steady":${runs.min}%.3f,"probe":${probeSteady.getOrElse(name, -1.0)}%.3f}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name isolated re-measure failed: ${e.getMessage}")
+            f""""$name":{"runs":[],"steady":-1.0,"probe":${probeSteady.getOrElse(name, -1.0)}%.3f}"""
+          }
+        }
+        f""","isolated_steady":{${entries.mkString(",")},"loadavg":$load0%.2f}"""
+      }
+    }
     graft.core.InternalCaches.release(spark)
     val results = runsByQ.toSeq
     results.foreach { case (name, v) => dispersionGuard(name, v) }
@@ -347,6 +416,11 @@ object Bench {
     // a contended window is then machine-readable in the artifact instead
     // of needing prose.
     def coldWarm(section: String, name: String, warmReps: Int = 3)(f: => Unit): String = {
+      // GATE, don't just record (round 13): wait for ambient quiet before
+      // the first run; `*_loadavg` is the post-gate AMBIENT reading (see
+      // awaitQuietLoad — post-reps load is dominated by the anchor's own
+      // 32 threads), `*_load_wait_s` the deferral evidence
+      val (ambient, waited) = Bench.awaitQuietLoad(name)
       val cold = time(f)
       var warms = Vector.fill(warmReps)(time(f))
       var extra = 0
@@ -354,6 +428,7 @@ object Bench {
           warms.max / warms.min > 2.0) {
         System.err.println(f"[bench] $name%s anchor dispersion " +
           f"${warms.max / warms.min}%.2f > 2.0 — requeueing one rep")
+        Bench.awaitQuietLoad(s"$name(requeue)")
         warms = warms :+ time(f)
         extra += 1
       }
@@ -362,7 +437,8 @@ object Bench {
       addCompact(section, name, f"${median(warms)}%.2f")
       f""""${name}_cold":$cold%.3f,"${name}_warm":${median(warms)}%.3f,""" +
         f""""${name}_warm_runs":$runs%s,"${name}_mem_headroom_mb":${heapHeadroomMb()}%d,""" +
-        f""""${name}_loadavg":${loadAvg()}%.2f,"$name":${median(warms)}%.3f"""
+        f""""${name}_loadavg":$ambient%.2f,"${name}_load_wait_s":$waited%d,""" +
+        f""""${name}_loadavg_post":${loadAvg()}%.2f,"$name":${median(warms)}%.3f"""
     }
     // BASELINE.md-comparable reference workloads (uber-100k, D=0.02 M=10):
     // published numbers are ExactOutliers 61 655 ms / MRApproxOutliers 960 ms
@@ -639,10 +715,51 @@ object Bench {
               "(want 3 identical 256-merge tables)")
           val warm8 = timeOf(bpeJson, "bpe_train_1m_warm")
           val warm256 = timeOf(bpe256Json, "bpe_train_1m_256_warm")
+          // a parse failure must fail LOUDLY, not let the flatness gate
+          // self-disable on a negative ratio (round-13 ADVICE fix)
+          if (warm8 < 0 || warm256 < 0) throw new GoldenMismatch(
+            s"bpe flatness inputs unparsed: warm8=$warm8 warm256=$warm256 " +
+            "— timeOf found no warm reading, the cross-anchor assert cannot run")
           val mergeScale = warm256 / math.max(warm8, 0.05)
           if (mergeScale > 96.0) throw new GoldenMismatch(
             f"bpe per-merge cost NOT FLAT: 256 merges took $mergeScale%.1fx the " +
             "8-merge anchor (flat predicts ~32x, bound 96x — lineage cut regressed?)")
+          // bpe_train_1m_4k (round 13): a REAL tokenizer's merge count
+          // regime (4096 — the 30k path is the same mechanism, just more
+          // iterations of a measured-flat loop). One warm rep keeps the
+          // ~16x-the-256-anchor runtime bounded; cold + warm both collect
+          // the merge table, which must be identical (training is a pure
+          // function of the corpus) and the full 4096 requested (the
+          // ~5000-word synthetic vocab sustains ~17k merges).
+          var mergeTables4k = Vector.empty[Seq[(String, String)]]
+          val bpe4kJson = coldWarm("reference_tok_1m", "bpe_train_1m_4k", warmReps = 1) {
+            mergeTables4k = mergeTables4k :+ graft.ops.Text.bpeTrain(docs, nMerges = 4096)
+              .collect().toSeq.map(r => (r.getString(1), r.getString(2))) }
+          if (mergeTables4k.exists(_.size != 4096) || mergeTables4k.distinct.size != 1)
+            throw new GoldenMismatch(
+              s"bpe 1M 4k-merge anchor MISMATCH: sizes ${mergeTables4k.map(_.size)} " +
+              "(want identical 4096-row merge tables across reps)")
+          val warm4k = timeOf(bpe4kJson, "bpe_train_1m_4k_warm")
+          if (warm4k < 0) throw new GoldenMismatch(
+            s"bpe 4k flatness input unparsed: warm4k=$warm4k")
+          val mergeScale4k = warm4k / math.max(warm256, 0.05)
+          if (mergeScale4k > 48.0) throw new GoldenMismatch(
+            f"bpe per-merge cost NOT FLAT at 4k: 4096 merges took " +
+            f"$mergeScale4k%.1fx the 256-merge anchor (flat predicts ~16x, bound 48x)")
+          // bpe_infer_1m_4k (round 13): frozen-table inference at the SAME
+          // production merge count — 4096 replaces chunked every 64 into
+          // 64 localCheckpointed projection jobs over the vocab-bounded
+          // word table (the chunked path was spec-only before this
+          // anchor). The histogram must be identical across reps.
+          var histos4k = Vector.empty[Seq[(String, Long)]]
+          val infer4kJson = coldWarm("reference_tok_1m", "bpe_infer_1m_4k", warmReps = 1) {
+            histos4k = histos4k :+ graft.ops.Text.bpeApplyMerges(
+                docs, mergeTables4k.head, topK = 20)
+              .collect().toSeq.map(r => (r.getString(0), r.getLong(1))) }
+          if (histos4k.exists(_.size != 20) || histos4k.distinct.size != 1)
+            throw new GoldenMismatch(
+              s"bpe 1M 4k inference anchor MISMATCH: sizes ${histos4k.map(_.size)} " +
+              "(want identical 20-row histograms across reps)")
           var hits = Array.empty[org.apache.spark.sql.Row]
           val bmJson = coldWarm("reference_tok_1m", "bm25_1m", warmReps = 3) {
             hits = graft.ops.Text.bm25(docs, Seq("t0", "t1", "t2")).collect() }
@@ -651,8 +768,9 @@ object Bench {
             throw new GoldenMismatch(
               s"bm25 1M anchor MISMATCH: ${hits.length} rows " +
               s"n_hit=${hits.map(_.getLong(1)).mkString(",")} (want 10 rows, hits in [1,3])")
-          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bmJson,""" +
-            f""""bpe_merge_scale_ratio":$mergeScale%.2f}"""
+          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,""" +
+            f""""bpe_merge_scale_ratio":$mergeScale%.2f,""" +
+            f""""bpe_merge_scale_ratio_4k":$mergeScale4k%.2f,"bpe_infer_chunks":64}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -786,7 +904,7 @@ object Bench {
     // into BENCH_DETAIL.json in the working directory for human inspection.
     val loadsJson = roundLoads.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson$isolatedJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

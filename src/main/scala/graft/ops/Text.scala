@@ -1631,7 +1631,12 @@ object Text {
     *   R1 word count ∈ [minWords, maxWords]        (50, 100 000 in the paper)
     *   R2 mean word length ∈ [3, 10] characters
     *   R3 symbol-to-word ratio ≤ 0.1 ('#' and non-overlapping "...")
-    *   R4 ≥ 80% of words contain an alphabetic character
+    *   R4 ≥ 80% of words contain an alphabetic character — a UNICODE
+    *      letter (`\p{L}`), not ASCII [a-zA-Z]: the multilingual corpora
+    *      the q123 byte-safe tokenizer brings in scope must not have
+    *      their é/ä/ø words counted non-alphabetic (round-13 ADVICE fix;
+    *      both engines' regex classes implement the same Unicode
+    *      general category L)
     *   R5 ≥ 2 stopwords present (the corpus stop list)
     *
     * Scale shape: every statistic is a per-row projection over one corpus
@@ -1659,7 +1664,7 @@ object Text {
       .withColumn("symbol_ratio_raw",
         col("n_symbols").cast(DoubleType) / col("n_words"))
       .withColumn("n_alpha",
-        expr("size(filter(t, x -> x rlike '[a-zA-Z]'))").cast(LongType))
+        expr("size(filter(t, x -> x rlike '\\\\p{L}'))").cast(LongType))
       .withColumn("alpha_ratio_raw",
         col("n_alpha").cast(DoubleType) / col("n_words"))
       .withColumn("n_stop",
@@ -1680,6 +1685,59 @@ object Text {
   def qGopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(s, dir))
 
+  /** LINE-level Gopher rules (Rae et al. 2021, Appendix A1.1 — the line-
+    * shape half [[gopherRules]]'s word-level battery doesn't cover): drop
+    * a document when
+    *
+    *   L1 > 90% of its lines start with a bullet point ('- ', '• ', '* '
+    *      after leading-space trim), or
+    *   L2 > 30% of its lines end with an ellipsis ("..." or '…' before
+    *      trailing-space trim).
+    *
+    * Emits each rule's raw statistic plus the conjunctive keep flag, the
+    * q126 report shape. Scale shape: ONE per-row projection over a line
+    * split — integer counts and one pinned double division per ratio, no
+    * join, no shuffle, pure codegen'd scan work; embarrassingly parallel
+    * at 100 TB. The keep flag compares the UNROUNDED divisions (identical
+    * IEEE chain both engines); n_lines ≥ 1 always (splitting any string
+    * yields at least one element), so no division guards are needed. */
+  def lineRules(docs: DataFrame, bulletMax: Double = 0.9,
+                ellipsisMax: Double = 0.3): DataFrame = {
+    require(bulletMax > 0.0 && bulletMax <= 1.0, s"bad bulletMax $bulletMax")
+    require(ellipsisMax > 0.0 && ellipsisMax <= 1.0, s"bad ellipsisMax $ellipsisMax")
+    docs
+      .withColumn("ls", split(col("text"), "\n", -1))
+      .withColumn("n_lines", size(col("ls")).cast(LongType))
+      .withColumn("n_bullet", expr(
+        "size(filter(ls, x -> startswith(ltrim(x), '- ') OR " +
+          "startswith(ltrim(x), '• ') OR startswith(ltrim(x), '* ')))").cast(LongType))
+      .withColumn("n_ellipsis", expr(
+        "size(filter(ls, x -> endswith(rtrim(x), '...') OR " +
+          "endswith(rtrim(x), '…')))").cast(LongType))
+      .withColumn("bullet_ratio_raw",
+        col("n_bullet").cast(DoubleType) / col("n_lines"))
+      .withColumn("ellipsis_ratio_raw",
+        col("n_ellipsis").cast(DoubleType) / col("n_lines"))
+      .withColumn("keep",
+        (!(col("bullet_ratio_raw") > bulletMax ||
+           col("ellipsis_ratio_raw") > ellipsisMax)).cast(LongType))
+      .select(col("doc_id"), col("n_lines"), col("n_bullet"), col("n_ellipsis"),
+        round(col("bullet_ratio_raw"), 6).as("bullet_ratio"),
+        round(col("ellipsis_ratio_raw"), 6).as("ellipsis_ratio"),
+        col("keep"))
+  }
+
+  /** q128 — line rules over a DERIVED multi-line corpus: the gate tables
+    * carry single-line text, so the q123-precedent deterministic-
+    * transform trick manufactures line structure in BOTH engines with the
+    * same two leftmost-nonoverlapping replaces (' the ' opens a bullet
+    * line, ' table ' closes the previous line with an ellipsis), giving
+    * the ratios real spread for the hash to bite on. */
+  def qLineRules(s: SparkSession, dir: String): DataFrame =
+    lineRules(Tables.documents(s, dir).withColumn("text",
+      replace(replace(col("text"), lit(" the "), lit("\n- the ")),
+        lit(" table "), lit("...\n table "))))
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, SIGIR 2009) — the standard way production search serves
     * BOTH a lexical and a semantic ranker: fuse the BM25 top-k and the
@@ -1689,30 +1747,60 @@ object Text {
     * why RRF is the hybrid default: BM25 scores and cosine similarities
     * are not comparable, ranks are.
     *
-    * Scale shape: both inputs are already k-row bounded (BM25's
+    * Scale shape: both inputs are already depth-row bounded (BM25's
     * TakeOrderedAndProject heap, kNN's per-query rank window), so the
-    * fusion itself — a full-outer join of two ≤ k-row frames plus one
+    * fusion itself — a full-outer join of two ≤ depth-row frames plus one
     * division per side — is CONSTANT-sized no matter the corpus; all
     * corpus-scale work stays inside the two retrieval operators, each
     * with its own audited plan. The serve-path twins ([[bm25FromIndex]],
-    * [[graft.ops.Ann.ivfKnn]]) slot in unchanged — rank lists are rank
-    * lists. Doc identity bridges the `documents`/`embeddings` tables by
-    * the corpus contract doc_id = vec_id. Absent-from-one-list docs
-    * carry rank 0 (absent marker) and contribute nothing to the sum. */
+    * [[graft.ops.Ann.ivfKnn]]) slot in unchanged through
+    * [[rrfFusionRanks]] — rank lists are rank lists (asserted in
+    * TextSpec: the served index + IVF composition reproduces this
+    * operator exactly). Doc identity bridges the `documents`/
+    * `embeddings` tables by the corpus contract doc_id = vec_id.
+    *
+    * CANDIDATE DEPTH (round-13 ADVICE fix): standard RRF fuses candidate
+    * lists DEEPER than the served top-k — with depth == k, a doc ranked
+    * k+1 in BOTH lists can out-score an emitted single-list rank-k doc
+    * yet never enter the fusion. Each retriever therefore contributes its
+    * top `candidateDepth` (default 4·k) candidates; only the fused output
+    * is cut to k. Reported r_lex/r_sem are CANDIDATE-list ranks (≤ depth);
+    * absent-from-one-list docs carry rank 0 (absent marker) and
+    * contribute nothing to the sum. */
   def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
-                queryVecId: Long = 0L, k: Int = 10, kRrf: Int = 60): DataFrame = {
+                queryVecId: Long = 0L, k: Int = 10, kRrf: Int = 60,
+                candidateDepth: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val depth = if (candidateDepth <= 0) 4 * k else candidateDepth
+    require(depth >= k, s"candidateDepth must be >= k, got $depth < $k")
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned window over the ≤ depth-row BM25 frame — a constant,
+    // the q112-precedent admissible exception
+    val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lex = bm25(docs, terms, depth)
+      .withColumn("rank", row_number().over(lexW).cast(LongType))
+      .select(col("doc_id"), col("rank"))
+    val sem = graft.ops.Embeddings.bruteForceKnn(emb, col("vec_id") === queryVecId, depth)
+      .select(col("nid").as("doc_id"), col("rk").cast(LongType).as("rank"))
+    rrfFusionRanks(lex, sem, k, kRrf)
+  }
+
+  /** Rank-list-input RRF — the fusion core [[rrfFusion]] delegates to,
+    * taking the two candidate lists as (doc_id, rank) frames so ANY
+    * retriever pair composes: the serve-path twins ([[bm25FromIndex]]
+    * over a prebuilt index, [[graft.ops.Ann.ivfKnn]] over an IVF index)
+    * slot in with a row_number over their bounded output — the
+    * deployment-scale path, asserted ≡ the direct-operator fusion in
+    * TextSpec. Inputs are ≤ depth-row bounded frames by construction
+    * (every retriever here ends in a top-k heap), so the full-outer
+    * fusion join is constant-sized at any corpus scale. */
+  def rrfFusionRanks(lex: DataFrame, sem: DataFrame,
+                     k: Int = 10, kRrf: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
-    import org.apache.spark.sql.expressions.Window
-    // unpartitioned window over the ≤ k-row BM25 frame — a constant, the
-    // q112-precedent admissible exception
-    val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-    val lex = bm25(docs, terms, k)
-      .withColumn("r_lex", row_number().over(lexW).cast(LongType))
-      .select(col("doc_id"), col("r_lex"))
-    val sem = graft.ops.Embeddings.bruteForceKnn(emb, col("vec_id") === queryVecId, k)
-      .select(col("nid").as("doc_id"), col("rk").cast(LongType).as("r_sem"))
-    lex.join(sem, Seq("doc_id"), "full_outer")
+    val l = lex.select(col("doc_id"), col("rank").cast(LongType).as("r_lex"))
+    val s = sem.select(col("doc_id"), col("rank").cast(LongType).as("r_sem"))
+    l.join(s, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         when(col("r_lex").isNotNull, lit(1.0) / (lit(kRrf) + col("r_lex")))
           .otherwise(lit(0.0)) +
@@ -2068,6 +2156,106 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Stupid-backoff FIVE-gram scoring — [[trigramScore]]'s tier chain
+    * extended to the KenLM shape the CCNet-style quality gates actually
+    * deploy (a 5-gram LM; Brants et al. 2007 run stupid backoff at
+    * exactly this order at web scale):
+    *
+    *   S(w5|w1..w4) = n12345/n1234                if the 5-gram was seen
+    *                = α  · n2345/n234             else if the 4-gram was
+    *                = α² · n345/n34               else if the trigram was
+    *                = α³ · n45/n1(w4)             else if the bigram was
+    *                = α⁴ · (n1(w5)+1)/(N+V)       else (the q122 pinned
+    *                                              add-1 unigram floor)
+    *
+    * with α = 0.4. Same output shape as q120/q122: per-doc mean of
+    * round(ln S, 9) over 5-gram positions, decimal-summed, rounded to 6.
+    *
+    * Scale shape (q122's contract, two tables bigger): ALL model tables
+    * are train-corpus-bounded and broadcast onto the eval side's 5-gram
+    * explode — scoring is one eval-corpus scan with zero eval-row
+    * shuffles (plan-asserted: 9 BroadcastHashJoins + the 1-row totals
+    * BNLJ, no SortMergeJoin); training is one cached train-corpus scan +
+    * four bounded n-gram rollups. Each backoff tier divides a BIGINT by a
+    * BIGINT after one left-to-right α-product — the multiplication order
+    * is pinned (α, then (α·α), then ((α·α)·α), then (((α·α)·α)·α)) so the
+    * oracle reproduces the IEEE chain bit-for-bit. A seen n-gram
+    * guarantees its context count is non-null (the context is a prefix of
+    * the seen n-gram), so no branch divides by null. */
+  def fivegramScore(train: DataFrame, eval: DataFrame, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    def gramExpr(n: Int): org.apache.spark.sql.Column = expr(
+      s"transform(sequence($n, size(t)), i -> struct(" +
+        (1 to n).map(j => s"element_at(t, i - ${n - j}) AS w$j").mkString(", ") + "))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    def grams(n: Int, cntName: String): DataFrame =
+      trainTok.filter(size(col("t")) >= n)
+        .select(explode(gramExpr(n)).as("g"))
+        .select((1 to n).map(j => col(s"g.w$j")): _*)
+        .groupBy((1 to n).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).cast(LongType).as(cntName))
+    val n5 = grams(5, "n5")
+    val n4 = grams(4, "n4")
+    val n3 = grams(3, "n3")
+    val n2 = grams(2, "n2")
+    val n1 = trainTok.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast(LongType).as("n1"))
+    val tot = trainTok.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).cast(LongType).as("nn"),
+        countDistinct(col("w")).cast(LongType).as("v"))
+    val a1 = lit(alpha)
+    val a2 = lit(alpha) * lit(alpha)
+    val a3 = (lit(alpha) * lit(alpha)) * lit(alpha)
+    val a4 = ((lit(alpha) * lit(alpha)) * lit(alpha)) * lit(alpha)
+    withTokens(eval).filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(gramExpr(5)).as("g"))
+      .select(col("doc_id") +: (1 to 5).map(j => col(s"g.w$j")): _*)
+      .join(broadcast(n5), Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .join(broadcast(n4.withColumnRenamed("n4", "n4_ctx")),
+        Seq("w1", "w2", "w3", "w4"), "left")
+      .join(broadcast(n4.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("w3").as("w4"), col("w4").as("w5"), col("n4").as("n4_hit"))),
+        Seq("w2", "w3", "w4", "w5"), "left")
+      .join(broadcast(n3.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("w3").as("w4"), col("n3").as("n3_ctx"))),
+        Seq("w2", "w3", "w4"), "left")
+      .join(broadcast(n3.select(col("w1").as("w3"), col("w2").as("w4"),
+        col("w3").as("w5"), col("n3").as("n3_hit"))),
+        Seq("w3", "w4", "w5"), "left")
+      .join(broadcast(n2.select(col("w1").as("w3"), col("w2").as("w4"),
+        col("n2").as("n2_ctx"))), Seq("w3", "w4"), "left")
+      .join(broadcast(n2.select(col("w1").as("w4"), col("w2").as("w5"),
+        col("n2").as("n2_hit"))), Seq("w4", "w5"), "left")
+      .join(broadcast(n1.select(col("w").as("w4"), col("n1").as("n1_4"))),
+        Seq("w4"), "left")
+      .join(broadcast(n1.select(col("w").as("w5"), col("n1").as("n1_5"))),
+        Seq("w5"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(log(
+        when(col("n5").isNotNull,
+          col("n5").cast(DoubleType) / col("n4_ctx"))
+        .when(col("n4_hit").isNotNull,
+          (a1 * col("n4_hit")) / col("n3_ctx"))
+        .when(col("n3_hit").isNotNull,
+          (a2 * col("n3_hit")) / col("n2_ctx"))
+        .when(col("n2_hit").isNotNull,
+          (a3 * col("n2_hit")) / col("n1_4"))
+        .otherwise(
+          (a4 * (coalesce(col("n1_5"), lit(0L)) + lit(1.0)))
+            / (col("nn") + col("v")).cast(DoubleType))), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_fivegrams"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_lp"))
+  }
+
+  def qFivegramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    fivegramScore(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** Asymmetric shingle containment — quote/subset detection: C(A→B) =
     * |sh(A) ∩ sh(B)| / |sh(A)|. A short document embedded verbatim in a
     * long one scores containment ≈ 1 while its Jaccard is tiny, so this
@@ -2122,6 +2310,8 @@ object Text {
     "q124_bpe_inference" -> (qBpeInference _),
     "q125_rrf_fusion"   -> (qRrfFusion _),
     "q126_gopher_rules" -> (qGopherRules _),
+    "q127_fivegram_score" -> (qFivegramScore _),
+    "q128_line_rules"   -> (qLineRules _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -2282,7 +2472,7 @@ object Text {
            CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_wlen,
            CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
              + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
-           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS n_alpha,
            CAST(len(list_filter(t, x -> x IN ($StopListSql))) AS BIGINT) AS n_stop
          FROM base)
          SELECT doc_id, n_words,
@@ -2297,10 +2487,12 @@ object Text {
              AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
              AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM st""",
-    // q125: the lexical CTE chain is q113's verbatim; the semantic side is
-    // the q40 cosine-rank recipe pinned to query vec 0; ranks fuse as one
-    // DOUBLE-cast division per side (DuckDB decimal literals would
-    // otherwise fuse in exact decimal), absent ranks marked 0
+    // q125: the lexical CTE chain is q113's verbatim at CANDIDATE depth
+    // 4*k = 40 (the round-13 candidateDepth contract — fusion sees deeper
+    // lists than the served top-10); the semantic side is the q40
+    // cosine-rank recipe pinned to query vec 0 at the same depth; ranks
+    // fuse as one DOUBLE-cast division per side (DuckDB decimal literals
+    // would otherwise fuse in exact decimal), absent ranks marked 0
     "q125_rrf_fusion" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -2320,7 +2512,7 @@ object Text {
          lexbase AS (SELECT doc_id,
                 round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
               FROM sc GROUP BY doc_id
-              ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 40),
          lex AS (SELECT doc_id, CAST(row_number() OVER
                   (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_lex FROM lexbase),
          sem AS (SELECT nid AS doc_id, CAST(rk AS BIGINT) AS r_sem FROM (
@@ -2328,7 +2520,7 @@ object Text {
                (ORDER BY round(${graft.ops.Embeddings.CosSql}, 6) DESC, b.vec_id ASC) AS rk
              FROM embeddings a JOIN embeddings b
                ON a.vec_id = 0 AND a.vec_id <> b.vec_id) t
-           WHERE rk <= 10)
+           WHERE rk <= 40)
          SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
            COALESCE(l.r_lex, 0) AS r_lex,
            COALESCE(s.r_sem, 0) AS r_sem,
@@ -2383,6 +2575,100 @@ object Text {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
            round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_lp
          FROM lp GROUP BY doc_id""",
+    // q127: the q122 unroll at 5-gram order — four backoff tiers plus the
+    // pinned add-1 floor; every α-product is a left-to-right chain of
+    // explicit DOUBLE casts mirroring the Spark lit() chain exactly
+    "q127_fivegram_score" ->
+      """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         n5 AS (SELECT w1, w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS n5 FROM (
+             SELECT unnest(list_transform(range(5, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 4], w2 := t[i - 3], w3 := t[i - 2],
+                           w4 := t[i - 1], w5 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 5)
+           GROUP BY w1, w2, w3, w4, w5),
+         n4 AS (SELECT w1, w2, w3, w4, CAST(count(*) AS BIGINT) AS n4 FROM (
+             SELECT unnest(list_transform(range(4, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 3], w2 := t[i - 2], w3 := t[i - 1],
+                           w4 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 4)
+           GROUP BY w1, w2, w3, w4),
+         n3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n3 FROM (
+             SELECT unnest(list_transform(range(3, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 3)
+           GROUP BY w1, w2, w3),
+         n2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM (
+             SELECT unnest(list_transform(range(2, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 1], w2 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 2)
+           GROUP BY w1, w2),
+         n1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1
+                FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                        CAST(count(DISTINCT w) AS BIGINT) AS v
+                 FROM (SELECT unnest(t) AS w FROM tr)),
+         ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 2 = 1),
+         eg AS (SELECT doc_id, w1, w2, w3, w4, w5 FROM (
+             SELECT doc_id, unnest(list_transform(range(5, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 4], w2 := t[i - 3], w3 := t[i - 2],
+                           w4 := t[i - 1], w5 := t[i])), recursive := true)
+             FROM ev WHERE len(t) >= 5)),
+         lp AS (SELECT doc_id,
+             round(ln(CASE
+               WHEN h5.n5 IS NOT NULL THEN CAST(h5.n5 AS DOUBLE) / c4.n4
+               WHEN h4.n4 IS NOT NULL THEN
+                 (CAST(0.4 AS DOUBLE) * h4.n4) / c3.n3
+               WHEN h3.n3 IS NOT NULL THEN
+                 ((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * h3.n3) / c2.n2
+               WHEN h2.n2 IS NOT NULL THEN
+                 (((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+                   * h2.n2) / u4.n1
+               ELSE ((((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * CAST(0.4 AS DOUBLE))
+                      * CAST(0.4 AS DOUBLE)) *
+                     CAST(COALESCE(u5.n1, 0) + 1 AS DOUBLE)) / CAST(t.nn + t.v AS DOUBLE)
+             END), 9) AS lp
+           FROM eg
+           LEFT JOIN n5 h5 USING (w1, w2, w3, w4, w5)
+           LEFT JOIN n4 c4 ON eg.w1 = c4.w1 AND eg.w2 = c4.w2
+                          AND eg.w3 = c4.w3 AND eg.w4 = c4.w4
+           LEFT JOIN n4 h4 ON eg.w2 = h4.w1 AND eg.w3 = h4.w2
+                          AND eg.w4 = h4.w3 AND eg.w5 = h4.w4
+           LEFT JOIN n3 c3 ON eg.w2 = c3.w1 AND eg.w3 = c3.w2 AND eg.w4 = c3.w3
+           LEFT JOIN n3 h3 ON eg.w3 = h3.w1 AND eg.w4 = h3.w2 AND eg.w5 = h3.w3
+           LEFT JOIN n2 c2 ON eg.w3 = c2.w1 AND eg.w4 = c2.w2
+           LEFT JOIN n2 h2 ON eg.w4 = h2.w1 AND eg.w5 = h2.w2
+           LEFT JOIN n1 u4 ON eg.w4 = u4.w
+           LEFT JOIN n1 u5 ON eg.w5 = u5.w
+           CROSS JOIN tot t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fivegrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id""",
+    // q128: the SAME two leftmost-nonoverlapping replaces derive the
+    // multi-line corpus; per-row integer line counts + one DOUBLE
+    // division per ratio; the keep CASE compares the unrounded chain
+    "q128_line_rules" ->
+      """WITH lined AS (SELECT doc_id,
+           replace(replace(text, ' the ', chr(10) || '- the '),
+                   ' table ', '...' || chr(10) || ' table ') AS text
+         FROM documents),
+         base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+         st AS (SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+             OR starts_with(ltrim(x), '• ')
+             OR starts_with(ltrim(x), '* '))) AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...')
+             OR ends_with(rtrim(x), '…'))) AS BIGINT) AS n_ellipsis
+         FROM base)
+         SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+           round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_ratio,
+           round(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) AS ellipsis_ratio,
+           CAST(CASE WHEN CAST(n_bullet AS DOUBLE) / n_lines > 0.9
+                       OR CAST(n_ellipsis AS DOUBLE) / n_lines > 0.3
+                THEN 0 ELSE 1 END AS BIGINT) AS keep
+         FROM st""",
     // q121: string shingles stand in for the Spark side's 64-bit hashes
     // (identical counts modulo the documented ~2^-40 collision bound, the
     // q34/q58 recipe); the df cap and capped cardinalities mirror the

@@ -32,7 +32,17 @@ object StatefulOps {
     * distinct-token horizon makes the approximation window explicit. A
     * Bloom-backed variant trades the FIFO window for a small
     * false-POSITIVE (over-suppression) rate — the wrong error direction
-    * here, which is why the exact-window form is the default. */
+    * here, which is why the exact-window form is the default.
+    *
+    * CHECKPOINT COMPATIBILITY: the round-12 cap changed the state encoding
+    * from kryo[Set[Long]] to kryo[Vector[Long]] (insertion order is what
+    * makes FIFO eviction possible). A query restarted from a checkpoint
+    * written by the pre-cap operator will fail deserializing the old
+    * Set-encoded state — restart such a query with a NEW checkpoint
+    * location (the stream's source is the system of record; re-ingesting
+    * re-emits at-least-once, the operator's documented error direction).
+    * Checkpoints written by this version restart cleanly (covered by the
+    * kill-and-restart recovery spec). */
   def streamingDedup[K: Encoder](
       stream: Dataset[(K, Long)],
       maxTokens: Int = 1 << 20)(implicit kt: Encoder[(K, Long)]): Dataset[(K, Long)] = {

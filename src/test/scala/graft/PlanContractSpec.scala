@@ -437,13 +437,13 @@ class PlanContractSpec extends SparkSpec {
       || p.contains("LessThan(vec_id,8)"), s"q116 query filter not pushed:\n$p")
   }
 
-  test("q120/q122: LM scoring joins all broadcast — eval rows never shuffle") {
+  test("q120/q122/q127: LM scoring joins all broadcast — eval rows never shuffle") {
     // the reference-corpus-LM contract: model tables (vocab/n-gram
     // bounded) broadcast onto the eval explode; the only non-hash join is
     // the 1-row totals crossJoin. A SortMergeJoin here means the eval
     // corpus started shuffling by n-gram — the shape that dies at 100 TB.
     try {
-      for (q <- Seq("q120_bigram_score", "q122_trigram_score")) {
+      for (q <- Seq("q120_bigram_score", "q122_trigram_score", "q127_fivegram_score")) {
         val p = plan(q)
         assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
           s"$q shuffles eval rows:\n$p")
@@ -451,7 +451,9 @@ class PlanContractSpec extends SparkSpec {
         assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
           s"$q expected exactly the 1-row totals broadcast crossJoin:\n$p")
         val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-        val want = if (q.startsWith("q122")) 5 else 2
+        // q127: 5-gram hit + 4-gram ctx/hit + 3-gram ctx/hit + 2-gram
+        // ctx/hit + two unigram lookups = 9 broadcast model joins
+        val want = if (q.startsWith("q127")) 9 else if (q.startsWith("q122")) 5 else 2
         assert(bhj == want, s"$q expected $want broadcast model joins, got $bhj:\n$p")
       }
     } finally graft.core.InternalCaches.release(spark)

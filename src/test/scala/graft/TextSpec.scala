@@ -977,10 +977,12 @@ class TextSpec extends SparkSpec {
   test("rrfFusion: fusion equals a driver recomputation from the two rank lists") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
-    val lex = Text.bm25(docs, Seq("vector", "join", "scan")).collect()
+    // candidate lists run at depth 4*k = 40 (the round-13 candidateDepth
+    // contract); only the fused output cuts to 10
+    val lex = Text.bm25(docs, Seq("vector", "join", "scan"), k = 40).collect()
       .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     val sem = graft.ops.Embeddings
-      .bruteForceKnn(emb, org.apache.spark.sql.functions.col("vec_id") === 0L, 10)
+      .bruteForceKnn(emb, org.apache.spark.sql.functions.col("vec_id") === 0L, 40)
       .collect().map(r => (r.getLong(2), r.getInt(1).toLong)).toMap
     val expected = (lex.keySet ++ sem.keySet).toSeq.map { d =>
       val rrf = lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
@@ -1016,6 +1018,99 @@ class TextSpec extends SparkSpec {
     // doc 2: lexical-only (rank 2); doc 3: semantic-only (rank 2)
     assert(got.toSet.contains((2L, 2L, 0L, round9(1.0 / 62))))
     assert(got.toSet.contains((3L, 0L, 2L, round9(1.0 / 62))))
+  }
+
+  test("rrfFusionRanks: the served index + IVF composition reproduces the direct fusion") {
+    // SURVEY §2.10's "the serve-path twins slot in unchanged" as an
+    // assertion: rank lists from the PREBUILT-index BM25 and the IVF ANN
+    // (nprobe = nlist probes every cell, so the served ranking is exact,
+    // making the equality exact rather than recall-bounded) fused through
+    // the rank-list overload must equal the direct-operator q125 fusion.
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val terms = Seq("vector", "join", "scan")
+    try {
+      val postings = Text.invertedIndex(docs)
+      val dl = Text.docLengths(docs)
+      val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = Text.bm25FromIndex(postings, dl, terms, k = 40)
+        .withColumn("rank", row_number().over(lexW).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val sem = graft.ops.Ann
+        .ivfKnn(emb, col("vec_id") === 0L, k = 40, nlist = 16, nprobe = 16)
+        .select(col("nid").as("doc_id"), col("rk").cast("long").as("rank"))
+      val got = Text.rrfFusionRanks(lex, sem, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val want = Text.rrfFusion(docs, emb, terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == want, s"served-path fusion diverged:\n got=$got\nwant=$want")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("gopherRules: non-ASCII alphabetic words count as alphabetic (R4 is Unicode)") {
+    import spark.implicits._
+    // every content word is é/ä/ö-only: Unicode \p{L} scores alpha_ratio
+    // 1.0; the pre-round-13 ASCII [a-zA-Z] class scored 0.0 and dropped
+    // exactly the multilingual text q123 brings in scope
+    val text = (("héllö " * 49) + "the of").trim
+    val r = Text.gopherRules(Seq((0L, text)).toDF("doc_id", "text")).collect().head
+    assert(r.getDouble(4) == 1.0, s"unicode words not counted alphabetic: $r")
+    assert(r.getLong(6) == 1L, s"unicode doc wrongly dropped: $r")
+  }
+
+  test("lineRules: each line rule independently fails its planted violator") {
+    import spark.implicits._
+    val allBullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val bulletsAtBoundary = "intro" + (1 to 9).map(i => s"\n- item $i").mkString
+    val bulletVariants = "  • indented\n* star\nplain\n- dash" // 3/4 bullets
+    val manyDots = "one...\ntwo…  \nthree...\nfour\nfive\nsix\nseven\neight\nnine\nten" // 3/10 at boundary — keep
+    val tooManyDots = "one...\ntwo…\nthree...\nfour...\nfive\nsix\nseven\neight\nnine\nten" // 4/10 > 0.3
+    val docs = Seq(
+      (0L, "plain text\nno bullets here"),
+      (1L, allBullets),          // 10/10 > 0.9 -> drop
+      (2L, bulletsAtBoundary),   // 9/10 = 0.9, NOT > 0.9 -> keep
+      (3L, bulletVariants),      // 0.75 -> keep; counts all three markers
+      (4L, manyDots),            // 3/10 = 0.3, NOT > 0.3 -> keep
+      (5L, tooManyDots))         // 4/10 -> drop
+      .toDF("doc_id", "text")
+    val got = Text.lineRules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))
+      .toMap
+    assert(got(0L) == ((2L, 0L, 0L, 1L)), s"plain doc misread: ${got(0L)}")
+    assert(got(1L) == ((10L, 10L, 0L, 0L)), s"all-bullet doc kept: ${got(1L)}")
+    assert(got(2L) == ((10L, 9L, 0L, 1L)), s"0.9 boundary must keep: ${got(2L)}")
+    assert(got(3L) == ((4L, 3L, 0L, 1L)), s"bullet variants miscounted: ${got(3L)}")
+    assert(got(4L) == ((10L, 0L, 3L, 1L)), s"0.3 boundary must keep: ${got(4L)}")
+    assert(got(5L) == ((10L, 0L, 4L, 0L)), s"ellipsis violator kept: ${got(5L)}")
+  }
+
+  test("fivegramScore: every backoff tier scores its hand-built witness exactly") {
+    import spark.implicits._
+    // train corpus "a b c d e": each n-gram table holds exactly the
+    // grams of that sentence, so one eval doc per tier isolates a branch
+    val train = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c d e"),  // tier 1: n5/n4(a,b,c,d) = 1/1
+      (2L, "x b c d e"),  // tier 2: α · n4(b,c,d,e)/n3(b,c,d)
+      (3L, "x y c d e"),  // tier 3: α² · n3(c,d,e)/n2(c,d)
+      (4L, "x y z d e"),  // tier 4: α³ · n2(d,e)/n1(d)
+      (5L, "x y z w e"),  // floor, seen w5: α⁴ · (n1(e)+1)/(N+V)
+      (6L, "x y z w v"))  // floor, unseen w5: α⁴ · 1/(N+V)
+      .toDF("doc_id", "text")
+    val a2 = 0.4 * 0.4; val a3 = a2 * 0.4; val a4 = a3 * 0.4
+    val expected = Map(
+      1L -> round6(round9(math.log(1.0 / 1L))),
+      2L -> round6(round9(math.log(0.4 * 1L / 1L))),
+      3L -> round6(round9(math.log(a2 * 1L / 1L))),
+      4L -> round6(round9(math.log(a3 * 1L / 1L))),
+      5L -> round6(round9(math.log(a4 * 2.0 / 10.0))),
+      6L -> round6(round9(math.log(a4 * 1.0 / 10.0))))
+    val got = Text.fivegramScore(train, eval).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expected, s"backoff tiers misfired:\n got=$got\nwant=$expected")
+    try () finally graft.core.InternalCaches.release(spark)
   }
 
   test("bpeApplyMerges: frozen-table inference — OOV splits to characters, seen words segment") {
