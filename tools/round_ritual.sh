@@ -8,8 +8,9 @@
 #   2. correctness at sf0.01 against the DuckDB oracle,
 #   3. the sf1-scale oracle pass (builds testdata_sf1 if absent) ->
 #      CORRECTNESS_sf1.json,
-#   4. the interleaved bench at sf0.1 -> BENCH_DETAIL.json,
-#   5. the full TimeProbe sweep -> PROBE_r<N>.txt,
+#   4. the full TimeProbe sweep -> PROBE_r<N>.txt,
+#   5. the interleaved bench at sf0.1 -> BENCH_DETAIL.json (requeue +
+#      isolated-steady graded against step 4's fresh probe file),
 #   6. compare_probe (bench medians vs isolated steady states) — exit
 #      nonzero here means a flagged query needs a README explanation or a
 #      re-measure, not necessarily a bug,
@@ -37,15 +38,25 @@ rm -rf /tmp/ritual_sf1
 sbt -batch "runMain graft.Verify testdata_sf1 /tmp/ritual_sf1" > /dev/null || exit 1
 python3 tools/check_oracle.py testdata_sf1 /tmp/ritual_sf1 CORRECTNESS_sf1.json || exit 1
 
-echo "== [4/7] bench @ $SF"
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
-  sbt -batch "runMain graft.Bench" > "/tmp/ritual_bench_r$R.out" || exit 1
-tail -1 "/tmp/ritual_bench_r$R.out"
-
-echo "== [5/7] TimeProbe sweep -> PROBE_r$R.txt"
+# Probe sweep BEFORE bench (swapped in r13): Bench's probe-divergence
+# requeue and isolated-steady re-measure grade against the newest
+# PROBE_r<N>.txt — when bench ran first it graded against LAST round's
+# probe file while step 6's compare_probe graded against this round's,
+# so queries whose steady state moved (or brand-new queries) could be
+# flagged by compare with no isolated_steady entry (r13 dev run: 8 of 20
+# flags uncovered). Probe first + explicit SPARK_GRAFT_PROBE_FILE makes
+# bench and compare grade against the SAME readings, so every flagged
+# query gets an isolated re-measure by construction.
+echo "== [4/7] TimeProbe sweep -> PROBE_r$R.txt"
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.TimeProbe all" 2>/dev/null | grep '^PROBE' > "PROBE_r$R.txt"
 wc -l "PROBE_r$R.txt"
+
+echo "== [5/7] bench @ $SF"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_PROBE_FILE="PROBE_r$R.txt" \
+  sbt -batch "runMain graft.Bench" > "/tmp/ritual_bench_r$R.out" || exit 1
+tail -1 "/tmp/ritual_bench_r$R.out"
 
 echo "== [6/7] compare_probe"
 python3 tools/compare_probe.py BENCH_DETAIL.json "PROBE_r$R.txt" \
