@@ -2297,6 +2297,240 @@ object Text {
   def qContainment(s: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(s, dir))
 
+  /** C4 cleaning-rule battery (Raffel et al. 2020, §2.2 — the heuristic
+    * stack applied to Common Crawl before T5 pretraining), as ONE per-row
+    * projection emitting each rule's statistic plus the document-level
+    * keep flag:
+    *
+    *   C1 terminal-punctuation line retention — lines ending in '.', '!',
+    *      '?' or '"' after trailing-space trim (C4 keeps only such lines;
+    *      reported as n_term_lines and the retention ratio)
+    *   C2 ≥ `minSentences` sentences per page (sentence count ≈ '.'
+    *      marks, leftmost-nonoverlapping replace-and-diff)
+    *   C3 no "lorem ipsum" placeholder text
+    *   C4 no curly brace '{' (the paper's code-page marker)
+    *   C5 "javascript" lines (C4 drops the LINE; reported as a count)
+    *   C6 no bad words (configurable list)
+    *
+    * keep = C2 ∧ C3 ∧ C4 ∧ C6 — C1/C5 are line-level EDITS in the paper,
+    * not document drops, so their statistics are what a caller's line
+    * filter consumes. Scale shape: the q126/q128 contract — integer
+    * counts plus ONE pinned double division, no join, no shuffle, pure
+    * codegen'd scan work; embarrassingly parallel at 100 TB. */
+  def c4Rules(docs: DataFrame, badWords: Seq[String] = Seq("casino"),
+              minSentences: Long = 3L): DataFrame = {
+    require(badWords.nonEmpty, "c4Rules needs a non-empty bad-word list")
+    require(minSentences >= 1L, s"bad minSentences $minSentences")
+    val badPred = badWords.map(w => col("text").contains(w)).reduce(_ || _)
+    docs
+      .withColumn("ls", split(col("text"), "\n", -1))
+      .withColumn("n_lines", size(col("ls")).cast(LongType))
+      .withColumn("n_term_lines", expr(
+        "size(filter(ls, x -> endswith(rtrim(x), '.') OR endswith(rtrim(x), '!') " +
+          "OR endswith(rtrim(x), '?') OR endswith(rtrim(x), '\"')))").cast(LongType))
+      .withColumn("n_sentences",
+        (length(col("text")) - length(replace(col("text"), lit("."), lit(""))))
+          .cast(LongType))
+      .withColumn("n_js_lines", expr(
+        "size(filter(ls, x -> contains(x, 'javascript')))").cast(LongType))
+      .withColumn("has_lorem", col("text").contains("lorem ipsum").cast(LongType))
+      .withColumn("has_brace", col("text").contains("{").cast(LongType))
+      .withColumn("has_bad", badPred.cast(LongType))
+      .withColumn("term_ratio_raw",
+        col("n_term_lines").cast(DoubleType) / col("n_lines"))
+      .withColumn("keep",
+        (col("n_sentences") >= minSentences &&
+          col("has_lorem") === 0L && col("has_brace") === 0L &&
+          col("has_bad") === 0L).cast(LongType))
+      .select(col("doc_id"), col("n_lines"), col("n_term_lines"),
+        round(col("term_ratio_raw"), 6).as("term_ratio"),
+        col("n_sentences"), col("n_js_lines"),
+        col("has_lorem"), col("has_brace"), col("has_bad"), col("keep"))
+  }
+
+  /** q129 — C4 rules over a DERIVED corpus: the q128 trick manufactures
+    * line structure plus planted rule violations in BOTH engines with the
+    * same five leftmost-nonoverlapping replaces (' the ' closes a
+    * sentence and opens a line; ' batch ' plants a '{'; ' slow fast '
+    * plants "lorem ipsum"; ' spark ' plants a javascript line;
+    * ' value table ' plants the bad word). */
+  def qC4Rules(s: SparkSession, dir: String): DataFrame =
+    c4Rules(Tables.documents(s, dir).withColumn("text",
+      replace(replace(replace(replace(replace(col("text"),
+        lit(" the "), lit(".\nthe ")),
+        lit(" batch "), lit(" {batch ")),
+        lit(" slow fast "), lit(" lorem ipsum ")),
+        lit(" spark "), lit(" javascript ")),
+        lit(" value table "), lit(" casino table "))))
+
+  /** DSIR data-selection importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every candidate document by how target-like it is under two hashed
+    * bag-of-n-grams models,
+    *
+    *   log w(x) = Σ_occurrences [ ln p̂_target(b) − ln p̂_raw(b) ]
+    *
+    * where b is the occurrence's hash bucket (unigrams AND bigrams hashed
+    * into `buckets` buckets — the paper's feature space) and each p̂ is the
+    * add-1-smoothed bucket frequency (c_b + 1)/(N + B). A pipeline then
+    * resamples candidates ∝ exp(log w) — emitting the raw log weight keeps
+    * that (and Gumbel top-k) in the caller's hands.
+    *
+    * The bucket hash is a 31-ary code-point polynomial mod B — chosen over
+    * Murmur because BOTH engines can evaluate it exactly (Spark
+    * `aggregate` over code points, DuckDB `list_reduce`), so the q130 gate
+    * hash-matches end-to-end; acc < B ≤ 2²⁰ and code points < 2²¹ keep the
+    * fold inside exact Long range.
+    *
+    * Scale shape (the q120/q122 contract): both model tables are
+    * ≤ B rows by construction — broadcast onto the eval side's feature
+    * explode with the 1-row totals frame, so scoring is one eval-corpus
+    * scan with zero eval-row shuffles before the per-doc partial-agg sum.
+    * Each branch divides a (count+1.0) DOUBLE by a BIGINT total in one
+    * pinned division; per-occurrence ln difference rounds to 9, the
+    * per-doc decimal sum to 6. */
+  def dsirWeights(target: DataFrame, raw: DataFrame, eval: DataFrame,
+                  buckets: Int = 10000): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), s"bad bucket count $buckets")
+    // explicit substring iteration, NOT split(s, ''): Java's split keeps a
+    // trailing empty string at limit -1, which would fold one extra 0 into
+    // the hash that DuckDB's range(1, len+1) never sees
+    // inner lambda variable is j, NOT i — the bigram call site embeds this
+    // inside a transform whose own variable i must stay visible in $s
+    def hashExpr(s: String): String =
+      s"aggregate(transform(sequence(1, length($s)), j -> ascii(substring($s, j, 1))), " +
+        s"0L, (acc, c) -> (acc * 31L + c) % $buckets)"
+    val featsExpr = expr(
+      s"concat(transform(t, w -> ${hashExpr("w")}), " +
+        s"CASE WHEN size(t) >= 2 THEN transform(sequence(2, size(t)), i -> " +
+        s"${hashExpr("concat(element_at(t, i - 1), ' ', element_at(t, i))")}) " +
+        "ELSE CAST(array() AS array<bigint>) END)")
+    def bucketCounts(docs: DataFrame, cnt: String): DataFrame =
+      withTokens(docs).select(explode(featsExpr).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).cast(LongType).as(cnt))
+    val ct = bucketCounts(target, "ct")
+    val cr = bucketCounts(raw, "cr")
+    val tot = ct.agg(sum(col("ct")).cast(LongType).as("nt"))
+      .crossJoin(cr.agg(sum(col("cr")).cast(LongType).as("nr")))
+    withTokens(eval)
+      .select(col("doc_id"), explode(featsExpr).as("b"))
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(
+        log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets.toLong))) -
+        log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("nr") + lit(buckets.toLong))), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_feat"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType), 6)
+          .as("dsir_lw"))
+  }
+
+  /** q130 — DSIR with the 'en' slice as the target domain and the whole
+    * corpus as the raw distribution, scoring every document (the paper's
+    * setup: target = formal/domain text, raw = the crawl, candidates =
+    * the crawl). */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dsirWeights(docs.filter(col("lang") === "en"), docs, docs)
+  }
+
+  /** Span-level benchmark contamination report — the measurement half of
+    * [[decontaminate]] (which only flags membership): for every training
+    * document sharing at least one `n`-token shingle with the eval split,
+    * report HOW MUCH overlaps, as contiguous spans (Lee et al. 2021's
+    * "Deduplicating Training Data ..." measures exactly these token-span
+    * overlaps; a pipeline uses them to decide masking vs dropping):
+    *
+    *   n_matched        matched shingle positions in the doc
+    *   n_spans          maximal runs of CONSECUTIVE matched positions
+    *   max_span_tokens  longest run in tokens (= run length + n − 1)
+    *
+    * Shape: positional shingles (sequence → slice → concat_ws), 64-bit
+    * xxhash64 semi-join against the DISTINCT eval-shingle set (benchmark-
+    * bounded ⇒ broadcast, the q71 contract; same ~2⁻⁴⁰ collision caveat as
+    * q34, discharged empirically by the string-shingle oracle), then
+    * islands-and-gaps per doc: pos − row_number() over a PER-DOCUMENT
+    * window is constant exactly on consecutive runs. The window partitions
+    * by doc_id — thousands of independent bounded partitions, never a
+    * global sort — and only MATCHED positions (benchmark-overlap-sized,
+    * not corpus-sized) enter it. */
+  def contaminationSpans(docs: DataFrame, evalPred: Column, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val posShingles = expr(
+      s"transform(sequence(1, size(t) - $n + 1), i -> " +
+        s"struct(CAST(i AS BIGINT) AS pos, " +
+        s"xxhash64(concat_ws(' ', slice(t, i, $n))) AS h))")
+    val sh = graft.core.InternalCaches.persist(
+      withTokens(docs).withColumn("is_eval", evalPred)
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), col("is_eval"), explode(posShingles).as("g"))
+        .select(col("doc_id"), col("is_eval"), col("g.pos"), col("g.h")))
+    val evalSh = sh.filter(col("is_eval")).select(col("h")).distinct()
+    val matched = sh.filter(!col("is_eval"))
+      .join(evalSh, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos")) // one shingle per position — already distinct
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast(LongType).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).cast(LongType).as("n_matched"),
+        count(lit(1)).cast(LongType).as("n_spans"),
+        (max(col("run")) + lit((n - 1).toLong)).cast(LongType).as("max_span_tokens"))
+  }
+
+  /** q131 — span report against the q71 gate's fixed 32-document eval set,
+    * at trigram width (the synthetic corpus' planted near-duplicates give
+    * the runs real spread; a production benchmark check runs n = 13 with
+    * the identical plan — only the broadcast set size changes). */
+  def qContaminationSpans(s: SparkSession, dir: String): DataFrame =
+    contaminationSpans(Tables.documents(s, dir), col("doc_id") < 32, n = 3)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document under the [[trigramScore]] LM and split the corpus into
+    * head / middle / tail quality buckets at calibration-sample quantile
+    * cuts — head = highest mean log-prob = lowest perplexity, the slice
+    * CCNet feeds to pretraining first.
+    *
+    * The cuts come from a BOUNDED calibration sample (`calibPred`), the
+    * paper's own setup (CCNet computes its thresholds on one Wikipedia-
+    * scored sample, then applies them to every crawl snapshot): the exact
+    * `percentile` aggregate collects only the sample — fixed-size at any
+    * corpus SF, so the single-reducer sort inside it is bounded by
+    * construction — while the corpus-sized scores frame only sees the
+    * broadcast 1-row cuts and a projection: zero extra corpus shuffles
+    * beyond the scoring operator's own contract. Bucket compares the 6dp
+    * score against 6dp-rounded cuts so both engines compare identical
+    * doubles; p defaults to exactly-representable quartiles (0.25/0.75 —
+    * binary-exact, so both engines' h = p·(n−1) interpolation index
+    * arithmetic is identical). */
+  def perplexityBuckets(train: DataFrame, eval: DataFrame, calibPred: Column,
+                        pLow: Double = 0.25, pHigh: Double = 0.75): DataFrame = {
+    require(pLow > 0.0 && pHigh < 1.0 && pLow < pHigh, s"bad cuts ($pLow, $pHigh)")
+    val scores = graft.core.InternalCaches.persist(trigramScore(train, eval))
+    val cuts = scores.filter(calibPred)
+      .agg(round(expr(s"percentile(avg_lp, ${pLow}d)"), 6).as("c_low"),
+        round(expr(s"percentile(avg_lp, ${pHigh}d)"), 6).as("c_high"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_lp") >= col("c_high"), lit("head"))
+          .when(col("avg_lp") >= col("c_low"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_trigrams"), col("avg_lp"), col("bucket"))
+  }
+
+  /** q132 — the q122 even/odd train-eval split with a fixed
+    * doc_id < 200 calibration sample (≤ 100 eval docs at ANY scale
+    * factor — the sample does not grow with the corpus). */
+  def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    perplexityBuckets(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")), col("doc_id") < 200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25"         -> (qBm25 _),
     "q114_temperature_mix" -> (qTemperatureMix _),
@@ -2312,6 +2546,10 @@ object Text {
     "q126_gopher_rules" -> (qGopherRules _),
     "q127_fivegram_score" -> (qFivegramScore _),
     "q128_line_rules"   -> (qLineRules _),
+    "q129_c4_rules"     -> (qC4Rules _),
+    "q130_dsir_weights" -> (qDsirWeights _),
+    "q131_contamination_spans" -> (qContaminationSpans _),
+    "q132_perplexity_buckets"  -> (qPerplexityBuckets _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -2352,6 +2590,54 @@ object Text {
   )
 
   private val StopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The q122 stupid-backoff trigram oracle, a val so the q132 perplexity-
+    * bucket oracle can wrap the IDENTICAL scoring chain in a CTE — the two
+    * gates cannot diverge on the LM. Model CTEs mirror the Spark rollups;
+    * every CASE branch pins the same one-multiply-one-divide double chain
+    * (explicit DOUBLE casts: DuckDB decimal literals would otherwise run
+    * the α products in exact decimal). */
+  private val TrigramScoreOracleSql: String =
+    """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         n123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n123 FROM (
+             SELECT unnest(list_transform(range(3, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 3)
+           GROUP BY w1, w2, w3),
+         n2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM (
+             SELECT unnest(list_transform(range(2, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 1], w2 := t[i])), recursive := true)
+             FROM tr WHERE len(t) >= 2)
+           GROUP BY w1, w2),
+         n1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1
+                FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                        CAST(count(DISTINCT w) AS BIGINT) AS v
+                 FROM (SELECT unnest(t) AS w FROM tr)),
+         ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 2 = 1),
+         eg AS (SELECT doc_id, w1, w2, w3 FROM (
+             SELECT doc_id, unnest(list_transform(range(3, len(t) + 1), i ->
+               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
+             FROM ev WHERE len(t) >= 3)),
+         lp AS (SELECT doc_id,
+             round(ln(CASE
+               WHEN a.n123 IS NOT NULL THEN CAST(a.n123 AS DOUBLE) / b12.n2
+               WHEN b23.n2 IS NOT NULL THEN (CAST(0.4 AS DOUBLE) * b23.n2) / u2.n1
+               ELSE ((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) *
+                     CAST(COALESCE(u3.n1, 0) + 1 AS DOUBLE)) / CAST(t.nn + t.v AS DOUBLE)
+             END), 9) AS lp
+           FROM eg
+           LEFT JOIN n123 a USING (w1, w2, w3)
+           LEFT JOIN n2 b12 ON eg.w1 = b12.w1 AND eg.w2 = b12.w2
+           LEFT JOIN n2 b23 ON eg.w2 = b23.w1 AND eg.w3 = b23.w2
+           LEFT JOIN n1 u2 ON eg.w2 = u2.w
+           LEFT JOIN n1 u3 ON eg.w3 = u3.w
+           CROSS JOIN tot t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id"""
 
   /** Shared CTE chain for the q58/q82 oracles: the EXACT J >= 0.5 pair
     * graph (LSH's false-negative caveat is q58's documented contract) and
@@ -2534,47 +2820,7 @@ object Text {
     // every CASE branch pins the same one-multiply-one-divide double
     // chain (explicit DOUBLE casts: DuckDB decimal literals would
     // otherwise run the α products in exact decimal)
-    "q122_trigram_score" ->
-      """WITH tr AS MATERIALIZED (
-           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
-         n123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n123 FROM (
-             SELECT unnest(list_transform(range(3, len(t) + 1), i ->
-               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
-             FROM tr WHERE len(t) >= 3)
-           GROUP BY w1, w2, w3),
-         n2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM (
-             SELECT unnest(list_transform(range(2, len(t) + 1), i ->
-               struct_pack(w1 := t[i - 1], w2 := t[i])), recursive := true)
-             FROM tr WHERE len(t) >= 2)
-           GROUP BY w1, w2),
-         n1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1
-                FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-                        CAST(count(DISTINCT w) AS BIGINT) AS v
-                 FROM (SELECT unnest(t) AS w FROM tr)),
-         ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                WHERE doc_id % 2 = 1),
-         eg AS (SELECT doc_id, w1, w2, w3 FROM (
-             SELECT doc_id, unnest(list_transform(range(3, len(t) + 1), i ->
-               struct_pack(w1 := t[i - 2], w2 := t[i - 1], w3 := t[i])), recursive := true)
-             FROM ev WHERE len(t) >= 3)),
-         lp AS (SELECT doc_id,
-             round(ln(CASE
-               WHEN a.n123 IS NOT NULL THEN CAST(a.n123 AS DOUBLE) / b12.n2
-               WHEN b23.n2 IS NOT NULL THEN (CAST(0.4 AS DOUBLE) * b23.n2) / u2.n1
-               ELSE ((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) *
-                     CAST(COALESCE(u3.n1, 0) + 1 AS DOUBLE)) / CAST(t.nn + t.v AS DOUBLE)
-             END), 9) AS lp
-           FROM eg
-           LEFT JOIN n123 a USING (w1, w2, w3)
-           LEFT JOIN n2 b12 ON eg.w1 = b12.w1 AND eg.w2 = b12.w2
-           LEFT JOIN n2 b23 ON eg.w2 = b23.w1 AND eg.w3 = b23.w2
-           LEFT JOIN n1 u2 ON eg.w2 = u2.w
-           LEFT JOIN n1 u3 ON eg.w3 = u3.w
-           CROSS JOIN tot t)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-           round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_lp
-         FROM lp GROUP BY doc_id""",
+    "q122_trigram_score" -> TrigramScoreOracleSql,
     // q127: the q122 unroll at 5-gram order — four backoff tiers plus the
     // pinned add-1 floor; every α-product is a left-to-right chain of
     // explicit DOUBLE casts mirroring the Spark lit() chain exactly
@@ -2669,6 +2915,94 @@ object Text {
                        OR CAST(n_ellipsis AS DOUBLE) / n_lines > 0.3
                 THEN 0 ELSE 1 END AS BIGINT) AS keep
          FROM st""",
+    // q129: the SAME five leftmost-nonoverlapping replaces derive the
+    // corpus; per-row integer counts + ONE double division; the keep CASE
+    // mirrors the operator's document-level conjunction
+    "q129_c4_rules" ->
+      """WITH der AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(text,
+             ' the ', '.' || chr(10) || 'the '),
+             ' batch ', ' {batch '),
+             ' slow fast ', ' lorem ipsum '),
+             ' spark ', ' javascript '),
+             ' value table ', ' casino table ') AS text
+         FROM documents),
+         base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM der),
+         st AS (SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '.')
+             OR ends_with(rtrim(x), '!') OR ends_with(rtrim(x), '?')
+             OR ends_with(rtrim(x), '"'))) AS BIGINT) AS n_term_lines,
+           CAST(len(text) - len(replace(text, '.', '')) AS BIGINT) AS n_sentences,
+           CAST(len(list_filter(ls, x -> contains(x, 'javascript'))) AS BIGINT) AS n_js_lines,
+           CAST(CASE WHEN contains(text, 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+           CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+           CAST(CASE WHEN contains(text, 'casino') THEN 1 ELSE 0 END AS BIGINT) AS has_bad
+         FROM base)
+         SELECT doc_id, n_lines, n_term_lines,
+           round(CAST(n_term_lines AS DOUBLE) / n_lines, 6) AS term_ratio,
+           n_sentences, n_js_lines, has_lorem, has_brace, has_bad,
+           CAST(CASE WHEN n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0
+                       AND has_bad = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM st""",
+    // q130: the bucket hash is the same 31-ary code-point polynomial mod
+    // 10000 (list_reduce with a prepended 0 accumulator ≡ Spark's
+    // aggregate with 0L init); add-1 bucket models mirror the operator;
+    // per-occurrence ln difference rounds to 9, per-doc decimal sum to 6
+    "q130_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         feat AS (SELECT doc_id, lang, unnest(list_concat(t,
+             CASE WHEN len(t) >= 2 THEN list_transform(range(2, len(t) + 1),
+               i -> t[i - 1] || ' ' || t[i]) ELSE [] END)) AS f
+           FROM tok),
+         fb AS MATERIALIZED (SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(f) + 1), i -> CAST(ascii(f[i]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 10000) AS b
+           FROM feat),
+         ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+         cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+         tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
+                        (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
+         lp AS (SELECT doc_id,
+             round(ln((COALESCE(ct, 0) + 1.0) / (nt + 10000))
+                 - ln((COALESCE(cr, 0) + 1.0) / (nr + 10000)), 9) AS lp
+           FROM fb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+           round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_lw
+         FROM lp GROUP BY doc_id""",
+    // q131: string shingles stand in for the Spark side's xxhash64 (the
+    // q34/q71 recipe); islands-and-gaps via pos - row_number() per doc
+    "q131_contamination_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, i AS pos, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                      FROM tok WHERE len(t) >= 3)),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 32),
+         matched AS (SELECT doc_id, pos FROM sh
+                     WHERE doc_id >= 32 AND s IN (SELECT s FROM ev)),
+         isl AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM matched),
+         runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+                  FROM isl GROUP BY doc_id, grp)
+         SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_matched,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(run) + 2 AS BIGINT) AS max_span_tokens
+         FROM runs GROUP BY doc_id""",
+    // q132: the q122 scoring chain VERBATIM (shared val) wrapped as a CTE;
+    // quantile_cont at binary-exact 0.25/0.75 over the fixed calibration
+    // sample, cuts rounded to 6 before the bucket comparison
+    "q132_perplexity_buckets" ->
+      s"""WITH sc AS ($TrigramScoreOracleSql),
+         cuts AS (SELECT round(quantile_cont(avg_lp, 0.25), 6) AS c_low,
+                         round(quantile_cont(avg_lp, 0.75), 6) AS c_high
+                  FROM sc WHERE doc_id < 200)
+         SELECT doc_id, n_trigrams, avg_lp,
+           CASE WHEN avg_lp >= c_high THEN 'head'
+                WHEN avg_lp >= c_low THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM sc CROSS JOIN cuts""",
     // q121: string shingles stand in for the Spark side's 64-bit hashes
     // (identical counts modulo the documented ~2^-40 collision bound, the
     // q34/q58 recipe); the df cap and capped cardinalities mirror the

@@ -472,4 +472,47 @@ class PlanContractSpec extends SparkSpec {
         s"q124 top-K not a bounded heap:\n$p")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("q129: the C4 rule battery is one join-free projection") {
+    // the q126/q128 contract: per-row integer counts + one division,
+    // nothing but scan work — any join or exchange before the scan's own
+    // output means the rule battery stopped being embarrassingly parallel
+    val p = plan("q129_c4_rules")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"q129 planned a join:\n$p")
+    assert(!p.contains("Exchange"), s"q129 shuffles a pure projection:\n$p")
+  }
+
+  test("q130: DSIR models broadcast — candidate rows never shuffle") {
+    // the q120/q122 LM contract at DSIR shape: both bucket-count model
+    // tables (<= B rows by construction) broadcast onto the candidate
+    // side's feature explode; the only non-hash join is the 1-row totals
+    // crossJoin chain. A SortMergeJoin means candidate features started
+    // shuffling by bucket — the shape that dies on a 100 TB crawl.
+    try {
+      val p = plan("q130_dsir_weights")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"q130 shuffles candidate rows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q130 planned a cartesian:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+        s"q130 expected the two broadcast model joins:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q131: contamination spans broadcast the eval set and window per doc") {
+    // the q71 contract plus the islands window: the distinct eval-shingle
+    // set joins as a BROADCAST semi-join (benchmark-bounded), and the
+    // only sort is the per-document window's partition-local sort — no
+    // global ordering operator anywhere.
+    try {
+      val p = plan("q131_contamination_spans")
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"q131 eval set not a broadcast semi-join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"q131 shuffled the semi-join:\n$p")
+      // row_number over (doc_id, pos) must be a partitioned window, never
+      // a single-partition global one
+      assert(!p.toLowerCase.contains("singlepartition"),
+        s"q131 planned a single-partition exchange:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }

@@ -1296,4 +1296,105 @@ class TextSpec extends SparkSpec {
     val counts = Text.pmiCooc(docs, minCount = 5L).collect().map(_.getLong(2))
     assert(counts.nonEmpty && counts.forall(_ >= 5L))
   }
+
+  test("c4Rules: each rule independently fails (or reports) its planted violator") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "One good line.\nSecond line.\nThird line."),    // 3 sentences -> keep
+      (1L, "Too short.\nOnly two."),                        // C2: 2 sentences
+      (2L, "Nice text. lorem ipsum filler. more. stuff."),  // C3
+      (3L, "code { here. one. two. three."),                // C4
+      (4L, "casino night. fun. more. yes."),                // C6
+      (5L, "var x\njavascript here.\ngood. two. three."),   // C5: stat only
+      (6L, "Quoted line ends well.\"\nShout!\nAsk? ok. more."))
+      .toDF("doc_id", "text")
+    val got = Text.c4Rules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(9) == 1L, s"clean doc dropped: ${got(0L)}")
+    assert(got(1L).getLong(9) == 0L && got(1L).getLong(4) == 2L,
+      s"2-sentence doc kept: ${got(1L)}")
+    assert(got(2L).getLong(6) == 1L && got(2L).getLong(9) == 0L,
+      s"lorem ipsum missed: ${got(2L)}")
+    assert(got(3L).getLong(7) == 1L && got(3L).getLong(9) == 0L,
+      s"curly brace missed: ${got(3L)}")
+    assert(got(4L).getLong(8) == 1L && got(4L).getLong(9) == 0L,
+      s"bad word missed: ${got(4L)}")
+    // the javascript rule reports the LINE count but does not drop the doc
+    assert(got(5L).getLong(5) == 1L && got(5L).getLong(9) == 1L,
+      s"javascript is a line edit, not a doc drop: ${got(5L)}")
+    // C1 counts all four terminal marks; doc 6 has 3 lines ending '"',
+    // '!' and '.' respectively — all terminal
+    assert(got(6L).getLong(1) == 3L && got(6L).getLong(2) == 3L
+      && got(6L).getDouble(3) == 1.0, s"terminal marks miscounted: ${got(6L)}")
+  }
+
+  test("dsirWeights: weights match an independent driver recomputation") {
+    import spark.implicits._
+    val buckets = 10000
+    def bucket(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toInt) % buckets)
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ").toSeq
+      t.map(bucket) ++ t.sliding(2).filter(_.size == 2)
+        .map(p => bucket(p.mkString(" "))).toSeq
+    }
+    val target = Seq((0L, "a a b")); val raw = Seq((0L, "a a b"), (1L, "b c c"))
+    val eval = Seq((10L, "a b c"), (11L, "c c"), (12L, "a a"))
+    val ct = target.flatMap(d => feats(d._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+    val cr = raw.flatMap(d => feats(d._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    val expected = eval.map { case (id, text) =>
+      val lps = feats(text).map { b =>
+        round9(math.log((ct.getOrElse(b, 0) + 1.0) / (nt + buckets)) -
+          math.log((cr.getOrElse(b, 0) + 1.0) / (nr + buckets)))
+      }
+      id -> ((lps.size.toLong, round6(lps.map(x => BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)))
+    }.toMap
+    val got = Text.dsirWeights(target.toDF("doc_id", "text"),
+      raw.toDF("doc_id", "text"), eval.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // directional: target-vocab eval doc scores above raw-only-vocab doc
+    assert(got(12L)._2 > got(11L)._2,
+      s"target-like doc must outscore raw-only doc: $got")
+  }
+
+  test("contaminationSpans: islands, span counts and max run on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h"),                    // the eval doc
+      (10L, "x x a b c d e x x a b c x"),         // runs [3,4,5] and [10]
+      (11L, "p q r s t u v"),                     // no overlap -> absent
+      (12L, "a b c d e f g h"))                   // full copy: one max run
+      .toDF("doc_id", "text")
+    val got = Text.contaminationSpans(docs, org.apache.spark.sql.functions.col("doc_id") < 10L, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 10: matched 3-gram positions 3,4,5 (a b c / b c d / c d e) and
+    // 10 (a b c) -> 4 matches, 2 spans, longest run 3 -> 3+2 = 5 tokens
+    assert(got(10L) == ((4L, 2L, 5L)), s"doc 10 spans wrong: $got")
+    // doc 12 matches every position: 6 shingles, one span, 8 tokens
+    assert(got(12L) == ((6L, 1L, 8L)), s"doc 12 spans wrong: $got")
+    assert(!got.contains(11L), "non-overlapping doc must not be reported")
+    assert(!got.contains(0L), "eval docs must not be reported")
+  }
+
+  test("perplexityBuckets: buckets partition the scored corpus in score order") {
+    val got = Text.qPerplexityBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    try {
+      val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"expected all three buckets on the gate corpus: ${byBucket.keySet}")
+      assert(byBucket("head").min >= byBucket("middle").max,
+        "head scores must dominate middle")
+      assert(byBucket("middle").min >= byBucket("tail").max,
+        "middle scores must dominate tail")
+      // composition: the scores are exactly trigramScore's on the same split
+      val scores = Text.qTrigramScore(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.forall { case (id, lp, _) => scores(id) == lp },
+        "bucketed scores diverge from the q122 LM")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
