@@ -2455,13 +2455,18 @@ object Text {
     * by doc_id — thousands of independent bounded partitions, never a
     * global sort — and only MATCHED positions (benchmark-overlap-sized,
     * not corpus-sized) enter it. */
+  /** POSITIONAL shingle struct array (pos, xxhash64 of the n-token
+    * window) — unlike graft_shingles, repeated shingles keep every
+    * position, which is what the span operators (q131/q133) align on. */
+  private def posShingleExpr(n: Int): Column = expr(
+    s"transform(sequence(1, size(t) - $n + 1), i -> " +
+      s"struct(CAST(i AS BIGINT) AS pos, " +
+      s"xxhash64(concat_ws(' ', slice(t, i, $n))) AS h))")
+
   def contaminationSpans(docs: DataFrame, evalPred: Column, n: Int): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val posShingles = expr(
-      s"transform(sequence(1, size(t) - $n + 1), i -> " +
-        s"struct(CAST(i AS BIGINT) AS pos, " +
-        s"xxhash64(concat_ws(' ', slice(t, i, $n))) AS h))")
+    val posShingles = posShingleExpr(n)
     val sh = graft.core.InternalCaches.persist(
       withTokens(docs).withColumn("is_eval", evalPred)
         .filter(size(col("t")) >= n)
@@ -2488,6 +2493,65 @@ object Text {
     * the identical plan — only the broadcast set size changes). */
   def qContaminationSpans(s: SparkSession, dir: String): DataFrame =
     contaminationSpans(Tables.documents(s, dir), col("doc_id") < 32, n = 3)
+
+  /** Corpus-level duplicated-SPAN pairs — Lee et al. 2021's ExactSubstr
+    * dedup signal between every pair of training documents (q131 measures
+    * overlap against a fixed benchmark; THIS operator finds verbatim
+    * copying inside the corpus itself, the signal doc-level Jaccard
+    * (q34/q35) dilutes and per-doc span stats (q83) don't attribute to a
+    * pair): for each document pair sharing an aligned run of ≥
+    * `minSpanTokens` verbatim tokens, report the alignment count, span
+    * count, and longest span.
+    *
+    * Alignment is the classic DIAGONAL trick: a matched shingle pair
+    * (p1, p2) lies on diagonal p1 − p2, and a verbatim run of length L
+    * yields L − n + 1 CONSECUTIVE p1 values on ONE diagonal — so runs are
+    * islands (p1 − row_number constant) within (d1, d2, diag) groups, and
+    * the longest span is max run + n − 1 tokens.
+    *
+    * Scale shape: the q121 contract end-to-end — positional shingles
+    * hashed to 64 bits, a df ≤ maxDf cap BEFORE the pair join (a viral
+    * boilerplate shingle can never go quadratic), pair work bounded by
+    * maxDf²·positions per shingle; the islands window partitions by
+    * (pair, diagonal) — bounded by the shorter doc, never global. Spans
+    * whose every shingle is boilerplate-capped are invisible by contract
+    * (the q121 "containment over non-boilerplate shingles" semantics). */
+  def duplicatedSpans(docs: DataFrame, n: Int = 3, maxDf: Long = 64L,
+                      minSpanTokens: Long = 5L): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    require(minSpanTokens >= n, s"minSpanTokens $minSpanTokens < shingle width $n")
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.core.InternalCaches.persist(
+      withTokens(docs).filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(posShingleExpr(n)).as("g"))
+        .select(col("doc_id"), col("g.pos"), col("g.h")))
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val ex = graft.core.InternalCaches.persist(sh.join(keep, Seq("h"), "leftsemi"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+    val byDiag = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    pairs
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(byDiag))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).cast(LongType).as("run"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("run")).cast(LongType).as("n_matched"),
+        count(lit(1)).cast(LongType).as("n_spans"),
+        (max(col("run")) + lit((n - 1).toLong)).cast(LongType).as("max_span_tokens"))
+      .filter(col("max_span_tokens") >= minSpanTokens)
+  }
+
+  /** q133 — trigram shingles, the q121 df cap, spans ≥ 5 tokens (the
+    * synthetic corpus' planted duplicates carry spans up to ~100 tokens;
+    * production ExactSubstr runs minSpanTokens = 50 with the identical
+    * plan). */
+  def qDuplicatedSpans(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(Tables.documents(s, dir))
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document under the [[trigramScore]] LM and split the corpus into
@@ -2550,6 +2614,7 @@ object Text {
     "q130_dsir_weights" -> (qDsirWeights _),
     "q131_contamination_spans" -> (qContaminationSpans _),
     "q132_perplexity_buckets"  -> (qPerplexityBuckets _),
+    "q133_duplicated_spans"    -> (qDuplicatedSpans _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -2990,6 +3055,29 @@ object Text {
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(max(run) + 2 AS BIGINT) AS max_span_tokens
          FROM runs GROUP BY doc_id""",
+    // q133: string shingles stand in for the Spark side's xxhash64 (the
+    // q34/q121 recipe); diagonal islands via p1 - row_number() within
+    // (pair, p1 - p2) groups
+    "q133_duplicated_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, i AS pos, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                      FROM tok WHERE len(t) >= 3)),
+         keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+                  WHERE df <= 64),
+         ex AS (SELECT doc_id, pos, s FROM sh WHERE s IN (SELECT s FROM keep)),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+         isl AS (SELECT d1, d2, p1 - p2 AS diag, p1,
+             p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp
+           FROM pairs),
+         runs AS (SELECT d1, d2, diag, grp, CAST(count(*) AS BIGINT) AS run
+                  FROM isl GROUP BY d1, d2, diag, grp)
+         SELECT d1, d2, CAST(sum(run) AS BIGINT) AS n_matched,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(run) + 2 AS BIGINT) AS max_span_tokens
+         FROM runs GROUP BY d1, d2
+         HAVING max(run) + 2 >= 5""",
     // q132: the q122 scoring chain VERBATIM (shared val) wrapped as a CTE;
     // quantile_cont at binary-exact 0.25/0.75 over the fixed calibration
     // sample, cuts rounded to 6 before the bucket comparison

@@ -515,4 +515,17 @@ class PlanContractSpec extends SparkSpec {
         s"q131 planned a single-partition exchange:\n$p")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("q133: duplicated spans — capped pair join, per-diagonal windows only") {
+    // the q121 contract with the islands window on top: the pair join runs
+    // AFTER the df cap (never a cartesian), and the only window partitions
+    // by (pair, diagonal) — no single-partition exchange anywhere
+    try {
+      val p = plan("q133_duplicated_spans")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"q133 pair join degenerated:\n$p")
+      assert(!p.toLowerCase.contains("singlepartition"),
+        s"q133 planned a single-partition exchange:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }

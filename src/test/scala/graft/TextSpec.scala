@@ -1379,6 +1379,28 @@ class TextSpec extends SparkSpec {
     assert(!got.contains(0L), "eval docs must not be reported")
   }
 
+  test("duplicatedSpans: diagonal islands find the exact aligned runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      // shares the 7-token run "a b c d e f g" (5 aligned shingles on one
+      // diagonal) plus a lone "a b c" re-occurrence on a second diagonal
+      (2L, "z z a b c d e f g z z z a b c z"),
+      (3L, "a b c q r s"))                       // 3-token overlap only — filtered
+      .toDF("doc_id", "text")
+    val got = Text.duplicatedSpans(docs, n = 3, maxDf = 64L, minSpanTokens = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((1L, 2L)),
+      s"only the long-span pair must survive minSpanTokens: ${got.keySet}")
+    // 5-shingle run (span 7 tokens) + the lone diagonal = 6 matches, 2 spans
+    assert(got((1L, 2L)) == ((6L, 2L, 7L)), s"span accounting wrong: $got")
+    // dropping the threshold surfaces the 3-token pairs too
+    val all = Text.duplicatedSpans(docs, n = 3, maxDf = 64L, minSpanTokens = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"unfiltered pairs wrong: $all")
+  }
+
   test("perplexityBuckets: buckets partition the scored corpus in score order") {
     val got = Text.qPerplexityBuckets(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
