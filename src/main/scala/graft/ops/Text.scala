@@ -2553,6 +2553,91 @@ object Text {
   def qDuplicatedSpans(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(Tables.documents(s, dir))
 
+  /** WordPiece-style greedy maximal-munch segmentation (the inference
+    * rule of Devlin et al. 2019's tokenizer, unmarked-continuation
+    * variant) with a frequency-derived piece vocabulary — the third
+    * tokenizer family next to BPE train/apply/infer (q118/q119/q124):
+    *
+    *   vocab   all substrings of length 2..maxPieceLen whose corpus
+    *           occurrence mass ≥ total_tokens/thrDiv, plus EVERY single
+    *           character (so segmentation always terminates), derived
+    *           from the distinct-word table — the scale-invariant
+    *           threshold keeps the vocab shape stable across SF
+    *   segment greedy longest-prefix-match per word, longest piece
+    *           first; words longer than maxWordLen emit [UNK] (the
+    *           deployed-WordPiece long-token rule)
+    *   report  corpus-weighted piece histogram (distinct words + total
+    *           occurrences), top-K bounded heap
+    *
+    * Scale shape: ALL work after the one corpus token scan runs on the
+    * vocab-BOUNDED distinct-word table. The greedy loop advances ≥ 1
+    * character per step, so ≤ maxWordLen iterations, each a guarded
+    * projection over maxPieceLen BROADCAST vocab joins; every iteration
+    * eagerly localCheckpoints (the q118 lineage-cut recipe) so plan depth
+    * and per-step cost stay flat, and the loop exits early once every
+    * word is consumed. The DuckDB oracle expresses the same greedy walk
+    * as a recursive CTE over the identical vocab tables, so the gate
+    * hash-matches the full segmentation, not just its shape. */
+  def wordpieceSegment(docs: DataFrame, maxPieceLen: Int = 4,
+                       maxWordLen: Int = 16, thrDiv: Long = 30L,
+                       topK: Int = 50): DataFrame = {
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(maxWordLen >= 1 && thrDiv >= 1 && topK >= 1,
+      s"bad params ($maxWordLen, $thrDiv, $topK)")
+    val words = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    val thr = words.agg(sum(col("cnt")).cast(LongType)).head.getLong(0) / thrDiv
+    def subFreq(l: Int): DataFrame =
+      words.filter(length(col("w")) >= l)
+        .select(col("cnt"), explode(expr(
+          s"transform(sequence(1, length(w) - $l + 1), i -> substring(w, i, $l))")).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).cast(LongType).as("freq"))
+    val vocabs: Map[Int, DataFrame] =
+      ((2 to maxPieceLen).map(l =>
+        l -> subFreq(l).filter(col("freq") >= thr).select(col("s").as(s"p$l"))) :+
+        (1 -> words.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p1"))
+          .distinct())).toMap
+    var state = words.filter(length(col("w")) <= maxWordLen)
+      .withColumn("pos", lit(1L))
+      .withColumn("pieces", expr("CAST(array() AS array<string>)"))
+      .localCheckpoint(true)
+    var step = 0
+    while (step < maxWordLen &&
+           !state.filter(col("pos") <= length(col("w"))).isEmpty) {
+      var st = state
+      for (l <- maxPieceLen to 1 by -1)
+        st = st.join(broadcast(vocabs(l)),
+          expr(s"p$l = substring(w, CAST(pos AS INT), $l)"), "left")
+      state = st
+        .withColumn("piece",
+          coalesce((maxPieceLen to 1 by -1).map(l => col(s"p$l")): _*))
+        .withColumn("next_pieces",
+          when(col("pos") <= length(col("w")),
+            concat(col("pieces"), array(col("piece")))).otherwise(col("pieces")))
+        .withColumn("next_pos",
+          when(col("pos") <= length(col("w")),
+            col("pos") + length(col("piece"))).otherwise(col("pos")))
+        .select(col("w"), col("cnt"), col("next_pos").as("pos"),
+          col("next_pieces").as("pieces"))
+        .localCheckpoint(true)
+      step += 1
+    }
+    val unk = words.filter(length(col("w")) > maxWordLen)
+      .select(col("w"), col("cnt"), array(lit("[UNK]")).as("pieces"))
+    state.select(col("w"), col("cnt"), col("pieces")).union(unk)
+      .select(col("w"), col("cnt"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(countDistinct(col("w")).cast(LongType).as("n_words"),
+        sum(col("cnt")).cast(LongType).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("piece").asc)
+      .limit(topK)
+  }
+
+  def qWordpiece(s: SparkSession, dir: String): DataFrame =
+    wordpieceSegment(Tables.documents(s, dir))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document under the [[trigramScore]] LM and split the corpus into
     * head / middle / tail quality buckets at calibration-sample quantile
@@ -2615,6 +2700,7 @@ object Text {
     "q131_contamination_spans" -> (qContaminationSpans _),
     "q132_perplexity_buckets"  -> (qPerplexityBuckets _),
     "q133_duplicated_spans"    -> (qDuplicatedSpans _),
+    "q134_wordpiece"           -> (qWordpiece _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3078,6 +3164,51 @@ object Text {
            CAST(max(run) + 2 AS BIGINT) AS max_span_tokens
          FROM runs GROUP BY d1, d2
          HAVING max(run) + 2 >= 5""",
+    // q134: the greedy maximal-munch walk as a recursive CTE over the
+    // IDENTICAL frequency-derived vocab tables (longest-first COALESCE =
+    // the operator's piece choice); integer threshold tot//30 both sides
+    "q134_wordpiece" ->
+      """WITH RECURSIVE tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+         words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+                   FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) // 30 AS thr FROM words),
+         v4 AS (SELECT s AS p FROM (SELECT substring(w, i, 4) AS s,
+                  CAST(sum(cnt) AS BIGINT) AS freq
+                  FROM (SELECT w, cnt, unnest(range(1, len(w) - 2)) AS i
+                        FROM words WHERE len(w) >= 4) GROUP BY s)
+                WHERE freq >= (SELECT thr FROM tot)),
+         v3 AS (SELECT s AS p FROM (SELECT substring(w, i, 3) AS s,
+                  CAST(sum(cnt) AS BIGINT) AS freq
+                  FROM (SELECT w, cnt, unnest(range(1, len(w) - 1)) AS i
+                        FROM words WHERE len(w) >= 3) GROUP BY s)
+                WHERE freq >= (SELECT thr FROM tot)),
+         v2 AS (SELECT s AS p FROM (SELECT substring(w, i, 2) AS s,
+                  CAST(sum(cnt) AS BIGINT) AS freq
+                  FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+                        FROM words WHERE len(w) >= 2) GROUP BY s)
+                WHERE freq >= (SELECT thr FROM tot)),
+         v1 AS (SELECT DISTINCT substring(w, i, 1) AS p
+                FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM words)),
+         seg AS (
+           SELECT w, cnt, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS pieces
+           FROM words WHERE len(w) <= 16
+           UNION ALL
+           SELECT w, cnt, pos + len(piece), list_append(pieces, piece)
+           FROM (SELECT s.w, s.cnt, s.pos, s.pieces,
+                   COALESCE(a4.p, a3.p, a2.p, a1.p) AS piece
+                 FROM seg s
+                 LEFT JOIN v4 a4 ON a4.p = substring(s.w, CAST(s.pos AS INT), 4)
+                 LEFT JOIN v3 a3 ON a3.p = substring(s.w, CAST(s.pos AS INT), 3)
+                 LEFT JOIN v2 a2 ON a2.p = substring(s.w, CAST(s.pos AS INT), 2)
+                 LEFT JOIN v1 a1 ON a1.p = substring(s.w, CAST(s.pos AS INT), 1)
+                 WHERE s.pos <= len(s.w))),
+         fin AS (SELECT w, cnt, pieces FROM seg WHERE pos > len(w)
+                 UNION ALL
+                 SELECT w, cnt, ['[UNK]'] FROM words WHERE len(w) > 16)
+         SELECT piece, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS occurrences
+         FROM (SELECT w, cnt, unnest(pieces) AS piece FROM fin)
+         GROUP BY piece ORDER BY occurrences DESC, piece ASC LIMIT 50""",
     // q132: the q122 scoring chain VERBATIM (shared val) wrapped as a CTE;
     // quantile_cont at binary-exact 0.25/0.75 over the fixed calibration
     // sample, cuts rounded to 6 before the bucket comparison

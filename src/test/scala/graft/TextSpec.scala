@@ -1401,6 +1401,32 @@ class TextSpec extends SparkSpec {
     assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"unfiltered pairs wrong: $all")
   }
 
+  test("wordpieceSegment: greedy longest match, char fallback, UNK for long words") {
+    import spark.implicits._
+    // total 5 tokens, thrDiv=2 -> thr=2: "abcd" (freq 2) and "ab" (freq 3,
+    // two inside abcd + the standalone word) pass; "x" (freq 1) only
+    // exists as a single char; the 17-char word takes the UNK rule
+    val docs = Seq((0L, "abcd abcd ab x zzzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val got = Text.wordpieceSegment(docs, maxPieceLen = 4, maxWordLen = 16,
+      thrDiv = 2L, topK = 50).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("abcd" -> ((1L, 2L)), "ab" -> ((1L, 1L)),
+      "x" -> ((1L, 1L)), "[UNK]" -> ((1L, 1L))), s"segmentation wrong: $got")
+  }
+
+  test("wordpieceSegment: maximal munch picks the longest piece at every step") {
+    import spark.implicits._
+    // thr = 1/1000 = 0: every substring passes, so the greedy walk on
+    // "abcdef" must take "abcd" (longest) then fall to "ef" — a
+    // shortest-first or non-greedy walk would emit different pieces
+    val docs = Seq((0L, "abcdef")).toDF("doc_id", "text")
+    val got = Text.wordpieceSegment(docs, maxPieceLen = 4, maxWordLen = 16,
+      thrDiv = 1000L, topK = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("abcd", 1L, 1L), ("ef", 1L, 1L)),
+      s"maximal munch violated: $got")
+  }
+
   test("perplexityBuckets: buckets partition the scored corpus in score order") {
     val got = Text.qPerplexityBuckets(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
