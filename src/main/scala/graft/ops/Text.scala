@@ -2638,6 +2638,156 @@ object Text {
   def qWordpiece(s: SparkSession, dir: String): DataFrame =
     wordpieceSegment(Tables.documents(s, dir))
 
+  /** Gopher REPETITION battery (Rae et al. 2021, Appendix A1.2) — the
+    * within-document repetition half of the Gopher filter stack, next to
+    * the word-level rules (q126) and line-shape rules (q128). Per doc:
+    *
+    *   dup_line_frac       (occurrences beyond the first) / n_lines
+    *   dup_line_char_frac  chars of those extra occurrences / line chars
+    *   top{2,3,4}_frac     chars of the most frequent n-gram × its count
+    *                       / total token chars (ties → lexicographically
+    *                       smallest n-gram, so the report is
+    *                       deterministic)
+    *   dup{5..10}_frac     chars of token positions covered by ANY n-gram
+    *                       occurring ≥ 2× in the doc / total token chars —
+    *                       UNION semantics, so overlapping duplicate
+    *                       n-grams never double-count a character
+    *
+    * plus the conjunctive keep flag at the paper's thresholds (0.30 /
+    * 0.20 / 0.20 / 0.18 / 0.16 / 0.15 / 0.14 / 0.13 / 0.12 / 0.11 /
+    * 0.10). Lines stand in for the paper's paragraphs too — the corpus
+    * has no separate paragraph structure.
+    *
+    * Tokens split on a whitespace CLASS (empties filtered), so line
+    * structure (newlines) never perturbs token n-gram statistics. An
+    * n-gram's char length is length(join) − (n−1): join separators out,
+    * token chars only.
+    *
+    * Scale shape: per-line and per-n-gram counts shuffle on
+    * (doc_id, line) / (doc_id, n, ngram) — key cardinality is bounded by
+    * the document's OWN size, so no global hot key exists; the coverage
+    * union re-keys on (doc_id, n, position), fan-out ≤ n per duplicate
+    * occurrence (linear in doc size); everything then collapses back to
+    * one row per doc. All statistics are exact integers until ONE pinned
+    * double division each — bit-identical on every engine and
+    * partitioning. The keep flag compares the UNROUNDED divisions. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val nsDup = 5 to 10
+    val base = graft.core.InternalCaches.persist(docs
+      .withColumn("ls", split(col("text"), "\n", -1))
+      .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .select(col("doc_id"), col("ls"), col("t")))
+    val scal = base.select(col("doc_id"),
+      size(col("ls")).cast(LongType).as("n_lines"),
+      (size(col("ls")) - size(array_distinct(col("ls")))).cast(LongType)
+        .as("n_dup_lines"),
+      expr("aggregate(ls, 0L, (acc, x) -> acc + length(x))").as("line_chars"),
+      expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").as("tot_chars"),
+      size(col("t")).cast(LongType).as("n_tok"))
+    val dupLineChars = base
+      .select(col("doc_id"), explode(col("ls")).as("line"))
+      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum((col("cnt") - 1) * length(col("line")).cast(LongType))
+        .cast(LongType).as("dup_line_chars"))
+    // top n-grams (n = 2..4) in ONE pipeline: n rides as a column through
+    // the (doc, n, ngram) count, the per-(doc, n) argmax is min(struct(
+    // -cnt, ng)) — no window — and a conditional agg pivots n wide
+    val topNg = base
+      .withColumn("n", explode(array((2 to 4).map(lit): _*)))
+      .filter(size(col("t")) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1, size(t) - n + 1), " +
+          "i -> concat_ws(' ', slice(t, i, n)))")).as("ng"))
+      .groupBy(col("doc_id"), col("n"), col("ng"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("ng").as("ng"))).as("top"))
+      .select(col("doc_id"), col("n"),
+        ((-col("top.nc")) * (length(col("top.ng")) - (col("n") - 1)))
+          .cast(LongType).as("chars"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("n") === 2, col("chars")).otherwise(0L))
+        .cast(LongType).as("top2_chars"),
+        (3 to 4).map(n =>
+          sum(when(col("n") === n, col("chars")).otherwise(0L))
+            .cast(LongType).as(s"top${n}_chars")): _*)
+    // duplicate n-grams (n = 5..10), union coverage: positional n-grams →
+    // keys seen ≥ 2× → covered (doc, n, pos) set → token-length join →
+    // conditional agg pivots n wide
+    val posNg = base
+      .withColumn("n", explode(array(nsDup.map(lit): _*)))
+      .filter(size(col("t")) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1, size(t) - n + 1), " +
+          "i -> struct(i AS i, concat_ws(' ', slice(t, i, n)) AS ng))")).as("s"))
+      .select(col("doc_id"), col("n"), col("s.i").as("i"), col("s.ng").as("ng"))
+    val dupKeys = posNg.groupBy(col("doc_id"), col("n"), col("ng"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("n"), col("ng"))
+    val tokLen = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        length(col("tok")).cast(LongType).as("tl"))
+    val dupChars = posNg.join(dupKeys, Seq("doc_id", "n", "ng"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(i, i + n - 1)")).as("pos"))
+      .distinct()
+      .join(tokLen, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("n") === nsDup.head, col("tl")).otherwise(0L))
+        .cast(LongType).as(s"dup${nsDup.head}_chars"),
+        nsDup.tail.map(n =>
+          sum(when(col("n") === n, col("tl")).otherwise(0L))
+            .cast(LongType).as(s"dup${n}_chars")): _*)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0L, num.cast(DoubleType) / den).otherwise(lit(0.0))
+    val joined = scal
+      .join(dupLineChars, Seq("doc_id"), "left")
+      .join(topNg, Seq("doc_id"), "left")
+      .join(dupChars, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_line_chars") ++
+        (2 to 4).map(n => s"top${n}_chars") ++ nsDup.map(n => s"dup${n}_chars"))
+      .withColumn("dup_line_frac_raw",
+        frac(col("n_dup_lines"), col("n_lines")))
+      .withColumn("dup_line_char_frac_raw",
+        frac(col("dup_line_chars"), col("line_chars")))
+    val withFracs = ((2 to 4).map(n => s"top$n") ++ nsDup.map(n => s"dup$n"))
+      .foldLeft(joined)((df, p) =>
+        df.withColumn(s"${p}_frac_raw", frac(col(s"${p}_chars"), col("tot_chars"))))
+    val bounds = Seq("dup_line_frac_raw" -> 0.30, "dup_line_char_frac_raw" -> 0.20,
+      "top2_frac_raw" -> 0.20, "top3_frac_raw" -> 0.18, "top4_frac_raw" -> 0.16,
+      "dup5_frac_raw" -> 0.15, "dup6_frac_raw" -> 0.14, "dup7_frac_raw" -> 0.13,
+      "dup8_frac_raw" -> 0.12, "dup9_frac_raw" -> 0.11, "dup10_frac_raw" -> 0.10)
+    withFracs
+      .withColumn("keep",
+        bounds.map { case (c, b) => col(c) <= b }.reduce(_ && _).cast(LongType))
+      .select(Seq(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        col("dup_line_chars"), col("line_chars"), col("tot_chars"),
+        round(col("dup_line_frac_raw"), 6).as("dup_line_frac"),
+        round(col("dup_line_char_frac_raw"), 6).as("dup_line_char_frac")) ++
+        ((2 to 4).map(n => s"top$n") ++ nsDup.map(n => s"dup$n")).map(p =>
+          round(col(s"${p}_frac_raw"), 6).as(s"${p}_frac")) :+
+        col("keep"): _*)
+  }
+
+  /** q135 — repetition battery over a DERIVED corpus with real repetition
+    * spread: the gate tables have no within-doc duplicate 5-grams at all,
+    * so the q123-precedent deterministic transform appends each doc's
+    * first 37 tokens to itself (full duplication for short docs, partial
+    * for long ones — spread across docs AND across n) and then derives
+    * duplicate-able line structure by ' table ' → '\ntable\n' (every such
+    * token becomes an identical single-token line). Both replaces are the
+    * same leftmost-nonoverlapping contract in both engines. */
+  def qGopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetition(Tables.documents(s, dir)
+      .withColumn("text", concat(col("text"), lit(" "),
+        array_join(expr("slice(filter(split(text, '\\\\s+'), x -> x <> ''), 1, 37)"),
+          " ")))
+      .withColumn("text",
+        replace(col("text"), lit(" table "), lit("\ntable\n"))))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document under the [[trigramScore]] LM and split the corpus into
     * head / middle / tail quality buckets at calibration-sample quantile
@@ -2701,6 +2851,7 @@ object Text {
     "q132_perplexity_buckets"  -> (qPerplexityBuckets _),
     "q133_duplicated_spans"    -> (qDuplicatedSpans _),
     "q134_wordpiece"           -> (qWordpiece _),
+    "q135_gopher_repetition"   -> (qGopherRepetition _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3209,6 +3360,106 @@ object Text {
            CAST(sum(cnt) AS BIGINT) AS occurrences
          FROM (SELECT w, cnt, unnest(pieces) AS piece FROM fin)
          GROUP BY piece ORDER BY occurrences DESC, piece ASC LIMIT 50""",
+    // q135: same derived corpus (append-37-tokens then line split), same
+    // integer statistics; the per-(doc, n) argmax ties break by smallest
+    // n-gram via QUALIFY (≡ the operator's min(struct(-cnt, ng)));
+    // n-gram char length = len(join) - (n - 1); dup coverage is the
+    // DISTINCT (doc, n, pos) union joined to token lengths
+    "q135_gopher_repetition" ->
+      ("""WITH der0 AS (SELECT doc_id,
+           text || ' ' || array_to_string(list_slice(
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+             1, 37), ' ') AS text FROM documents),
+         der AS (SELECT doc_id,
+           replace(text, ' table ', chr(10) || 'table' || chr(10)) AS text
+           FROM der0),
+         base AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+           FROM der),
+         scal AS (SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+           CAST(list_sum(list_transform(ls, x -> len(x))) AS BIGINT) AS line_chars,
+           CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS tot_chars
+           FROM base),
+         dlc AS (SELECT doc_id,
+           CAST(sum((cnt - 1) * clen) AS BIGINT) AS dup_line_chars
+           FROM (SELECT doc_id, line, count(*) AS cnt,
+                   CAST(len(line) AS BIGINT) AS clen
+                 FROM (SELECT doc_id, unnest(ls) AS line FROM base)
+                 GROUP BY doc_id, line)
+           WHERE cnt >= 2 GROUP BY doc_id),
+         topng AS (SELECT doc_id, n,
+             CAST(cnt * (len(ng) - (n - 1)) AS BIGINT) AS chars
+           FROM (SELECT doc_id, n, ng, count(*) AS cnt
+                 FROM (SELECT doc_id, n,
+                         array_to_string(list_slice(t, i, i + n - 1), ' ') AS ng
+                       FROM (SELECT doc_id, t, n,
+                               unnest(range(1, len(t) - n + 2)) AS i
+                             FROM base, unnest([2, 3, 4]) AS u(n)
+                             WHERE len(t) >= n))
+                 GROUP BY doc_id, n, ng)
+           QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                                      ORDER BY cnt DESC, ng ASC) = 1),
+         topw AS (SELECT doc_id,
+           CAST(coalesce(sum(CASE WHEN n = 2 THEN chars END), 0) AS BIGINT) AS top2_chars,
+           CAST(coalesce(sum(CASE WHEN n = 3 THEN chars END), 0) AS BIGINT) AS top3_chars,
+           CAST(coalesce(sum(CASE WHEN n = 4 THEN chars END), 0) AS BIGINT) AS top4_chars
+           FROM topng GROUP BY doc_id),
+         pos AS (SELECT doc_id, n, i,
+             array_to_string(list_slice(t, i, i + n - 1), ' ') AS ng
+           FROM (SELECT doc_id, t, n, unnest(range(1, len(t) - n + 2)) AS i
+                 FROM base, unnest([5, 6, 7, 8, 9, 10]) AS u(n)
+                 WHERE len(t) >= n)),
+         dupkeys AS (SELECT doc_id, n, ng FROM pos
+           GROUP BY doc_id, n, ng HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT p.doc_id, p.n, CAST(pp AS BIGINT) AS pos
+           FROM pos p JOIN dupkeys k
+             ON p.doc_id = k.doc_id AND p.n = k.n AND p.ng = k.ng,
+           unnest(range(p.i, p.i + p.n)) AS u(pp)),
+         toklen AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(len(t[i]) AS BIGINT) AS tl
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM base)),
+         dupw AS (SELECT c.doc_id,""" +
+        (5 to 10).map(n =>
+          s"\n           CAST(coalesce(sum(CASE WHEN c.n = $n THEN tl END), 0) AS BIGINT) AS dup${n}_chars")
+          .mkString(",") +
+        """
+           FROM cov c JOIN toklen tl ON c.doc_id = tl.doc_id AND c.pos = tl.pos
+           GROUP BY c.doc_id),
+         fr AS (SELECT s.doc_id, s.n_lines, s.n_dup_lines,
+           coalesce(d.dup_line_chars, 0) AS dup_line_chars,
+           s.line_chars, s.tot_chars,
+           CASE WHEN s.n_lines > 0
+                THEN CAST(s.n_dup_lines AS DOUBLE) / s.n_lines
+                ELSE 0.0 END AS dup_line_frac_raw,
+           CASE WHEN s.line_chars > 0
+                THEN CAST(coalesce(d.dup_line_chars, 0) AS DOUBLE) / s.line_chars
+                ELSE 0.0 END AS dup_line_char_frac_raw,""" +
+        ((2 to 4).map(n => s"top$n") ++ (5 to 10).map(n => s"dup$n")).map(p =>
+          s"""
+           CASE WHEN s.tot_chars > 0
+                THEN CAST(coalesce(${p}_chars, 0) AS DOUBLE) / s.tot_chars
+                ELSE 0.0 END AS ${p}_frac_raw""").mkString(",") +
+        """
+           FROM scal s LEFT JOIN dlc d USING (doc_id)
+           LEFT JOIN topw USING (doc_id) LEFT JOIN dupw USING (doc_id))
+         SELECT doc_id, n_lines, n_dup_lines, dup_line_chars, line_chars,
+           tot_chars,
+           round(dup_line_frac_raw, 6) AS dup_line_frac,
+           round(dup_line_char_frac_raw, 6) AS dup_line_char_frac,""" +
+        ((2 to 4).map(n => s"top$n") ++ (5 to 10).map(n => s"dup$n")).map(p =>
+          s"\n           round(${p}_frac_raw, 6) AS ${p}_frac").mkString(",") +
+        """,
+           CAST(CASE WHEN dup_line_frac_raw <= 0.30
+                      AND dup_line_char_frac_raw <= 0.20
+                      AND top2_frac_raw <= 0.20 AND top3_frac_raw <= 0.18
+                      AND top4_frac_raw <= 0.16 AND dup5_frac_raw <= 0.15
+                      AND dup6_frac_raw <= 0.14 AND dup7_frac_raw <= 0.13
+                      AND dup8_frac_raw <= 0.12 AND dup9_frac_raw <= 0.11
+                      AND dup10_frac_raw <= 0.10
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM fr"""),
     // q132: the q122 scoring chain VERBATIM (shared val) wrapped as a CTE;
     // quantile_cont at binary-exact 0.25/0.75 over the fixed calibration
     // sample, cuts rounded to 6 before the bucket comparison

@@ -1445,4 +1445,40 @@ class TextSpec extends SparkSpec {
         "bucketed scores diverge from the q122 LM")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("gopherRepetition: union coverage never double-counts overlapping dup n-grams") {
+    import spark.implicits._
+    // tokens a b c a b c a b c x: dup 5-grams "a b c a b" (pos 1,4) and
+    // "b c a b c" (pos 2,5) cover positions 1..9 as a UNION — 9 of 10
+    // chars, NOT the 20 a per-occurrence sum would claim; top bigram ties
+    // "a b" vs "b c" at count 3 → lexicographically smallest wins
+    val docs = Seq((0L, "a b c a b c a b c x")).toDF("doc_id", "text")
+    try {
+      val r = Text.gopherRepetition(docs).collect().head
+      val m = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(m("tot_chars")) == 10L, s"tot_chars: $r")
+      assert(r.getDouble(m("dup5_frac")) == 0.9, s"dup5 union wrong: $r")
+      assert(r.getDouble(m("top2_frac")) == 0.6, s"top2 tie-break wrong: $r")
+      assert(r.getLong(m("keep")) == 0L, s"repetitive doc must be dropped: $r")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("gopherRepetition: duplicate lines count occurrences beyond the first") {
+    import spark.implicits._
+    // lines [x, y, x, zz]: one extra occurrence of "x" → dup_line_frac
+    // 1/4, dup_line_char_frac 1/5; no dup 5-grams (only 4 tokens)
+    val docs = Seq((0L, "x\ny\nx\nzz")).toDF("doc_id", "text")
+    try {
+      val r = Text.gopherRepetition(docs).collect().head
+      val m = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(m("n_lines")) == 4L && r.getLong(m("n_dup_lines")) == 1L,
+        s"line counts: $r")
+      assert(r.getDouble(m("dup_line_frac")) == 0.25 &&
+        r.getDouble(m("dup_line_char_frac")) == 0.2, s"line fracs: $r")
+      assert(r.getDouble(m("dup5_frac")) == 0.0, s"short doc has no 5-grams: $r")
+      // top bigram "x y" (count 1, smallest of the tie) = 2/5 > 0.2 → drop
+      assert(r.getDouble(m("top2_frac")) == 0.4 && r.getLong(m("keep")) == 0L,
+        s"top2/keep: $r")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
