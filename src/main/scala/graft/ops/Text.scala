@@ -2023,6 +2023,75 @@ object Text {
       replace(replace(replace(col("text"), lit("a"), lit("ä")),
         lit("e"), lit("é")), lit("o"), lit("ø"))))
 
+  /** Tokenizer FERTILITY report — the per-source evaluation every
+    * tokenizer deployment publishes before committing to a vocabulary
+    * (fertility = average pieces per word occurrence; the multilingual-
+    * tokenizer literature's standard cost metric, where a fertility gap
+    * between sources means one source pays more sequence length per word
+    * than another). Train a BPE merge table on `train`, segment `eval`
+    * with the FROZEN table (the q124 deployment contract — OOV symbols
+    * stay character-split), then roll up per source:
+    *
+    *   n_words          distinct eval words        n_occ   occurrences
+    *   fertility        Σ freq·pieces / Σ freq     (pieces per occurrence)
+    *   chars_per_piece  Σ freq·chars  / Σ freq·pieces
+    *   split_rate       Σ freq·[pieces ≥ 2] / Σ freq
+    *
+    * Scale shape: the merge table is an nMerges-row collect (the q124
+    * limit-gated contract); the eval corpus is scanned ONCE into a
+    * (source × vocab)-bounded word table; the whole frozen chain is the
+    * q124 single nested-replace projection (chunked localCheckpoints past
+    * `chunkEvery`); the rollup is a bounded-frame aggregation keyed by
+    * source. All sums are exact integers; each ratio is ONE pinned double
+    * division, rounded to 6 for the report. */
+  def tokenizerFertility(train: DataFrame, eval: DataFrame, nMerges: Int = 8,
+                         chunkEvery: Int = 64): DataFrame = {
+    require(chunkEvery >= 1, s"chunkEvery must be >= 1, got $chunkEvery")
+    val merges = bpeTrain(train, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    var cur = withTokens(eval)
+      .select(col("source"), explode(col("t")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast(LongType).as("freq"))
+      .withColumn("s", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
+        lit(" ")))
+      .coalesce(4)
+    merges.grouped(chunkEvery).foreach { chunk =>
+      val chained = chunk.foldLeft(col("s")) { case (acc, (a, b)) =>
+        replace(acc, lit(s" $a  $b "), lit(s" ${a + b} "))
+      }
+      cur = cur.withColumn("s", chained)
+      if (merges.length > chunkEvery) cur = cur.localCheckpoint(true)
+    }
+    cur
+      .withColumn("k",
+        size(expr("filter(split(trim(s), '  '), x -> x <> '')")).cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_words"),
+        sum(col("freq")).cast(LongType).as("n_occ"),
+        sum(col("freq") * col("k")).cast(LongType).as("pieces_occ"),
+        sum(col("freq") * length(col("w")).cast(LongType)).cast(LongType)
+          .as("chars_occ"),
+        sum(when(col("k") >= 2L, col("freq")).otherwise(0L)).cast(LongType)
+          .as("split_occ"))
+      .withColumn("fertility",
+        round(col("pieces_occ").cast(DoubleType) / col("n_occ"), 6))
+      .withColumn("chars_per_piece",
+        round(col("chars_occ").cast(DoubleType) / col("pieces_occ"), 6))
+      .withColumn("split_rate",
+        round(col("split_occ").cast(DoubleType) / col("n_occ"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** q136 — fertility over the q124 corpus split: merges frozen from the
+    * doc_id-even half, the odd half segmented and rolled up per source. */
+  def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    tokenizerFertility(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** Held-out LM scoring — train the q100 bigram model on one corpus
     * half and score the OTHER half with add-1 smoothing: the
     * train/apply split q88's self-scored unigram filter lacks, and the
@@ -2852,6 +2921,7 @@ object Text {
     "q133_duplicated_spans"    -> (qDuplicatedSpans _),
     "q134_wordpiece"           -> (qWordpiece _),
     "q135_gopher_repetition"   -> (qGopherRepetition _),
+    "q136_tokenizer_fertility" -> (qTokenizerFertility _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3032,6 +3102,45 @@ object Text {
     sb.toString
   }
 
+  /** The q136 oracle: the q124 frozen-chain recipe with the eval word
+    * table keyed by (source, w); the final rollup mirrors the operator's
+    * integer sums and pinned double divisions. */
+  private def fertilityOracle(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeCtes(nMerges, "(SELECT text FROM documents WHERE doc_id % 2 = 0)")
+    sb ++= s""",
+         e0 AS MATERIALIZED (
+           SELECT source, w, freq, ' ' || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
+           FROM (SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE doc_id % 2 = 1)
+                 GROUP BY source, w))"""
+    for (k <- 1 to nMerges)
+      sb ++= s""",
+         e$k AS (SELECT source, w, freq,
+           replace(s, ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+                      ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
+           FROM e${k - 1})"""
+    sb ++= s""",
+         seg AS (SELECT source, w, freq,
+           CAST(len(list_filter(string_split(trim(s), '  '), x -> x <> '')) AS BIGINT) AS k
+           FROM e$nMerges),
+         agg AS (SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS n_occ,
+           CAST(sum(freq * k) AS BIGINT) AS pieces_occ,
+           CAST(sum(freq * len(w)) AS BIGINT) AS chars_occ,
+           CAST(coalesce(sum(CASE WHEN k >= 2 THEN freq END), 0) AS BIGINT) AS split_occ
+           FROM seg GROUP BY source)
+         SELECT source, n_words, n_occ, pieces_occ, chars_occ, split_occ,
+           round(CAST(pieces_occ AS DOUBLE) / n_occ, 6) AS fertility,
+           round(CAST(chars_occ AS DOUBLE) / pieces_occ, 6) AS chars_per_piece,
+           round(CAST(split_occ AS DOUBLE) / n_occ, 6) AS split_rate
+         FROM agg ORDER BY source"""
+    sb.toString
+  }
+
   /** The q119 oracle re-derives the merge chain (same CTEs) and counts
     * symbols straight off the final anchored strings. */
   private def bpeApplyOracle(nMerges: Int, topK: Int): String =
@@ -3049,6 +3158,7 @@ object Text {
     "q123_bpe_unicode" -> bpeTrainOracle(8,
       "(SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 'o', 'ø') AS text FROM documents)"),
     "q124_bpe_inference" -> bpeInferenceOracle(8, 20),
+    "q136_tokenizer_fertility" -> fertilityOracle(8),
     // q126: per-row integer counts + one DOUBLE division per ratio; the
     // keep CASE compares the UNROUNDED division (identical IEEE chain);
     // '...' counted by leftmost-nonoverlap replace-and-diff (integer //

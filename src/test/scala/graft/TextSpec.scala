@@ -1446,6 +1446,24 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("tokenizerFertility: frozen merges segment OOV words partially, per-source rollup exact") {
+    import spark.implicits._
+    // train "xyz xyz": merge1 (x,y)->xy, merge2 (xy,z)->xyz. Eval source A
+    // segments fully (fertility 1.0); source B is OOV — "qq" -> [q, q] and
+    // "qxy" -> [q, xy] (the frozen x+y merge still fires inside an unseen
+    // word) — fertility 2.0, chars_per_piece 5/4, split_rate 1.0
+    val train = Seq((0L, "xyz xyz")).toDF("doc_id", "text")
+    val eval = Seq((1L, "xyz z xy", "A"), (3L, "qq qxy", "B"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val got = Text.tokenizerFertility(train, eval, nMerges = 2).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+      assert(got("A") == ((3L, 3L, 1.0, 2.0, 0.0)), s"source A wrong: ${got("A")}")
+      assert(got("B") == ((2L, 2L, 2.0, 1.25, 1.0)), s"source B wrong: ${got("B")}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("gopherRepetition: union coverage never double-counts overlapping dup n-grams") {
     import spark.implicits._
     // tokens a b c a b c a b c x: dup 5-grams "a b c a b" (pos 1,4) and
