@@ -2092,6 +2092,81 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Per-source unigram KL divergence vs the corpus mixture — the
+    * distributional diagnostic behind mixture reweighting (a source with
+    * high KL(P_source ‖ P_corpus) is the one temperature mixing / DSIR
+    * resampling will most reshape; the same statistic ranks domains by
+    * distinctiveness in data-selection papers). Both distributions are
+    * add-1 smoothed over the SHARED corpus vocabulary, so every term is
+    * finite and Σp = Σq = 1 exactly:
+    *
+    *   p_s(w) = (c_sw + 1)/(T_s + V)     q(w) = (c_w + 1)/(T + V)
+    *   KL(s)  = Σ_w p_s(w)·(ln p_s(w) − ln q(w))
+    *
+    * Scale shape — the naive sum is a SOURCE × VOCAB cross product, which
+    * at crawl scale is the bottleneck; the absent-word mass is instead
+    * folded algebraically: for w unseen in s, p_s(w) is the CONSTANT
+    * p₀ = 1/(T_s + V), so
+    *
+    *   KL_absent(s) = p₀·[(V − V_s)·ln p₀ − (Σ_all ln q − Σ_present ln q)]
+    *
+    * and the whole statistic needs only the PRESENT (source, word) frame
+    * (keyed shuffle, no hot key beyond a source's own vocab), ONE
+    * vocab-bounded ln q table, a 1-row Σ_all ln q aggregate, and a
+    * K-row per-source finish. Floats are pinned the PSI/q117 way: each
+    * ln rounds to 9, per-term contributions round to 9 and sum as
+    * decimals (order-free), the K-row finish is one double chain rounded
+    * to 6. */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val tok = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("source"), explode(col("t")).as("w")))
+    val cw = graft.core.InternalCaches.persist(
+      tok.groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c_w")))
+    val tot = cw.agg(sum(col("c_w")).cast(LongType).as("t_all"),
+      count(lit(1)).cast(LongType).as("v_all"))
+    val lnq = graft.core.InternalCaches.persist(
+      cw.crossJoin(broadcast(tot)).select(col("w"),
+        round(log((col("c_w") + 1).cast(DoubleType) /
+          (col("t_all") + col("v_all")).cast(DoubleType)), 9).as("lnq")))
+    val lAll = lnq.agg(sum(col("lnq").cast(dec)).as("l_all"))
+    val csw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast(LongType).as("c_sw"))
+    val ts = csw.groupBy(col("source"))
+      .agg(sum(col("c_sw")).cast(LongType).as("t_s"),
+        count(lit(1)).cast(LongType).as("v_s"))
+    val present = csw.join(ts, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .join(lnq, Seq("w"))
+      .withColumn("p_sw", (col("c_sw") + 1).cast(DoubleType) /
+        (col("t_s") + col("v_all")).cast(DoubleType))
+      .withColumn("term",
+        round(col("p_sw") * (round(log(col("p_sw")), 9) - col("lnq")), 9))
+      .groupBy(col("source"))
+      .agg(sum(col("term").cast(dec)).as("kl_present_dec"),
+        sum(col("lnq").cast(dec)).as("l_s"))
+    present.join(ts, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(lAll))
+      .withColumn("p0",
+        lit(1.0) / (col("t_s") + col("v_all")).cast(DoubleType))
+      .withColumn("kl_absent",
+        col("p0") * ((col("v_all") - col("v_s")).cast(DoubleType) *
+          round(log(col("p0")), 9) -
+          (col("l_all") - col("l_s")).cast(DoubleType)))
+      .select(col("source"), col("t_s").as("n_tokens"),
+        col("v_s").as("n_types"),
+        round(col("kl_present_dec").cast(DoubleType), 6).as("kl_present"),
+        // + 0.0 canonicalizes the −0.0 a full-coverage source produces
+        (round(col("kl_absent"), 6) + lit(0.0)).as("kl_absent"),
+        (round(col("kl_present_dec").cast(DoubleType) + col("kl_absent"), 6)
+          + lit(0.0)).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  def qSourceKl(s: SparkSession, dir: String): DataFrame =
+    sourceKlDivergence(Tables.documents(s, dir))
+
   /** Held-out LM scoring — train the q100 bigram model on one corpus
     * half and score the OTHER half with add-1 smoothing: the
     * train/apply split q88's self-scored unigram filter lacks, and the
@@ -2922,6 +2997,7 @@ object Text {
     "q134_wordpiece"           -> (qWordpiece _),
     "q135_gopher_repetition"   -> (qGopherRepetition _),
     "q136_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q137_source_kl"           -> (qSourceKl _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3159,6 +3235,44 @@ object Text {
       "(SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 'o', 'ø') AS text FROM documents)"),
     "q124_bpe_inference" -> bpeInferenceOracle(8, 20),
     "q136_tokenizer_fertility" -> fertilityOracle(8),
+    // q137: the same algebraic absent-mass fold — ln rounds to 9,
+    // per-term contribs round to 9 and sum as decimals, the K-row finish
+    // is the identical double chain; kl sums the UNROUNDED kl_absent
+    "q137_source_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tok GROUP BY w),
+         tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_all,
+                        CAST(count(*) AS BIGINT) AS v_all FROM cw),
+         lnq AS (SELECT w, round(ln(CAST(c_w + 1 AS DOUBLE) /
+             CAST((SELECT t_all FROM tot) + (SELECT v_all FROM tot) AS DOUBLE)),
+             9) AS lnq FROM cw),
+         lall AS (SELECT sum(CAST(lnq AS DECIMAL(28, 12))) AS l_all FROM lnq),
+         csw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+                 FROM tok GROUP BY source, w),
+         ts AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s,
+                       CAST(count(*) AS BIGINT) AS v_s FROM csw GROUP BY source),
+         pres AS (SELECT source,
+             sum(CAST(round(p_sw * (round(ln(p_sw), 9) - lnq), 9)
+                 AS DECIMAL(28, 12))) AS kl_present_dec,
+             sum(CAST(lnq AS DECIMAL(28, 12))) AS l_s
+           FROM (SELECT c.source,
+                   CAST(c.c_sw + 1 AS DOUBLE) /
+                     CAST(t.t_s + (SELECT v_all FROM tot) AS DOUBLE) AS p_sw,
+                   l.lnq
+                 FROM csw c JOIN ts t USING (source) JOIN lnq l USING (w))
+           GROUP BY source),
+         fin AS (SELECT p.source, t.t_s, t.v_s, p.kl_present_dec,
+             (1.0 / CAST(t.t_s + (SELECT v_all FROM tot) AS DOUBLE)) *
+             (CAST((SELECT v_all FROM tot) - t.v_s AS DOUBLE) *
+               round(ln(1.0 / CAST(t.t_s + (SELECT v_all FROM tot) AS DOUBLE)), 9)
+              - CAST(l.l_all - p.l_s AS DOUBLE)) AS kl_absent_raw
+           FROM pres p JOIN ts t USING (source), lall l)
+         SELECT source, t_s AS n_tokens, v_s AS n_types,
+           round(CAST(kl_present_dec AS DOUBLE), 6) AS kl_present,
+           round(kl_absent_raw, 6) + 0.0 AS kl_absent,
+           round(CAST(kl_present_dec AS DOUBLE) + kl_absent_raw, 6) + 0.0 AS kl
+         FROM fin ORDER BY source""",
     // q126: per-row integer counts + one DOUBLE division per ratio; the
     // keep CASE compares the UNROUNDED division (identical IEEE chain);
     // '...' counted by leftmost-nonoverlap replace-and-diff (integer //

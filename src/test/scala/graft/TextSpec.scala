@@ -1464,6 +1464,46 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("sourceKlDivergence: absent-mass fold equals the naive full-vocab sum") {
+    import spark.implicits._
+    // vocab {a,b,c}, V=3, T=4: q = (3/7, 2/7, 2/7). Source A "a a b"
+    // (c absent), source B "c" (a, b absent) — the fold must reproduce
+    // the naive Σ over the FULL vocab including each source's absent words
+    val docs = Seq((0L, "a a b", "A"), (1L, "c", "B")).toDF("doc_id", "text", "source")
+    def naiveKl(present: Map[String, Long], q: Map[String, Double], v: Int): Double = {
+      val ts = present.values.sum
+      q.keys.map { w =>
+        val p = (present.getOrElse(w, 0L) + 1).toDouble / (ts + v)
+        p * math.log(p / q(w))
+      }.sum
+    }
+    val q = Map("a" -> 3.0 / 7, "b" -> 2.0 / 7, "c" -> 2.0 / 7)
+    try {
+      val got = Text.sourceKlDivergence(docs).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      val expA = naiveKl(Map("a" -> 2L, "b" -> 1L), q, 3)
+      val expB = naiveKl(Map("c" -> 1L), q, 3)
+      assert(math.abs(got("A")._3 - expA) < 1e-5, s"A: ${got("A")._3} vs $expA")
+      assert(math.abs(got("B")._3 - expB) < 1e-5, s"B: ${got("B")._3} vs $expB")
+      assert(got.values.forall(v => v._3 >= 0.0), s"KL must be non-negative: $got")
+      assert(got.values.forall(v => math.abs(v._1 + v._2 - v._3) < 2e-6),
+        s"kl must equal present + absent: $got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("sourceKlDivergence: a source matching the corpus distribution scores ~0") {
+    import spark.implicits._
+    // both sources have IDENTICAL text → each equals the mixture; with
+    // add-1 smoothing over the shared vocab KL is exactly the rounding
+    // floor (t_s differs from T so smoothed masses differ slightly)
+    val docs = Seq((0L, "a b c a", "A"), (1L, "a b c a", "B"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val got = Text.sourceKlDivergence(docs).collect().map(_.getDouble(5))
+      assert(got.forall(k => k >= 0.0 && k < 0.02), s"near-zero KL expected: ${got.toSeq}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("gopherRepetition: union coverage never double-counts overlapping dup n-grams") {
     import spark.implicits._
     // tokens a b c a b c a b c x: dup 5-grams "a b c a b" (pos 1,4) and
