@@ -2167,6 +2167,95 @@ object Text {
   def qSourceKl(s: SparkSession, dir: String): DataFrame =
     sourceKlDivergence(Tables.documents(s, dir))
 
+  /** Corpus-level BLEU (Papineni et al., ACL 2002) between a candidate and
+    * a reference column of token arrays — the standard n-gram-overlap eval
+    * every generation/translation pipeline reports. Per order n = 1..4:
+    *
+    *   p_n = Σ_docs Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_docs cnt_cand
+    *   BP  = 1 if c ≥ r else exp(1 − r/c)      (corpus token lengths)
+    *   BLEU = BP · exp(mean_n ln p_n)
+    *
+    * This is CORPUS BLEU — matched/total counts sum over documents before
+    * the division, exactly as the reference implementation does (sentence
+    * BLEU then averaging is a different, non-standard statistic).
+    *
+    * Scale shape: one scan of the pair corpus; n-gram counts key by
+    * (doc_id, n, gram) so the clip join is co-partitioned with no hot key
+    * (a gram repeated across the corpus never meets itself across
+    * documents); the rollup collapses to 4 rows per group key before any
+    * float. Floats are pinned: each p_n is ONE double division of exact
+    * BIGINT sums, ln/exp round to 9, the 4-term mean is a fixed
+    * left-to-right chain, the final product rounds to 6. Zero-match
+    * orders short-circuit BLEU to 0.0 via a mirrored CASE (no −inf). */
+  def corpusBleu(pairs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val base = graft.core.InternalCaches.persist(
+      pairs.select(col(groupCol).as("grp"), col("doc_id"), col("r"), col("c")))
+    val lens = base.groupBy(col("grp"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(size(col("c"))).cast(LongType).as("c_len"),
+        sum(size(col("r"))).cast(LongType).as("r_len"))
+    def grams(src: String): Column = expr(
+      s"transform(sequence(1, size($src) - n + 1), " +
+        s"i -> array_join(slice($src, i, n), ' '))")
+    val withN = base.select(col("grp"), col("doc_id"), col("r"), col("c"),
+      explode(array((1 to 4).map(lit): _*)).as("n"))
+    val cg = withN.filter(size(col("c")) >= col("n"))
+      .select(col("grp"), col("doc_id"), col("n"), explode(grams("c")).as("g"))
+      .groupBy(col("grp"), col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).cast(LongType).as("c_c"))
+    val rg = withN.filter(size(col("r")) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(grams("r")).as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).cast(LongType).as("c_r"))
+    val byN = cg.join(rg, Seq("doc_id", "n", "g"), "left")
+      .groupBy(col("grp"), col("n"))
+      .agg(sum(least(col("c_c"), coalesce(col("c_r"), lit(0L))))
+        .cast(LongType).as("m"),
+        sum(col("c_c")).cast(LongType).as("tot"))
+    def pick(i: Int, c: String): Column =
+      coalesce(max(when(col("n") === i, col(c))), lit(0L)).cast(LongType)
+    val wide = byN.groupBy(col("grp"))
+      .agg(pick(1, "m").as("m1"), pick(1, "tot").as("t1"),
+        pick(2, "m").as("m2"), pick(2, "tot").as("t2"),
+        pick(3, "m").as("m3"), pick(3, "tot").as("t3"),
+        pick(4, "m").as("m4"), pick(4, "tot").as("t4"))
+    def lp(i: Int): Column =
+      round(log(col(s"m$i").cast(DoubleType) / col(s"t$i").cast(DoubleType)), 9)
+    lens.join(wide, Seq("grp"))
+      .withColumn("bp", when(col("c_len") >= col("r_len"), lit(1.0))
+        .otherwise(round(exp(lit(1.0) -
+          col("r_len").cast(DoubleType) / col("c_len").cast(DoubleType)), 9)))
+      .withColumn("bleu",
+        when(col("m1") === 0L || col("m2") === 0L ||
+          col("m3") === 0L || col("m4") === 0L, lit(0.0))
+          .otherwise(round(col("bp") *
+            round(exp((lp(1) + lp(2) + lp(3) + lp(4)) / lit(4.0)), 9), 6)))
+      .select(col("grp").as(groupCol), col("n_docs"), col("c_len"),
+        col("r_len"),
+        col("m1"), col("t1"), col("m2"), col("t2"),
+        col("m3"), col("t3"), col("m4"), col("t4"),
+        round(col("m1").cast(DoubleType) / col("t1"), 6).as("p1"),
+        round(col("m4").cast(DoubleType) / col("t4"), 6).as("p4"),
+        col("bp"), col("bleu"))
+      .orderBy(col(groupCol))
+  }
+
+  /** q138 — corpus BLEU per source over a DERIVED candidate/reference pair
+    * corpus: reference = the document's tokens, candidate = the same
+    * tokens with every 7th position dropped and every 11th replaced by
+    * 'UNK' (deterministic corruption, so clipping and the brevity penalty
+    * are both genuinely exercised — candidates are shorter AND carry
+    * n-grams the reference lacks). */
+  private[graft] def bleuDerivedPairs(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("source"), col("doc_id"), col("t").as("r"),
+        expr("transform(filter(sequence(1, size(t)), i -> i % 7 != 0), " +
+          "i -> CASE WHEN i % 11 = 0 THEN 'UNK' ELSE element_at(t, i) END)")
+          .as("c"))
+
+  def qCorpusBleu(s: SparkSession, dir: String): DataFrame =
+    corpusBleu(bleuDerivedPairs(Tables.documents(s, dir)))
+
   /** Held-out LM scoring — train the q100 bigram model on one corpus
     * half and score the OTHER half with add-1 smoothing: the
     * train/apply split q88's self-scored unigram filter lacks, and the
@@ -2998,6 +3087,7 @@ object Text {
     "q135_gopher_repetition"   -> (qGopherRepetition _),
     "q136_tokenizer_fertility" -> (qTokenizerFertility _),
     "q137_source_kl"           -> (qSourceKl _),
+    "q138_corpus_bleu"         -> (qCorpusBleu _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3238,6 +3328,72 @@ object Text {
     // q137: the same algebraic absent-mass fold — ln rounds to 9,
     // per-term contribs round to 9 and sum as decimals, the K-row finish
     // is the identical double chain; kl sums the UNROUNDED kl_absent
+    // q138: same derived candidate (drop 7th, UNK 11th); clip join keyed
+    // (doc_id, n, g); every p_n is ONE double division of BIGINT sums,
+    // ln/exp round 9, fixed 4-term mean, final product round 6
+    "q138_corpus_bleu" ->
+      """WITH base AS (SELECT source AS grp, doc_id,
+           string_split(text, ' ') AS r,
+           list_transform(
+             list_filter(range(1, len(string_split(text, ' ')) + 1),
+                         i -> i % 7 <> 0),
+             i -> CASE WHEN i % 11 = 0 THEN 'UNK'
+                       ELSE string_split(text, ' ')[i] END) AS c
+           FROM documents),
+         lens AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(c)) AS BIGINT) AS c_len,
+             CAST(sum(len(r)) AS BIGINT) AS r_len
+           FROM base GROUP BY grp),
+         cg AS (SELECT grp, doc_id, n,
+             array_to_string(list_slice(c, i, i + n - 1), ' ') AS g,
+             CAST(count(*) AS BIGINT) AS c_c
+           FROM (SELECT grp, doc_id, c, n,
+                   unnest(range(1, len(c) - n + 2)) AS i
+                 FROM base, unnest([1, 2, 3, 4]) AS u(n)
+                 WHERE len(c) >= n)
+           GROUP BY grp, doc_id, n, g),
+         rg AS (SELECT doc_id, n,
+             array_to_string(list_slice(r, i, i + n - 1), ' ') AS g,
+             CAST(count(*) AS BIGINT) AS c_r
+           FROM (SELECT doc_id, r, n,
+                   unnest(range(1, len(r) - n + 2)) AS i
+                 FROM base, unnest([1, 2, 3, 4]) AS u(n)
+                 WHERE len(r) >= n)
+           GROUP BY doc_id, n, g),
+         byn AS (SELECT grp, n,
+             CAST(sum(least(c_c, coalesce(c_r, 0))) AS BIGINT) AS m,
+             CAST(sum(c_c) AS BIGINT) AS tot
+           FROM cg LEFT JOIN rg USING (doc_id, n, g)
+           GROUP BY grp, n),
+         wide AS (SELECT grp,
+             CAST(coalesce(max(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+             CAST(coalesce(max(CASE WHEN n = 1 THEN tot END), 0) AS BIGINT) AS t1,
+             CAST(coalesce(max(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+             CAST(coalesce(max(CASE WHEN n = 2 THEN tot END), 0) AS BIGINT) AS t2,
+             CAST(coalesce(max(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+             CAST(coalesce(max(CASE WHEN n = 3 THEN tot END), 0) AS BIGINT) AS t3,
+             CAST(coalesce(max(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+             CAST(coalesce(max(CASE WHEN n = 4 THEN tot END), 0) AS BIGINT) AS t4
+           FROM byn GROUP BY grp),
+         fin AS (SELECT l.grp, l.n_docs, l.c_len, l.r_len,
+             w.m1, w.t1, w.m2, w.t2, w.m3, w.t3, w.m4, w.t4,
+             CASE WHEN l.c_len >= l.r_len THEN 1.0
+                  ELSE round(exp(1.0 - CAST(l.r_len AS DOUBLE) /
+                                 CAST(l.c_len AS DOUBLE)), 9) END AS bp
+           FROM lens l JOIN wide w USING (grp))
+         SELECT grp AS source, n_docs, c_len, r_len,
+           m1, t1, m2, t2, m3, t3, m4, t4,
+           round(CAST(m1 AS DOUBLE) / t1, 6) AS p1,
+           round(CAST(m4 AS DOUBLE) / t4, 6) AS p4,
+           bp,
+           CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN 0.0
+                ELSE round(bp * round(exp(
+                  (round(ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)), 9) +
+                   round(ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 9) +
+                   round(ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE)), 9) +
+                   round(ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE)), 9)) /
+                  CAST(4 AS DOUBLE)), 9), 6) END AS bleu
+         FROM fin ORDER BY source""",
     "q137_source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
            FROM documents),

@@ -1539,4 +1539,52 @@ class TextSpec extends SparkSpec {
         s"top2/keep: $r")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("corpusBleu: hand-computed clipped counts, BP, and BLEU on a 14-token doc") {
+    import spark.implicits._
+    // derivation drops positions 7 and 14, UNKs position 11:
+    // cand = [w1..w6, w8, w9, w10, UNK, w12, w13] (12 tokens vs ref 14)
+    val docs = Seq((0L, (1 to 14).map("w" + _).mkString(" "), "A"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val r = Text.corpusBleu(Text.bleuDerivedPairs(docs)).collect().head
+      val m = r.schema.fieldNames.zipWithIndex.toMap
+      assert((r.getLong(m("c_len")), r.getLong(m("r_len"))) == ((12L, 14L)), s"$r")
+      assert((r.getLong(m("m1")), r.getLong(m("t1"))) == ((11L, 12L)), s"uni: $r")
+      assert((r.getLong(m("m2")), r.getLong(m("t2"))) == ((8L, 11L)), s"bi: $r")
+      assert((r.getLong(m("m3")), r.getLong(m("t3"))) == ((5L, 10L)), s"tri: $r")
+      assert((r.getLong(m("m4")), r.getLong(m("t4"))) == ((3L, 9L)), s"quad: $r")
+      val bp = BigDecimal(math.exp(1.0 - 14.0 / 12.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(m("bp")) == bp, s"bp: ${r.getDouble(m("bp"))} vs $bp")
+      def lp(a: Int, b: Int) = BigDecimal(math.log(a.toDouble / b))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mean = (lp(11, 12) + lp(8, 11) + lp(5, 10) + lp(3, 9)) / 4.0
+      val exp = BigDecimal(bp * BigDecimal(math.exp(mean))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(m("bleu")) == exp,
+        s"bleu: ${r.getDouble(m("bleu"))} vs $exp")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("corpusBleu: identical pairs score 1.0; clipping zeroes an order → BLEU 0") {
+    import spark.implicits._
+    val same = Seq(("A", 0L, Seq("a", "b", "c", "d", "e")))
+      .toDF("source", "doc_id", "r")
+      .withColumn("c", org.apache.spark.sql.functions.col("r"))
+    val clip = Seq(("B", 1L, Seq("a", "b", "c", "d"), Seq("a", "a", "a", "a", "a")))
+      .toDF("source", "doc_id", "r", "c")
+    try {
+      val r1 = Text.corpusBleu(same).collect().head
+      val m1 = r1.schema.fieldNames.zipWithIndex.toMap
+      assert(r1.getDouble(m1("bleu")) == 1.0 && r1.getDouble(m1("bp")) == 1.0, s"$r1")
+      val r2 = Text.corpusBleu(clip).collect().head
+      val m2 = r2.schema.fieldNames.zipWithIndex.toMap
+      // cand "a"×5 clips to ref's single "a" → m1 = 1 of 5; no cand
+      // bigram matches → BLEU short-circuits to 0 (no −inf)
+      assert((r2.getLong(m2("m1")), r2.getLong(m2("t1"))) == ((1L, 5L)), s"$r2")
+      assert(r2.getLong(m2("m2")) == 0L && r2.getDouble(m2("bleu")) == 0.0, s"$r2")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
