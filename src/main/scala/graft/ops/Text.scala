@@ -2246,6 +2246,72 @@ object Text {
     * 'UNK' (deterministic corruption, so clipping and the brevity penalty
     * are both genuinely exercised — candidates are shorter AND carry
     * n-grams the reference lacks). */
+  /** Per-source Zipf-law fit — the corpus-statistics sanity check every
+    * data-profiling pass publishes: rank words by frequency (ties broken
+    * lexicographically, so the rank order is total and engine-exact) and
+    * least-squares fit ln(freq) = intercept + slope·ln(rank) over the top
+    * `topR` ranks (natural text sits near slope ≈ −1; synthetic/spammy
+    * sources drift, which makes the slope a cheap source-quality signal).
+    * R² of the fit is surfaced alongside.
+    *
+    * Scale shape: ONE corpus scan into the (source, word) count frame —
+    * the only corpus-sized shuffle; the per-source top-R cut is the
+    * bounded-heap TopKPerKey operator (map-side partial heaps, ≤ R rows
+    * per source per partition cross the wire, no vocab-sized window),
+    * and the rank window after it runs on ≤ R rows per source, a
+    * constant. Floats pinned: ln's round to 9, per-rank products round
+    * to 9 and sum as decimals (order-free), the slope/intercept/R²
+    * finish is one double chain per source rounded to 6. */
+  def zipfSlope(docs: DataFrame, topR: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(28, 12)
+    val freqs = withTokens(docs)
+      .select(col("source"), explode(col("t")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast(LongType).as("freq"))
+    val top = graft.plans.TopK.perKey(freqs, Seq("source"),
+      Seq(graft.plans.TopK.desc("freq"), graft.plans.TopK.asc("w")), topR)
+    val ranked = top.withColumn("rank", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("freq").desc, col("w").asc)).cast(LongType))
+    val xy = ranked.select(col("source"), col("freq"), col("rank"),
+      round(log(col("rank").cast(DoubleType)), 9).as("x"),
+      round(log(col("freq").cast(DoubleType)), 9).as("y"))
+    val sums = xy.groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_ranks"),
+        max(when(col("rank") === 1L, col("freq"))).cast(LongType).as("top_freq"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(round(col("x") * col("y"), 9).cast(dec)).as("sxy"),
+        sum(round(col("x") * col("x"), 9).cast(dec)).as("sxx"),
+        sum(round(col("y") * col("y"), 9).cast(dec)).as("syy"))
+    def d(c: String): Column = col(c).cast(DoubleType)
+    val nD = col("n_ranks").cast(DoubleType)
+    sums
+      .withColumn("num", nD * d("sxy") - d("sx") * d("sy"))
+      .withColumn("denx", nD * d("sxx") - d("sx") * d("sx"))
+      .withColumn("deny", nD * d("syy") - d("sy") * d("sy"))
+      // ANSI mode: the division must itself be guarded (a CASE only on
+      // the output column still executes it on the degenerate row)
+      .withColumn("slope_raw", when(col("denx") === 0.0,
+        lit(null).cast(DoubleType)).otherwise(col("num") / col("denx")))
+      .select(col("source"), col("n_ranks"), col("top_freq"),
+        when(col("n_ranks") < 2L, lit(null).cast(DoubleType))
+          .otherwise(round(col("slope_raw"), 6)).as("slope"),
+        when(col("n_ranks") < 2L, lit(null).cast(DoubleType))
+          .otherwise(round((d("sy") - col("slope_raw") * d("sx")) / nD, 6))
+          .as("intercept"),
+        when(col("n_ranks") < 2L || col("deny") === 0.0 ||
+          col("denx") === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(col("num") * col("num") /
+            when(col("denx") * col("deny") === 0.0, lit(1.0))
+              .otherwise(col("denx") * col("deny")), 6)).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  def qZipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfSlope(Tables.documents(s, dir))
+
   private[graft] def bleuDerivedPairs(docs: DataFrame): DataFrame =
     withTokens(docs)
       .select(col("source"), col("doc_id"), col("t").as("r"),
@@ -3088,6 +3154,7 @@ object Text {
     "q136_tokenizer_fertility" -> (qTokenizerFertility _),
     "q137_source_kl"           -> (qSourceKl _),
     "q138_corpus_bleu"         -> (qCorpusBleu _),
+    "q139_zipf_slope"          -> (qZipfSlope _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3328,6 +3395,47 @@ object Text {
     // q137: the same algebraic absent-mass fold — ln rounds to 9,
     // per-term contribs round to 9 and sum as decimals, the K-row finish
     // is the identical double chain; kl sums the UNROUNDED kl_absent
+    // q139: rank ties broken lexicographically (total order); ln's round
+    // 9, per-rank products round 9 and decimal-sum; slope/intercept/R²
+    // are one double chain each (intercept uses the UNROUNDED slope)
+    "q139_zipf_slope" ->
+      """WITH f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           GROUP BY source, w),
+         r AS (SELECT source, freq,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY freq DESC, w ASC) AS BIGINT) AS rank
+           FROM f QUALIFY rank <= 1000),
+         xy AS (SELECT source, freq, rank,
+             round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 9) AS y FROM r),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+             CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq,
+             sum(CAST(x AS DECIMAL(28, 12))) AS sx,
+             sum(CAST(y AS DECIMAL(28, 12))) AS sy,
+             sum(CAST(round(x * y, 9) AS DECIMAL(28, 12))) AS sxy,
+             sum(CAST(round(x * x, 9) AS DECIMAL(28, 12))) AS sxx,
+             sum(CAST(round(y * y, 9) AS DECIMAL(28, 12))) AS syy
+           FROM xy GROUP BY source),
+         fin AS (SELECT source, n_ranks, top_freq,
+             CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+             CAST(n_ranks AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM s)
+         SELECT source, n_ranks, top_freq,
+           CASE WHEN n_ranks < 2 THEN NULL
+                ELSE round(num / denx, 6) END AS slope,
+           CASE WHEN n_ranks < 2 THEN NULL
+                ELSE round((syd - (num / denx) * sxd) /
+                           CAST(n_ranks AS DOUBLE), 6) END AS intercept,
+           CASE WHEN n_ranks < 2 OR deny = 0.0 THEN NULL
+                ELSE round(num * num / (denx * deny), 6) END AS r2
+         FROM fin ORDER BY source""",
     // q138: same derived candidate (drop 7th, UNK 11th); clip join keyed
     // (doc_id, n, g); every p_n is ONE double division of BIGINT sums,
     // ln/exp round 9, fixed 4-term mean, final product round 6

@@ -1540,6 +1540,39 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("zipfSlope: an exact-Zipf source fits slope -1 with R² 1") {
+    import spark.implicits._
+    // freqs 6/1, 6/2, 6/3 → ln(freq) = ln 6 − ln(rank) exactly: slope −1,
+    // intercept ln 6, R² 1 (up to the 1e-9 ln rounding, killed by round 6)
+    val docs = Seq((0L, "a a a a a a b b b c c", "A")).toDF("doc_id", "text", "source")
+    try {
+      val r = Text.zipfSlope(docs).collect().head
+      val m = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(m("n_ranks")) == 3L && r.getLong(m("top_freq")) == 6L, s"$r")
+      assert(r.getDouble(m("slope")) == -1.0, s"slope: $r")
+      assert(r.getDouble(m("r2")) == 1.0, s"r2: $r")
+      assert(math.abs(r.getDouble(m("intercept")) - math.log(6.0)) < 1e-5, s"$r")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("zipfSlope: topR caps the fitted ranks; ties break lexicographically") {
+    import spark.implicits._
+    // freqs a=3, b=3, c=1 — ties (a,b) rank lexicographically; topR=2
+    // fits only ranks 1..2 where both y's equal ln 3 → slope exactly 0
+    val docs = Seq((0L, "a b a b a b c", "A")).toDF("doc_id", "text", "source")
+    try {
+      val r = Text.zipfSlope(docs, topR = 2).collect().head
+      val m = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(m("n_ranks")) == 2L && r.getLong(m("top_freq")) == 3L, s"$r")
+      assert(r.getDouble(m("slope")) == 0.0, s"flat fit expected: $r")
+      // single-rank degenerate fit is NULL, not a div-by-zero artifact
+      val one = Text.zipfSlope(Seq((1L, "only", "B")).toDF("doc_id", "text", "source"))
+        .collect().head
+      assert(one.getLong(1) == 1L && one.isNullAt(3) && one.isNullAt(4) && one.isNullAt(5),
+        s"degenerate: $one")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("corpusBleu: hand-computed clipped counts, BP, and BLEU on a 14-token doc") {
     import spark.implicits._
     // derivation drops positions 7 and 14, UNKs position 11:
