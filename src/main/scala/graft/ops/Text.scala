@@ -2937,6 +2937,102 @@ object Text {
   def qWordpiece(s: SparkSession, dir: String): DataFrame =
     wordpieceSegment(Tables.documents(s, dir))
 
+  /** Unigram-LM Viterbi segmentation (Kudo, ACL 2018 — the SentencePiece
+    * inference rule) — the FOURTH tokenizer family beside BPE
+    * train/apply/infer (q118/q119/q124) and WordPiece greedy munch
+    * (q134). Where WordPiece commits to the longest prefix locally,
+    * unigram-LM picks the GLOBALLY best segmentation: the piece sequence
+    * maximizing Σ ln p(piece) under a frozen unigram piece model, found
+    * by Viterbi DP over word positions.
+    *
+    *   vocab   substrings of length 2..maxPieceLen with corpus occurrence
+    *           mass ≥ total_tokens/thrDiv, plus EVERY single character
+    *           (so a path always exists); p(piece) = mass/Σmass
+    *   score   ln p scaled to an INTEGER (round(round(ln,9)·1e9)) so DP
+    *           sums are exact longs — float-order ties cannot exist and
+    *           the argmax is engine-exact by construction
+    *   DP      best(j) over predecessors j−l, l ≤ maxPieceLen; ties →
+    *           fewer pieces, then longer final piece (l DESC) — for fixed
+    *           l the predecessor state is already unique, so the rule is
+    *           a total order
+    *   report  top-K words by (cnt DESC, w) with segmentation, piece
+    *           count and scaled score; words > maxWordLen emit [UNK]
+    *
+    * Scale shape: ONE corpus token scan builds the distinct-word table;
+    * every DP frame after is vocab-word-bounded. Each of ≤ maxWordLen
+    * stages is ≤ maxPieceLen BROADCAST vocab joins + one word-keyed
+    * argmax (a single struct-max agg — (score, −np, l) is unique per
+    * candidate, so trailing payload fields never decide), eagerly
+    * localCheckpointed (the q118 lineage cut). The report is a bounded
+    * TakeOrderedAndProject heap. The DuckDB oracle unrolls the same DP
+    * as materialized per-position CTE stages (the Gonzalez-unroll
+    * recipe), so the gate hash-matches the full segmentation. */
+  def unigramViterbi(docs: DataFrame, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16, thrDiv: Long = 30L,
+                     topK: Int = 100): DataFrame = {
+    require(maxPieceLen >= 2 && maxWordLen >= 1 && thrDiv >= 1 && topK >= 1,
+      s"bad params ($maxPieceLen, $maxWordLen, $thrDiv, $topK)")
+    val words = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    val thr = words.agg(sum(col("cnt")).cast(LongType)).head.getLong(0) / thrDiv
+    def subFreq(l: Int): DataFrame =
+      words.filter(length(col("w")) >= l)
+        .select(col("cnt"), explode(expr(
+          s"transform(sequence(1, length(w) - $l + 1), i -> substring(w, i, $l))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("freq"))
+    val kept = (2 to maxPieceLen)
+      .map(l => subFreq(l).filter(col("freq") >= thr))
+      .foldLeft(subFreq(1))(_ unionByName _)
+    val tm = kept.agg(sum(col("freq")).cast(LongType).as("tm"))
+    val vocab = graft.core.InternalCaches.persist(
+      kept.crossJoin(broadcast(tm)).select(col("p"),
+        length(col("p")).cast(LongType).as("l"),
+        expr("CAST(round(round(ln(CAST(freq AS DOUBLE) / CAST(tm AS DOUBLE)), 9)" +
+          " * 1e9) AS BIGINT)").as("lp9")))
+    val maxLenRow = words.agg(max(length(col("w")))).head
+    val maxLen =
+      if (maxLenRow.isNullAt(0)) 0
+      else math.min(maxWordLen, maxLenRow.getInt(0))
+    var stages = Vector(words.filter(length(col("w")) <= maxWordLen)
+      .select(col("w"), col("cnt"), lit(0L).as("score"), lit(0L).as("np"),
+        lit("").as("seq"))
+      .localCheckpoint(true))
+    var done: Seq[DataFrame] = Nil
+    for (j <- 1 to maxLen) {
+      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+        stages(j - l).filter(length(col("w")) >= j)
+          .join(broadcast(vocab.filter(col("l") === l.toLong)),
+            expr(s"p = substring(w, ${j - l + 1}, $l)"))
+          .select(col("w"), col("cnt"),
+            (col("score") + col("lp9")).as("score"),
+            (col("np") + 1L).as("np"),
+            when(col("seq") === "", col("p"))
+              .otherwise(concat(col("seq"), lit(" "), col("p"))).as("seq"),
+            lit(l.toLong).as("l"))
+      }.reduce(_ unionByName _)
+      val stage = cands.groupBy(col("w"))
+        .agg(max(struct(col("score"), (-col("np")).as("negnp"), col("l"),
+          col("seq"), col("np"), col("cnt"))).as("b"))
+        .select(col("w"), col("b.cnt").as("cnt"), col("b.score").as("score"),
+          col("b.np").as("np"), col("b.seq").as("seq"))
+        .localCheckpoint(true)
+      stages = stages :+ stage
+      done = done :+ stage.filter(length(col("w")) === j)
+    }
+    val unk = words.filter(length(col("w")) > maxWordLen)
+      .select(col("w"), col("cnt"), lit(null).cast(LongType).as("score"),
+        lit(1L).as("np"), lit("[UNK]").as("seq"))
+    (done :+ unk).reduce(_ unionByName _)
+      .select(col("w"), col("cnt"), col("np").as("n_pieces"), col("seq"),
+        col("score").as("score_lp9"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topK)
+  }
+
+  def qUnigramViterbi(s: SparkSession, dir: String): DataFrame =
+    unigramViterbi(Tables.documents(s, dir))
+
   /** Gopher REPETITION battery (Rae et al. 2021, Appendix A1.2) — the
     * within-document repetition half of the Gopher filter stack, next to
     * the word-level rules (q126) and line-shape rules (q128). Per doc:
@@ -3155,6 +3251,7 @@ object Text {
     "q137_source_kl"           -> (qSourceKl _),
     "q138_corpus_bleu"         -> (qCorpusBleu _),
     "q139_zipf_slope"          -> (qZipfSlope _),
+    "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3338,6 +3435,64 @@ object Text {
   /** The q136 oracle: the q124 frozen-chain recipe with the eval word
     * table keyed by (source, w); the final rollup mirrors the operator's
     * integer sums and pinned double divisions. */
+  /** q140 oracle — the Viterbi DP unrolled as materialized per-position
+    * CTE stages (the Gonzalez-unroll recipe): stage b_j holds the unique
+    * best state for every word prefix of length j, chosen by the same
+    * (score DESC, np ASC, l DESC) total order the Spark struct-max uses;
+    * scores are the identical scaled-integer lp9 longs, so ties are exact
+    * on both engines. */
+  private def unigramViterbiOracle(maxPieceLen: Int, maxWordLen: Int,
+                                   thrDiv: Long, topK: Int): String = {
+    val subs = (1 to maxPieceLen).map { l =>
+      s"""sub$l AS MATERIALIZED (SELECT substring(w, i, $l) AS p,
+             CAST(sum(cnt) AS BIGINT) AS freq
+           FROM (SELECT w, cnt, unnest(range(1, len(w) - $l + 2)) AS i
+                 FROM words WHERE len(w) >= $l)
+           GROUP BY p)"""
+    }.mkString(",\n         ")
+    val keptUnion = ((2 to maxPieceLen).map(l =>
+      s"SELECT p, freq FROM sub$l WHERE freq >= (SELECT thr FROM thr)") :+
+      "SELECT p, freq FROM sub1").mkString(" UNION ALL ")
+    val stages = (1 to maxWordLen).map { j =>
+      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+        s"""SELECT b.w, b.cnt, b.score + v.lp9 AS score, b.np + 1 AS np,
+               CASE WHEN b.seq = '' THEN v.p
+                    ELSE b.seq || ' ' || v.p END AS seq,
+               CAST($l AS BIGINT) AS l
+             FROM b${j - l} b JOIN vlp v
+               ON v.l = $l AND v.p = substring(b.w, ${j - l + 1}, $l)
+             WHERE len(b.w) >= $j"""
+      }.mkString(" UNION ALL ")
+      s"""b$j AS MATERIALIZED (SELECT w, cnt, score, np, seq FROM ($cands)
+           QUALIFY row_number() OVER (PARTITION BY w
+             ORDER BY score DESC, np ASC, l DESC) = 1)"""
+    }.mkString(",\n         ")
+    val fin = (1 to maxWordLen)
+      .map(j => s"SELECT w, cnt, score, np, seq FROM b$j WHERE len(w) = $j")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         thr AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) // $thrDiv AS thr FROM words),
+         $subs,
+         vocab AS MATERIALIZED ($keptUnion),
+         tm AS MATERIALIZED (SELECT CAST(sum(freq) AS BIGINT) AS tm FROM vocab),
+         vlp AS MATERIALIZED (SELECT p, CAST(len(p) AS BIGINT) AS l,
+             CAST(round(round(ln(CAST(freq AS DOUBLE) /
+               CAST((SELECT tm FROM tm) AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp9
+           FROM vocab),
+         b0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS score,
+             CAST(0 AS BIGINT) AS np, '' AS seq
+           FROM words WHERE len(w) <= $maxWordLen),
+         $stages,
+         seg AS ($fin UNION ALL
+           SELECT w, cnt, NULL AS score, CAST(1 AS BIGINT) AS np,
+             '[UNK]' AS seq
+           FROM words WHERE len(w) > $maxWordLen)
+       SELECT w, cnt, np AS n_pieces, seq, score AS score_lp9
+       FROM seg ORDER BY cnt DESC, w ASC LIMIT $topK"""
+  }
+
   private def fertilityOracle(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= bpeCtes(nMerges, "(SELECT text FROM documents WHERE doc_id % 2 = 0)")
@@ -3395,6 +3550,7 @@ object Text {
     // q137: the same algebraic absent-mass fold — ln rounds to 9,
     // per-term contribs round to 9 and sum as decimals, the K-row finish
     // is the identical double chain; kl sums the UNROUNDED kl_absent
+    "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
     // q139: rank ties broken lexicographically (total order); ln's round
     // 9, per-rank products round 9 and decimal-sum; slope/intercept/R²
     // are one double chain each (intercept uses the UNROUNDED slope)

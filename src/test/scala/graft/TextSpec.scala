@@ -1540,6 +1540,45 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("unigramViterbi: global DP beats greedy; exact-tie breaks to the longer final piece") {
+    import spark.implicits._
+    // corpus "abc" alone, maxPieceLen=2, thrDiv=1 (thr=1, everything kept):
+    // vocab {a,b,c,ab,bc} each mass 1, identical lp9. Paths for "abc":
+    // [ab,c] and [a,bc] tie exactly (2·lp, np=2) → l DESC picks the longer
+    // FINAL piece: "a bc". Greedy (WordPiece) would commit to "ab" first.
+    val docs = Seq((0L, "abc")).toDF("doc_id", "text")
+    try {
+      val r = Text.unigramViterbi(docs, maxPieceLen = 2, thrDiv = 1L).collect()
+      val row = r.find(_.getString(0) == "abc").get
+      assert(row.getLong(2) == 2L && row.getString(3) == "a bc", s"$row")
+      // corpus "abab": vocab masses a=2 b=2 ab=2 ba=1, T=7 → [ab ab]
+      // (2·ln(2/7) beats any path through ba or 4 chars)
+      val r2 = Text.unigramViterbi(Seq((0L, "abab")).toDF("doc_id", "text"),
+        maxPieceLen = 2, thrDiv = 1L).collect()
+      val row2 = r2.find(_.getString(0) == "abab").get
+      assert(row2.getLong(2) == 2L && row2.getString(3) == "ab ab", s"$row2")
+      val lp9 = math.round(BigDecimal(math.log(2.0 / 7.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+      assert(row2.getLong(4) == 2L * lp9, s"scaled score: $row2 vs ${2L * lp9}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("unigramViterbi: whole-word piece wins when frequent; overlong words emit [UNK]") {
+    import spark.implicits._
+    // "abc abc ab c": piece abc (mass 2) scores ln(2/16) ≈ −2.08 as ONE
+    // piece vs [ab,c] 2·ln(3/16) ≈ −3.35 → whole word wins for "abc";
+    // "ab" → [ab], "c" → [c]. A 17-char word exceeds maxWordLen=16 → [UNK]
+    val long = "x" * 17
+    val docs = Seq((0L, s"abc abc ab c $long")).toDF("doc_id", "text")
+    try {
+      val got = Text.unigramViterbi(docs, maxPieceLen = 4, thrDiv = 5L)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(got("abc") == ((1L, "abc")), s"$got")
+      assert(got("ab") == ((1L, "ab")) && got("c") == ((1L, "c")), s"$got")
+      assert(got(long) == ((1L, "[UNK]")), s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("zipfSlope: an exact-Zipf source fits slope -1 with R² 1") {
     import spark.implicits._
     // freqs 6/1, 6/2, 6/3 → ln(freq) = ln 6 − ln(rank) exactly: slope −1,
