@@ -3033,6 +3033,99 @@ object Text {
   def qUnigramViterbi(s: SparkSession, dir: String): DataFrame =
     unigramViterbi(Tables.documents(s, dir))
 
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 — "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * per-domain EXCESS LOSS drives one exponentiated-gradient update of
+    * the mixture weights. The proxy/reference pair here is the add-1
+    * unigram LM vs the add-1 bigram LM, both trained on the `train` half
+    * and scoring the `eval` half — the per-domain gap (how much a better
+    * model improves on a worse one) is exactly DoReMi's "learnability"
+    * signal, with the q120 broadcast-model plumbing:
+    *
+    *   excess_k = max(0, L_uni(k) − L_bi(k))  (mean NLL per position)
+    *   w'_k ∝ w0_k · exp(η·excess_k),  w0_k = eval-token share
+    *
+    * Scale shape: model tables are train-vocab-bounded and BROADCAST
+    * onto the eval explodes — eval rows never shuffle; the per-source
+    * rollup ships partial decimal sums only; the update runs on the
+    * K-row source table. Floats pinned: per-position ln's round to 9
+    * and sum as decimals; each mean is ONE double division; exp rounds
+    * to 9; the normalizer sums K rounded terms as decimals. */
+  def doremiWeights(train: DataFrame, eval: DataFrame,
+                    eta: Double = 1.0): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    val cw = graft.core.InternalCaches.persist(
+      trainTok.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c_w")))
+    val tv = cw.agg(sum(col("c_w")).cast(LongType).as("t_all"),
+      count(lit(1)).cast(LongType).as("v"))
+    val n12 = graft.core.InternalCaches.persist(
+      trainTok.filter(size(col("t")) >= 2)
+        .select(explode(bigramExpr).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast(LongType).as("n12")))
+    val n1 = n12.groupBy(col("w1")).agg(sum(col("n12")).cast(LongType).as("n1"))
+    val evalTok = graft.core.InternalCaches.persist(
+      withTokens(eval).select(col("source"), col("t")))
+    val uni = evalTok.select(col("source"), explode(col("t")).as("w"))
+      .join(broadcast(cw), Seq("w"), "left")
+      .crossJoin(broadcast(tv))
+      .withColumn("lp", round(log(
+        (coalesce(col("c_w"), lit(0L)) + lit(1.0)) /
+          (col("t_all") + col("v")).cast(DoubleType)), 9))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_tok"),
+        sum(col("lp").cast(dec)).as("sum_uni"))
+    val bi = evalTok.filter(size(col("t")) >= 2)
+      .select(col("source"), explode(bigramExpr).as("bg"))
+      .select(col("source"), col("bg.w1"), col("bg.w2"))
+      .join(broadcast(n12), Seq("w1", "w2"), "left")
+      .join(broadcast(n1), Seq("w1"), "left")
+      .crossJoin(broadcast(tv))
+      .withColumn("lp", round(log(
+        (coalesce(col("n12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("n1"), lit(0L)) + col("v")).cast(DoubleType)), 9))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_big"),
+        sum(col("lp").cast(dec)).as("sum_bi"))
+    val perSrc = uni.join(bi, Seq("source"), "left")
+      .withColumn("mean_uni", col("sum_uni").cast(DoubleType) / col("n_tok"))
+      .withColumn("mean_bi",
+        when(coalesce(col("n_big"), lit(0L)) === 0L, col("mean_uni"))
+          .otherwise(col("sum_bi").cast(DoubleType) / col("n_big")))
+      .withColumn("excess",
+        greatest(lit(0.0), col("mean_bi") - col("mean_uni")))
+      .withColumn("boost", round(exp(lit(eta) * col("excess")), 9))
+    val tot = perSrc.agg(sum(col("n_tok")).cast(LongType).as("n_tot"))
+    val terms = perSrc.crossJoin(broadcast(tot))
+      .withColumn("w0",
+        col("n_tok").cast(DoubleType) / col("n_tot").cast(DoubleType))
+      .withColumn("term", round(col("w0") * col("boost"), 9))
+    val norm = terms.agg(sum(col("term").cast(dec)).as("norm"))
+    terms.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_tok").as("n_tokens"),
+        round(col("mean_uni"), 6).as("mean_lp_uni"),
+        round(col("mean_bi"), 6).as("mean_lp_bi"),
+        round(col("excess"), 6).as("excess"),
+        round(col("w0"), 6).as("weight0"),
+        round(col("term") / col("norm").cast(DoubleType), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** q141 — the q120/q124 corpus split: models trained on the doc_id-even
+    * half, the odd half scored per source, η = 1. */
+  def qDoremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    doremiWeights(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** Gopher REPETITION battery (Rae et al. 2021, Appendix A1.2) — the
     * within-document repetition half of the Gopher filter stack, next to
     * the word-level rules (q126) and line-shape rules (q128). Per doc:
@@ -3252,6 +3345,7 @@ object Text {
     "q138_corpus_bleu"         -> (qCorpusBleu _),
     "q139_zipf_slope"          -> (qZipfSlope _),
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
+    "q141_doremi_weights"      -> (qDoremiWeights _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3551,6 +3645,68 @@ object Text {
     // per-term contribs round to 9 and sum as decimals, the K-row finish
     // is the identical double chain; kl sums the UNROUNDED kl_absent
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
+    // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
+    // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
+    "q141_doremi_weights" ->
+      """WITH tr AS MATERIALIZED (SELECT string_split(text, ' ') AS t
+           FROM documents WHERE doc_id % 2 = 0),
+         cw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+           FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         tv AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_all,
+             CAST(count(*) AS BIGINT) AS v FROM cw),
+         n12 AS MATERIALIZED (SELECT w1, w2,
+             CAST(count(*) AS BIGINT) AS n12
+           FROM (SELECT t[i - 1] AS w1, t[i] AS w2
+                 FROM (SELECT t, unnest(range(2, len(t) + 1)) AS i
+                       FROM tr WHERE len(t) >= 2))
+           GROUP BY w1, w2),
+         n1 AS MATERIALIZED (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+           FROM n12 GROUP BY w1),
+         ev AS MATERIALIZED (SELECT source, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id % 2 = 1),
+         uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+             sum(CAST(round(ln(
+               CAST(coalesce(c_w, 0) + 1 AS DOUBLE) /
+               CAST((SELECT t_all FROM tv) + (SELECT v FROM tv) AS DOUBLE)),
+               9) AS DECIMAL(28, 12))) AS sum_uni
+           FROM (SELECT source, unnest(t) AS w FROM ev)
+           LEFT JOIN cw USING (w) GROUP BY source),
+         bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_big,
+             sum(CAST(round(ln(
+               CAST(coalesce(n12, 0) + 1 AS DOUBLE) /
+               CAST(coalesce(n1, 0) + (SELECT v FROM tv) AS DOUBLE)),
+               9) AS DECIMAL(28, 12))) AS sum_bi
+           FROM (SELECT source, t[i - 1] AS w1, t[i] AS w2
+                 FROM (SELECT source, t, unnest(range(2, len(t) + 1)) AS i
+                       FROM ev WHERE len(t) >= 2))
+           LEFT JOIN n12 USING (w1, w2) LEFT JOIN n1 USING (w1)
+           GROUP BY source),
+         per AS (SELECT u.source, n_tok,
+             CAST(sum_uni AS DOUBLE) / n_tok AS mean_uni,
+             CASE WHEN coalesce(n_big, 0) = 0
+                  THEN CAST(sum_uni AS DOUBLE) / n_tok
+                  ELSE CAST(sum_bi AS DOUBLE) / n_big END AS mean_bi
+           FROM uni u LEFT JOIN bi b ON u.source = b.source),
+         per2 AS (SELECT source, n_tok, mean_uni, mean_bi,
+             greatest(0.0, mean_bi - mean_uni) AS excess,
+             round(exp(CAST(1.0 AS DOUBLE) *
+               greatest(0.0, mean_bi - mean_uni)), 9) AS boost
+           FROM per),
+         tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_tot FROM per2),
+         terms AS (SELECT source, n_tok, mean_uni, mean_bi, excess,
+             CAST(n_tok AS DOUBLE) /
+               CAST((SELECT n_tot FROM tot) AS DOUBLE) AS w0,
+             round(CAST(n_tok AS DOUBLE) /
+               CAST((SELECT n_tot FROM tot) AS DOUBLE) * boost, 9) AS term
+           FROM per2),
+         nrm AS (SELECT sum(CAST(term AS DECIMAL(28, 12))) AS norm FROM terms)
+       SELECT source, n_tok AS n_tokens,
+         round(mean_uni, 6) AS mean_lp_uni,
+         round(mean_bi, 6) AS mean_lp_bi,
+         round(excess, 6) AS excess,
+         round(w0, 6) AS weight0,
+         round(term / CAST((SELECT norm FROM nrm) AS DOUBLE), 6) AS weight
+       FROM terms ORDER BY source""",
     // q139: rank ties broken lexicographically (total order); ln's round
     // 9, per-rank products round 9 and decimal-sum; slope/intercept/R²
     // are one double chain each (intercept uses the UNROUNDED slope)

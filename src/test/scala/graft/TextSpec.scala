@@ -1540,6 +1540,47 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("doremiWeights: hand-computed excess losses and exponentiated-gradient update") {
+    import spark.implicits._
+    // train "a b a b a b a b": cw a=4 b=4, T=8 V=2; n12 ab=4 ba=3 → n1 a=4 b=3.
+    // eval X "a b a b": mean_uni = ln .5; mean_bi = (2·ln(5/6)+ln(4/5))/3
+    //   → excess ≈ 0.497218
+    // eval Y "c c c c": mean_uni = ln .1; mean_bi = ln .5 → excess = ln 5
+    //   → boost_Y = 5 exactly; w0 = .5 each → weights ≈ .247454 / .752546
+    val train = Seq((0L, "a b a b a b a b")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a b a b", "X"), (3L, "c c c c", "Y"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val got = Text.doremiWeights(train, eval).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val x = got("X"); val y = got("Y")
+      val mx = x.schema.fieldNames.zipWithIndex.toMap
+      assert(x.getLong(mx("n_tokens")) == 4L && y.getLong(mx("n_tokens")) == 4L)
+      assert(math.abs(x.getDouble(mx("excess")) - 0.497218) < 1e-5, s"$x")
+      assert(math.abs(y.getDouble(mx("excess")) - math.log(5.0)) < 1e-5, s"$y")
+      assert(math.abs(x.getDouble(mx("weight")) - 0.247454) < 1e-4, s"$x")
+      assert(math.abs(y.getDouble(mx("weight")) - 0.752546) < 1e-4, s"$y")
+      assert(math.abs(x.getDouble(mx("weight")) + y.getDouble(mx("weight")) - 1.0) < 2e-6)
+      assert(x.getDouble(mx("weight0")) == 0.5 && y.getDouble(mx("weight0")) == 0.5)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("doremiWeights: a source with no eval bigrams gets zero excess, not a crash") {
+    import spark.implicits._
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a", "S"), (3L, "a b", "R")).toDF("doc_id", "text", "source")
+    try {
+      val got = Text.doremiWeights(train, eval).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val s = got("S")
+      val m = s.schema.fieldNames.zipWithIndex.toMap
+      // single-token source: mean_bi falls back to mean_uni → excess 0,
+      // boost 1 → weight == w0/norm with norm > w0 (R is boosted)
+      assert(s.getDouble(m("excess")) == 0.0, s"$s")
+      assert(got.values.map(_.getDouble(m("weight"))).sum > 0.999)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("unigramViterbi: global DP beats greedy; exact-tie breaks to the longer final piece") {
     import spark.implicits._
     // corpus "abc" alone, maxPieceLen=2, thrDiv=1 (thr=1, everything kept):
