@@ -197,6 +197,44 @@ object Text {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Edit-distance verification of near-dup candidates — the final verify
+    * stage of a fuzzy-dedup pipeline: the q35 LSH+Jaccard layer proposes
+    * pairs, exact Levenshtein over a bounded text PREFIX confirms them at
+    * character level (shingle Jaccard is order-insensitive; the edit DP
+    * catches reordered-but-token-identical false confirms and grades how
+    * literal the duplication is). Reported per surviving pair:
+    * `lev_dist`, and `lev_sim = 1 − dist/max(|p1|,|p2|)` ≥ `minSim`.
+    *
+    * Cross-engine contract: non-ASCII code points fold to '?' before the
+    * DP (Spark's levenshtein counts code points, DuckDB's counts BYTES —
+    * after the fold both strings are pure ASCII, where the two agree),
+    * and the DP runs on `prefixLen`-char prefixes so per-pair cost is a
+    * constant O(prefixLen²), not O(doc²).
+    *
+    * Scale shape: candidates come from the banded LSH join (linear in
+    * candidate pairs, the q35 100 TB path); the verify joins ship only
+    * the bounded prefixes; per-pair work is constant. */
+  def editVerifiedPairs(docs: DataFrame, prefixLen: Int = 256,
+                        minSim: Double = 0.4): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val txt = docs.select(col("doc_id"),
+      regexp_replace(substring(col("text"), 1, prefixLen),
+        "[^\\x00-\\x7F]", "?").as("p"))
+    minHashLshPairs(docs)
+      .join(txt.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
+      .join(txt.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
+      .withColumn("lev_dist", levenshtein(col("p1"), col("p2")).cast(LongType))
+      .withColumn("lev_sim", round(lit(1.0) -
+        col("lev_dist").cast(DoubleType) /
+          greatest(length(col("p1")), length(col("p2"))).cast(DoubleType), 6))
+      .filter(col("lev_sim") >= minSim)
+      .select(col("d1"), col("d2"), col("jaccard"), col("lev_dist"),
+        col("lev_sim"))
+  }
+
+  def qEditVerified(s: SparkSession, dir: String): DataFrame =
+    editVerifiedPairs(Tables.documents(s, dir))
+
   /** The LSH signature aggregate and its banding — [[minHashLshPairs]]'s
     * candidate layer, exposed so skew diagnostics can measure band-bucket
     * sizes without duplicating the banding arithmetic.
@@ -3346,6 +3384,7 @@ object Text {
     "q139_zipf_slope"          -> (qZipfSlope _),
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
+    "q142_edit_verified"       -> (qEditVerified _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3647,6 +3686,34 @@ object Text {
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
+    // q142: the q35 exact-Jaccard candidate twin + byte-safe levenshtein
+    // over ASCII-folded 256-char prefixes; the sim filter compares the
+    // ROUNDED value on both engines
+    "q142_edit_verified" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+                FROM tok WHERE len(t) >= 3),
+         card AS (SELECT doc_id AS cid, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         cand AS (SELECT d1, d2,
+             CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+           FROM common JOIN card ca ON d1 = ca.cid JOIN card cb ON d2 = cb.cid
+           WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+         txt AS (SELECT doc_id,
+             regexp_replace(substring(text, 1, 256),
+                            '[^\x00-\x7F]', '?', 'g') AS p
+           FROM documents),
+         scored AS (SELECT d1, d2, jaccard,
+             CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev_dist,
+             round(CAST(1 AS DOUBLE) -
+               CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+               CAST(greatest(len(a.p), len(b.p)) AS DOUBLE), 6) AS lev_sim
+           FROM cand JOIN txt a ON d1 = a.doc_id JOIN txt b ON d2 = b.doc_id)
+         SELECT d1, d2, jaccard, lev_dist, lev_sim
+         FROM scored WHERE lev_sim >= 0.4""",
     "q141_doremi_weights" ->
       """WITH tr AS MATERIALIZED (SELECT string_split(text, ' ') AS t
            FROM documents WHERE doc_id % 2 = 0),

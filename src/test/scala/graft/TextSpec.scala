@@ -1540,6 +1540,29 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("editVerifiedPairs: one-char edits survive a strict bar; reordered halves don't") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("fox", "fax")                 // 1 substitution, J ≈ .57
+    val c = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = "eta theta iota kappa lambda mu alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    try {
+      // bar lowered to .2: both pairs surface — the half-swap passes the
+      // shingle-Jaccard layer (J = 8/12) but the DP grades it 1−47/66
+      val loose = Text.editVerifiedPairs(docs, minSim = 0.2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      assert(loose.contains((1L, 2L)) && loose.contains((3L, 4L)), s"$loose")
+      assert(loose((1L, 2L))._1 == 1L && loose((1L, 2L))._2 > 0.95, s"$loose")
+      assert(loose((3L, 4L)) == ((47L, 0.287879)), s"half-swap: $loose")
+      // default bar (.4): only the literal edit survives — the DP catches
+      // the reordered-but-shingle-similar false confirm Jaccard passes
+      val strict = Text.editVerifiedPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(strict == Set((1L, 2L)), s"$strict")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("doremiWeights: hand-computed excess losses and exponentiated-gradient update") {
     import spark.implicits._
     // train "a b a b a b a b": cw a=4 b=4, T=8 V=2; n12 ab=4 ba=3 → n1 a=4 b=3.
