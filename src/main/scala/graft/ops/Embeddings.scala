@@ -562,6 +562,41 @@ object Embeddings {
   def qKnn(s: SparkSession, dir: String): DataFrame =
     bruteForceKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
 
+  /** Truncated-dimension retrieval recall (the Matryoshka-representation
+    * deployment question — Kusupati et al. 2022: how much top-k quality
+    * survives serving only the first d′ of d dimensions?): for a
+    * deterministic query subset, exact top-k under full-dim cosine vs
+    * exact top-k under cosine over the FIRST `dPrime` coordinates, and
+    * per-query overlap recall. Both sides run the [[bruteForceKnn]]
+    * ranking (round-6 sim, nid tie-break), so the gate is engine-exact.
+    *
+    * Scale shape: two broadcast-query corpus scans (the q40 shape — the
+    * query set is the broadcast side, candidates never shuffle); the
+    * overlap join runs on two k-row-per-query bounded frames. The IVF
+    * twin (q85) remains the served-path scale story; this is the offline
+    * evaluation that decides d′. */
+  def truncationRecall(emb: DataFrame, dPrime: Int = 16, k: Int = 10,
+                       queryPred: Column = expr("vec_id % 50 = 0")): DataFrame = {
+    require(dPrime >= 1 && k >= 1, s"bad params ($dPrime, $k)")
+    val full = bruteForceKnn(emb, queryPred, k)
+      .select(col("qid"), col("nid"))
+    val trunc = bruteForceKnn(
+      emb.withColumn("embedding", slice(col("embedding"), 1, dPrime)),
+      queryPred, k).select(col("qid"), col("nid"))
+    val overlap = full.join(trunc, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).cast(LongType).as("n_overlap"))
+    full.select(col("qid")).distinct()
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) /
+          lit(k).cast(DoubleType), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  def qTruncationRecall(s: SparkSession, dir: String): DataFrame =
+    truncationRecall(Tables.embeddings(s, dir))
+
   def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
     cosineNearDup(Tables.embeddings(s, dir), 0.4)
 
@@ -667,6 +702,7 @@ object Embeddings {
     "q116_hard_negatives" -> (qHardNegatives _),
     "q117_drift_psi"     -> (qDriftPsi _),
     "q40_knn_bruteforce" -> (qKnn _),
+    "q143_truncation_recall" -> (qTruncationRecall _),
     "q41_cosine_neardup" -> (qCosineNearDup _),
     "q42_centroids"      -> (qCentroids _),
     "q43_ann_lsh"        -> (qAnnKnn _),
@@ -885,6 +921,45 @@ object Embeddings {
          CROSS JOIN nn""",
     "q93_classifier" -> classifierOracle,
     "q94_pagerank" -> pageRankOracle,
+    // q143: both rankings use the q40 round-6-sim + nid tie-break, so the
+    // top-k sets are engine-exact on both the full and the sliced side
+    "q143_truncation_recall" ->
+      s"""WITH nf AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         tf AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         g AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rk
+             FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+                   FROM nf a JOIN nf b
+                     ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id))
+           WHERE rk <= 10),
+         t AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rk
+             FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+                   FROM tf a JOIN tf b
+                     ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id))
+           WHERE rk <= 10),
+         ov AS (SELECT g.qid, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM g JOIN t ON g.qid = t.qid AND g.nid = t.nid GROUP BY g.qid)
+         SELECT qs.qid,
+           CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(coalesce(n_overlap, 0) AS DOUBLE) /
+                 CAST(10 AS DOUBLE), 6) AS recall
+         FROM (SELECT DISTINCT qid FROM g) qs
+         LEFT JOIN ov ON qs.qid = ov.qid ORDER BY qs.qid""",
     "q40_knn_bruteforce" ->
       s"""WITH scored AS (
             SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim

@@ -310,4 +310,27 @@ class EmbeddingsSpec extends SparkSpec {
         .unionByName(emb.withColumn("vec_id", col("vec_id") * 2 + 1)))
     assert(sym.collect().forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
+
+  test("truncationRecall: planted neighbor flip at k=1 heals at k=2") {
+    import spark.implicits._
+    // query id0 = (1,0,0,0). Full-dim nearest is id2 (sim ≈ .995); under
+    // the first-2-dims slice id1 becomes exact (sim 1.0) — top-1 flips,
+    // recall 0; at k=2 both sides hold {1,2}, recall 1
+    val planted = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 10f)),
+      (2L, Seq(1f, 0.1f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val pred = col("vec_id") === 0
+    val r1 = Embeddings.truncationRecall(planted, dPrime = 2, k = 1, queryPred = pred)
+      .collect().head
+    assert(r1.getLong(0) == 0L && r1.getLong(1) == 0L && r1.getDouble(2) == 0.0, s"$r1")
+    val r2 = Embeddings.truncationRecall(planted, dPrime = 2, k = 2, queryPred = pred)
+      .collect().head
+    assert(r2.getLong(1) == 2L && r2.getDouble(2) == 1.0, s"$r2")
+    // slicing to the full width is the identity: recall 1 for every query
+    val idq = Embeddings.truncationRecall(emb, dPrime = 64, k = 5,
+      queryPred = col("vec_id") < 4).collect()
+    assert(idq.length == 4 && idq.forall(_.getDouble(2) == 1.0), s"${idq.toSeq}")
+  }
 }
