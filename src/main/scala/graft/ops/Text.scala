@@ -3156,6 +3156,53 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Luhn-validated card-number detection — the checksum upgrade of q73's
+    * regex-only PII pass: a 16-digit run is only a REAL card number if it
+    * passes the Luhn mod-10 check (ISO/IEC 7812), which kills ~90% of the
+    * false positives a bare digit-run regex flags (order ids, hashes,
+    * timestamps). Per source: candidate runs, Luhn-valid runs, docs
+    * carrying at least one valid card, and the validity rate.
+    *
+    * The checksum is a codegen'd higher-order aggregate over the 16
+    * digits (double every second digit from the right, subtract 9 when
+    * > 9, sum ≡ 0 mod 10) — pure per-row integer work riding the scan,
+    * no join, no UDF; the rollup is one bounded per-source agg. */
+  def luhnCards(docs: DataFrame): DataFrame = {
+    val digit = (i: String) => s"CAST(substring(c, $i, 1) AS BIGINT)"
+    val scored = docs
+      .select(col("source"), col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[0-9]{16}', 0)")).as("c"))
+      .withColumn("luhn_sum", expr(
+        s"aggregate(sequence(1, 16), 0L, (acc, i) -> acc + " +
+          s"CASE WHEN (16 - i) % 2 = 1 THEN " +
+          s"CASE WHEN ${digit("i")} * 2 > 9 THEN ${digit("i")} * 2 - 9 " +
+          s"ELSE ${digit("i")} * 2 END ELSE ${digit("i")} END)"))
+      .withColumn("valid", when(col("luhn_sum") % 10 === 0L, 1L).otherwise(0L))
+    scored.groupBy(col("source"))
+      .agg(countDistinct(when(col("valid") === 1L, col("doc_id")))
+        .cast(LongType).as("n_docs_hit"),
+        count(lit(1)).cast(LongType).as("n_candidates"),
+        sum(col("valid")).cast(LongType).as("n_valid"))
+      .withColumn("valid_rate",
+        round(col("n_valid").cast(DoubleType) /
+          col("n_candidates").cast(DoubleType), 6))
+      .orderBy(col("source"))
+  }
+
+  /** q144 — each doc gets a planted 15-digit base (from its doc_id) with
+    * ALL TEN closing digits appended as separate candidate runs; exactly
+    * one of the ten passes Luhn, so the expected validity rate is 0.1 by
+    * construction and the checksum, not the regex, does the work. */
+  def qLuhnPii(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("4"),
+      lpad((col("doc_id") % 100000000000000L).cast(StringType), 14, "0"))
+    val planted = Tables.documents(s, dir).withColumn("text",
+      (0 to 9).foldLeft(col("text")) { (acc, d) =>
+        concat(acc, lit(" "), base, lit(d.toString))
+      })
+    luhnCards(planted)
+  }
+
   /** q141 — the q120/q124 corpus split: models trained on the doc_id-even
     * half, the odd half scored per source, η = 1. */
   def qDoremiWeights(s: SparkSession, dir: String): DataFrame = {
@@ -3385,6 +3432,7 @@ object Text {
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
+    "q144_luhn_pii"            -> (qLuhnPii _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3686,6 +3734,37 @@ object Text {
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
+    // q144: same planted 10-candidate battery; the Luhn sum is the same
+    // integer HOF on both engines, // never appears (all-integer mod)
+    "q144_luhn_pii" ->
+      """WITH planted AS (SELECT source, doc_id,
+           text || ' ' || b || '0 ' || b || '1 ' || b || '2 ' || b || '3 ' ||
+             b || '4 ' || b || '5 ' || b || '6 ' || b || '7 ' || b || '8 ' ||
+             b || '9' AS text
+           FROM (SELECT source, doc_id, text,
+                   '4' || lpad(CAST(doc_id % 100000000000000 AS VARCHAR),
+                               14, '0') AS b
+                 FROM documents)),
+         cand AS (SELECT source, doc_id,
+             unnest(regexp_extract_all(text, '[0-9]{16}')) AS c
+           FROM planted),
+         scored AS (SELECT source, doc_id,
+             CASE WHEN list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN (16 - i) % 2 = 1 THEN
+                 CASE WHEN CAST(c[i] AS BIGINT) * 2 > 9
+                      THEN CAST(c[i] AS BIGINT) * 2 - 9
+                      ELSE CAST(c[i] AS BIGINT) * 2 END
+               ELSE CAST(c[i] AS BIGINT) END)) % 10 = 0
+             THEN 1 ELSE 0 END AS valid
+           FROM cand)
+         SELECT source,
+           CAST(count(DISTINCT CASE WHEN valid = 1 THEN doc_id END) AS BIGINT)
+             AS n_docs_hit,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(valid) AS BIGINT) AS n_valid,
+           round(CAST(sum(valid) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS valid_rate
+         FROM scored GROUP BY source ORDER BY source""",
     // q142: the q35 exact-Jaccard candidate twin + byte-safe levenshtein
     // over ASCII-folded 256-char prefixes; the sim filter compares the
     // ROUNDED value on both engines

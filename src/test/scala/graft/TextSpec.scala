@@ -1540,6 +1540,39 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("luhnCards: textbook checksum vectors; exactly one of ten closing digits passes") {
+    import spark.implicits._
+    // 4532015112830366 is Luhn-valid (doubled-digit sum 27 + plain 23 = 50);
+    // flipping the check digit or a plain 1234567890123456 (sum 64) fails
+    val docs = Seq(
+      (1L, "pay 4532015112830366 now", "A"),
+      (2L, "ref 4532015112830367 here", "A"),
+      (3L, "id 1234567890123456 x", "B")).toDF("doc_id", "text", "source")
+    try {
+      val got = Text.luhnCards(docs).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got("A") == ((1L, 2L, 1L)), s"$got")
+      assert(got("B") == ((0L, 1L, 0L)), s"$got")
+      // the q144 battery: ten closing digits per base → exactly one valid
+      val base = org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("4"),
+        org.apache.spark.sql.functions.lpad(
+          (org.apache.spark.sql.functions.col("doc_id") % 100000000000000L)
+            .cast(org.apache.spark.sql.types.StringType), 14, "0"))
+      val planted = Seq((7L, "alpha", "S"), (8L, "beta", "S"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("text", (0 to 9).foldLeft(
+          org.apache.spark.sql.functions.col("text")) { (acc, d) =>
+          org.apache.spark.sql.functions.concat(acc,
+            org.apache.spark.sql.functions.lit(" "), base,
+            org.apache.spark.sql.functions.lit(d.toString))
+        })
+      val b = Text.luhnCards(planted).collect().head
+      assert(b.getLong(2) == 20L && b.getLong(3) == 2L && b.getLong(1) == 2L, s"$b")
+      assert(b.getDouble(4) == 0.1, s"$b")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("editVerifiedPairs: one-char edits survive a strict bar; reordered halves don't") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again today"
