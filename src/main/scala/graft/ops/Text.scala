@@ -3132,19 +3132,24 @@ object Text {
       .groupBy(col("source"))
       .agg(count(lit(1)).cast(LongType).as("n_big"),
         sum(col("lp").cast(dec)).as("sum_bi"))
-    val perSrc = uni.join(bi, Seq("source"), "left")
+    // perSrc is K rows but its lineage is the two eval scans — persist it
+    // (and terms below) so tot/norm/final don't re-run the corpus side,
+    // and broadcast the K-row bi onto uni so no sort-merge plans at all
+    val perSrc = graft.core.InternalCaches.persist(
+      uni.join(broadcast(bi), Seq("source"), "left")
       .withColumn("mean_uni", col("sum_uni").cast(DoubleType) / col("n_tok"))
       .withColumn("mean_bi",
         when(coalesce(col("n_big"), lit(0L)) === 0L, col("mean_uni"))
           .otherwise(col("sum_bi").cast(DoubleType) / col("n_big")))
       .withColumn("excess",
         greatest(lit(0.0), col("mean_bi") - col("mean_uni")))
-      .withColumn("boost", round(exp(lit(eta) * col("excess")), 9))
+      .withColumn("boost", round(exp(lit(eta) * col("excess")), 9)))
     val tot = perSrc.agg(sum(col("n_tok")).cast(LongType).as("n_tot"))
-    val terms = perSrc.crossJoin(broadcast(tot))
+    val terms = graft.core.InternalCaches.persist(
+      perSrc.crossJoin(broadcast(tot))
       .withColumn("w0",
         col("n_tok").cast(DoubleType) / col("n_tot").cast(DoubleType))
-      .withColumn("term", round(col("w0") * col("boost"), 9))
+      .withColumn("term", round(col("w0") * col("boost"), 9)))
     val norm = terms.agg(sum(col("term").cast(dec)).as("norm"))
     terms.crossJoin(broadcast(norm))
       .select(col("source"), col("n_tok").as("n_tokens"),

@@ -516,6 +516,55 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("q138/q142: BLEU clip join and edit-verify joins stay equi-joins") {
+    // q138's clip join keys by (doc_id, n, gram) — a corpus-hot gram never
+    // meets itself across documents; q142's verify joins ship bounded
+    // prefixes onto the LSH candidate pairs. Neither may degenerate into
+    // a nested loop or cartesian.
+    try {
+      for (q <- Seq("q138_corpus_bleu", "q142_edit_verified")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+          s"$q planned a nested loop:\n$p")
+      }
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q139: the Zipf rank cut is the bounded-heap operator, partial then final") {
+    // the per-source top-R cut must be TopKPerKey (map-side partial heap +
+    // post-shuffle final heap — two operator instances around one
+    // exchange); the rank window runs AFTER it, on <= R rows per source,
+    // and nothing plans a single-partition exchange
+    try {
+      val p = plan("q139_zipf_slope")
+      assert("TopKPerKey".r.findAllIn(p).length == 2,
+        s"q139 lost the partial+final bounded heaps:\n$p")
+      assert(p.indexOf("Window") < p.indexOf("TopKPerKey"),
+        s"q139 window must consume the heap output (appear above it):\n$p")
+      assert(!p.toLowerCase.contains("singlepartition"),
+        s"q139 planned a single-partition exchange:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q141: DoReMi model joins all broadcast — eval rows never shuffle by n-gram") {
+    // the q120/q122 LM contract at DoReMi shape: unigram/bigram model
+    // tables broadcast onto the eval explodes, the K-row update side
+    // broadcast too — a SortMergeJoin anywhere means either eval rows
+    // shuffled by n-gram or the K-row finish got a corpus-sized plan
+    try {
+      val p = plan("q141_doremi_weights")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"q141 shuffles eval rows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q141 planned a cartesian:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q144: the Luhn battery is scan-riding work — no join anywhere") {
+    val p = plan("q144_luhn_pii")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"q144 planned a join:\n$p")
+  }
+
   test("q133: duplicated spans — capped pair join, per-diagonal windows only") {
     // the q121 contract with the islands window on top: the pair join runs
     // AFTER the df cap (never a cartesian), and the only window partitions
