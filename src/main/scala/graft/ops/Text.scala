@@ -1249,6 +1249,57 @@ object Text {
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndex(Tables.documents(s, dir))
 
+  /** Exact-phrase search SERVED FROM the q84 positional inverted index —
+    * the lookup that index exists for (phrase-level decontamination,
+    * quote attribution, boilerplate tracing): for each query phrase
+    * (w1 w2), join the two tokens' posting rows per document and count
+    * ADJACENT positions (p+1 ∈ positions(w2) for p ∈ positions(w1)).
+    * The DuckDB oracle computes the same counts by scanning the corpus
+    * positionally — serve-path ≡ ground truth is the gate.
+    *
+    * Query phrases are the corpus's `topP` most frequent adjacent
+    * bigrams (ties → lexicographic), derived from the same scan, so the
+    * gate needs no out-of-band query file.
+    *
+    * Scale shape: the phrase table (topP rows) BROADCASTS onto the
+    * token-keyed posting rows — per-phrase work is two posting-list
+    * selections plus a doc-co-keyed equi-join; a hot token inflates its
+    * own posting rows only (they spread as rows, never one giant
+    * array). The adjacency count is a codegen'd array intersect on the
+    * two bounded position lists. */
+  def phraseSearch(docs: DataFrame, topP: Int = 3): DataFrame = {
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val phrases = withTokens(docs).filter(size(col("t")) >= 2)
+      .select(explode(bigramExpr).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(topP)
+      .select(col("w1"), col("w2"))
+    val idx = graft.core.InternalCaches.persist(invertedIndex(docs))
+    val left = idx.join(broadcast(phrases), col("token") === col("w1"))
+      .select(col("w1"), col("w2"), col("doc_id"),
+        expr("transform(split(positions, ','), x -> CAST(x AS BIGINT) + 1)")
+          .as("pp1"))
+    val right = idx.join(broadcast(phrases), col("token") === col("w2"))
+      .select(col("w1"), col("w2"), col("doc_id"),
+        expr("transform(split(positions, ','), x -> CAST(x AS BIGINT))")
+          .as("pp2"))
+    left.join(right, Seq("w1", "w2", "doc_id"))
+      .withColumn("o",
+        size(array_intersect(col("pp1"), col("pp2"))).cast(LongType))
+      .filter(col("o") >= 1L)
+      .groupBy(concat(col("w1"), lit(" "), col("w2")).as("phrase"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("o")).cast(LongType).as("n_occurrences"))
+      .orderBy(col("phrase"))
+  }
+
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(s, dir))
+
   /** Corpus-unigram log-probability scoring — the CCNet-style LM quality
     * filter reduced to its distributable core: score(doc) = mean over
     * tokens of ln(count(token)/total_tokens). Docs of improbable tokens
@@ -3438,6 +3489,7 @@ object Text {
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
+    "q145_phrase_search"       -> (qPhraseSearch _),
     "q112_token_budget" -> (qTokenBudget _),
     "q110_snapshot_diff" -> (qSnapshotDiff _),
     "q108_length_buckets" -> (qLengthBuckets _),
@@ -3739,6 +3791,24 @@ object Text {
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
+    // q145: GROUND-TRUTH positional scan — the Spark side must reproduce
+    // it from the serve-path posting rows; phrase ties lexicographic
+    "q145_phrase_search" ->
+      """WITH tok AS MATERIALIZED (SELECT doc_id,
+           string_split(text, ' ') AS t FROM documents),
+         bg AS MATERIALIZED (SELECT doc_id, w1, w2 FROM (
+           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                 FROM tok WHERE len(t) >= 2))),
+         ph AS (SELECT w1, w2 FROM (
+             SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2)
+           ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 3),
+         occ AS (SELECT b.w1, b.w2, doc_id, CAST(count(*) AS BIGINT) AS o
+           FROM bg b JOIN ph USING (w1, w2) GROUP BY b.w1, b.w2, doc_id)
+         SELECT w1 || ' ' || w2 AS phrase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(o) AS BIGINT) AS n_occurrences
+         FROM occ GROUP BY phrase ORDER BY phrase""",
     // q144: same planted 10-candidate battery; the Luhn sum is the same
     // integer HOF on both engines, // never appears (all-integer mod)
     "q144_luhn_pii" ->

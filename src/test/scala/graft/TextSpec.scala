@@ -1540,6 +1540,26 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("phraseSearch: served counts equal the positional ground truth, incl. repeats") {
+    import spark.implicits._
+    // "x y" appears 3× (twice in doc1, once in doc2) — the top phrase;
+    // doc3 has x and y both present but never adjacent → must not count
+    val docs = Seq(
+      (1L, "x y q x y"),
+      (2L, "x y z w"),
+      (3L, "x q y")).toDF("doc_id", "text")
+    try {
+      val got = Text.phraseSearch(docs, topP = 1).collect()
+      assert(got.length == 1, s"${got.toSeq}")
+      val r = got.head
+      assert(r.getString(0) == "x y" && r.getLong(1) == 2L && r.getLong(2) == 3L, s"$r")
+      // topP=2 picks the tie band lexicographically after "x y" (cnt 3):
+      // among cnt-1 bigrams the smallest is "q x"
+      val two = Text.phraseSearch(docs, topP = 2).collect().map(_.getString(0)).toSet
+      assert(two == Set("x y", "q x"), s"$two")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("luhnCards: textbook checksum vectors; exactly one of ten closing digits passes") {
     import spark.implicits._
     // 4532015112830366 is Luhn-valid (doubled-digit sum 27 + plain 23 = 50);
