@@ -305,6 +305,48 @@ object Embeddings {
           count(lit(1)), 6).as("avg_margin"))
   }
 
+  /** Classifier CALIBRATION report (reliability diagram) — the evaluation
+    * every quality-filter deployment runs before trusting its keep
+    * threshold: sigmoid scores bucketed into 10 probability bins; per bin
+    * the mean predicted probability vs the empirical positive rate, and
+    * their gap (the per-bin ECE contribution). A well-calibrated filter
+    * has mean_p ≈ pos_rate in every bin; a miscalibrated one keeps
+    * low-quality docs it is confident about. The binary target is the
+    * deterministic label parity (the gate corpus carries no human labels;
+    * a real run joins its eval labels in unchanged).
+    *
+    * Scale shape: scoring is the q93 pure map stage (model as a plan
+    * literal through codegen'd graft_dot); the report is ONE bounded agg
+    * on the 10-bucket key. Floats pinned: sigmoid of the round-6 margin
+    * rounds to 9, bucket = floor(10p) capped at 9, per-bin means from
+    * decimal sums, gap from the UNROUNDED means. */
+  def calibrationReport(emb: DataFrame, weights: Array[Double],
+                        bias: Double): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val scored = classifierScores(emb, weights, bias)
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 9))
+      .withColumn("y", when(col("label") % 2 === 0, 1L).otherwise(0L))
+      .withColumn("bucket",
+        least(lit(9L), floor(col("p") * 10).cast(LongType)))
+    scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("y")).cast(LongType).as("n_pos"),
+        sum(col("p").cast(dec)).as("sp"))
+      .withColumn("mean_p_raw", col("sp").cast(DoubleType) / col("n"))
+      .withColumn("rate_raw",
+        col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("mean_p_raw"), 6).as("mean_p"),
+        round(col("rate_raw"), 6).as("pos_rate"),
+        round(abs(col("mean_p_raw") - col("rate_raw")), 6).as("gap"))
+      .orderBy(col("bucket"))
+  }
+
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = q93Model
+    calibrationReport(Tables.embeddings(s, dir), w, b)
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list `(d1, d2)` —
     * the importance signal used to pick canonical pages / weight training
     * mixes (the reference has no iterative graph op at all; this is the
@@ -708,6 +750,7 @@ object Embeddings {
     "q43_ann_lsh"        -> (qAnnKnn _),
     "q86_triangles"      -> (qTriangles _),
     "q93_classifier"     -> (qClassifier _),
+    "q146_calibration"   -> (qCalibration _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -755,6 +798,31 @@ object Embeddings {
           round(CAST(sum(CAST(round(raw, 6) AS DECIMAL(28,12))) AS DOUBLE)
                 / count(*), 6) AS avg_margin
         FROM scored GROUP BY label, keep"""
+  }
+
+  /** The q146 oracle — the q93 literal-model dot, then the identical
+    * sigmoid/bucket/mean chain (sigmoid of the ROUND-6 margin rounds to
+    * 9; per-bin means from decimal sums; gap from unrounded means). */
+  private def calibrationOracle: String = {
+    val (w, b) = q93Model
+    val lst = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH scored AS (SELECT label,
+            round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-round(
+              list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst)
+                + CAST($b AS DOUBLE), 6))), 9) AS p
+          FROM embeddings),
+        bkt AS (SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bucket,
+            CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y, p
+          FROM scored)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos,
+          round(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE)
+                / count(*), 6) AS mean_p,
+          round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS pos_rate,
+          round(abs(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) / count(*)
+                - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS gap
+        FROM bkt GROUP BY bucket ORDER BY bucket"""
   }
 
   /** One PageRank power-iteration step in DuckDB — integer fixed-point,
@@ -920,6 +988,7 @@ object Embeddings {
          FROM pairs p JOIN dims da ON da.i = p.i JOIN dims db ON db.i = p.j
          CROSS JOIN nn""",
     "q93_classifier" -> classifierOracle,
+    "q146_calibration" -> calibrationOracle,
     "q94_pagerank" -> pageRankOracle,
     // q143: both rankings use the q40 round-6-sim + nid tie-break, so the
     // top-k sets are engine-exact on both the full and the sliced side

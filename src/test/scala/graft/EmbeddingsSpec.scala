@@ -311,6 +311,31 @@ class EmbeddingsSpec extends SparkSpec {
     assert(sym.collect().forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 
+  test("calibrationReport: bins conserve counts, gaps match means, perfect bins score 0") {
+    import spark.implicits._
+    val (w, b) = Embeddings.q93Model
+    val rows = Embeddings.calibrationReport(emb, w, b).collect()
+    val n = emb.count()
+    assert(rows.map(_.getLong(1)).sum == n, "bin counts conserve the corpus")
+    rows.foreach { r =>
+      val (bkt, cnt, pos, meanP, rate, gap) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(bkt >= 0 && bkt <= 9 && pos <= cnt, s"$r")
+      assert(meanP >= bkt / 10.0 - 1e-6 && meanP <= (bkt + 1) / 10.0 + 1e-6,
+        s"mean_p outside its own bin: $r")
+      assert(math.abs(gap - math.abs(meanP - rate)) < 2e-6, s"gap mismatch: $r")
+    }
+    // a planted perfectly-calibrated bin: two vectors scoring p≈0.5 with
+    // one positive → mean_p ≈ rate → gap ≈ 0
+    val flat = Seq(
+      (0L, Seq.fill(64)(0f), 0),    // margin = bias → p ≈ .5, y = 1
+      (1L, Seq.fill(64)(0f), 1))    // same p, y = 0
+      .toDF("vec_id", "embedding", "label")
+    val fr = Embeddings.calibrationReport(flat, Array.fill(64)(0.0), 0.0).collect()
+    assert(fr.length == 1 && fr.head.getLong(1) == 2L &&
+      fr.head.getDouble(5) == 0.0, s"${fr.toSeq}")
+  }
+
   test("truncationRecall: planted neighbor flip at k=1 heals at k=2") {
     import spark.implicits._
     // query id0 = (1,0,0,0). Full-dim nearest is id2 (sim ≈ .995); under
