@@ -554,7 +554,8 @@ object Bench {
     // noisiest published figure). The 100k-doc spec test additionally
     // pins full SET equality.
     def textAnchor(tag: String, nBase: Long, warmReps: Int,
-                   withContainment: Boolean = false): String = {
+                   withContainment: Boolean = false,
+                   withEdit: Boolean = false): String = {
       val section = if (tag == "300k") "reference_text" else s"reference_text_$tag"
       try {
         val docs = graft.sources.SyntheticDocs.planted(spark,
@@ -582,7 +583,21 @@ object Bench {
                 s"containment anchor ($tag) MISMATCH: $nCont pairs (want the 1500 planted)")
             "," + j
           } else ""
-          s""","$section":{$lshJson$contJson}"""
+          // q142 at scale (round 13): every planted copy is a ONE-token
+          // edit, so the Levenshtein verify must confirm EXACTLY the 1500
+          // LSH candidates at the default bar — the edit DP's per-pair
+          // cost is a constant, so this anchor costs ~the LSH anchor plus
+          // 1500 bounded DPs
+          val editJson = if (withEdit) {
+            var nEdit = -1L
+            val j = coldWarm(section, s"edit_verified_$tag", warmReps) {
+              nEdit = graft.ops.Text.editVerifiedPairs(docs).count() }
+            if (nEdit != 1500L)
+              throw new GoldenMismatch(
+                s"edit-verify anchor ($tag) MISMATCH: $nEdit pairs (want the 1500 planted)")
+            "," + j
+          } else ""
+          s""","$section":{$lshJson$contJson$editJson}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -591,7 +606,8 @@ object Bench {
           compactRef.remove(section); ""
       }
     }
-    val refText = textAnchor("300k", nBase = 300000L, warmReps = 3)
+    val refText = textAnchor("300k", nBase = 300000L, warmReps = 3,
+      withEdit = true)
     // reference_text_skew (default-on): same 300k corpus with 10% of docs
     // sharing one hot boilerplate shingle (SyntheticDocs hotEvery=10) —
     // the skew twin of reference_text. Asserts the SAME 1500-pair recall
@@ -768,7 +784,25 @@ object Bench {
             throw new GoldenMismatch(
               s"bm25 1M anchor MISMATCH: ${hits.length} rows " +
               s"n_hit=${hits.map(_.getLong(1)).mkString(",")} (want 10 rows, hits in [1,3])")
-          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,""" +
+          // unigram_viterbi_1m (round 13): the FOURTH tokenizer family at
+          // 1M docs — the Viterbi DP's cost is vocab-bounded stages, so
+          // the corpus size only pays the one token scan; the report must
+          // be identical across reps (segmentation is a pure function of
+          // the corpus), non-UNK scores strictly negative, every piece
+          // count >= 1
+          var vitReports = Vector.empty[Seq[(String, Long, Long, String)]]
+          val vitJson = coldWarm("reference_tok_1m", "unigram_viterbi_1m", warmReps = 1) {
+            vitReports = vitReports :+ graft.ops.Text.unigramViterbi(docs)
+              .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+                r.getLong(2), r.getString(3))) }
+          val vitBad = vitReports.exists { t =>
+            t.size != 100 || t.exists { case (w, cnt, np, seq) =>
+              cnt <= 0L || np < 1L || (seq != "[UNK]" && seq.replace(" ", "") != w) } } ||
+            vitReports.distinct.size != 1
+          if (vitBad) throw new GoldenMismatch(
+            s"unigram viterbi 1M anchor MISMATCH: sizes ${vitReports.map(_.size)} " +
+            "(want identical 100-row reports whose pieces rejoin the word)")
+          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$vitJson,""" +
             f""""bpe_merge_scale_ratio":$mergeScale%.2f,""" +
             f""""bpe_merge_scale_ratio_4k":$mergeScale4k%.2f,"bpe_infer_chunks":64}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }

@@ -1540,6 +1540,32 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("editVerifiedPairs + unigramViterbi hold on the planted anchor corpus") {
+    // the small twin of the BIG-tier anchors: every planted copy is a
+    // one-token edit, so edit verification at the default bar must confirm
+    // EXACTLY the planted LSH pairs; the Viterbi report's pieces must
+    // rejoin their words and be a pure function of the corpus
+    val docs = graft.sources.SyntheticDocs.planted(spark, nBase = 20000L, nPlant = 50L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planted = (0L until 50L).map(i => (i, 20000L + i)).toSet
+      val pairs = Text.editVerifiedPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == planted,
+        s"missing=${(planted -- pairs).take(5)} extra=${(pairs -- planted).take(5)}")
+      val rep = Text.unigramViterbi(docs).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      assert(rep.length == 100, s"${rep.length}")
+      rep.foreach { case (w, np, seq) =>
+        assert(np >= 1L && (seq == "[UNK]" || seq.replace(" ", "") == w),
+          s"pieces don't rejoin: $w -> $seq")
+      }
+      val again = Text.unigramViterbi(docs).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      assert(rep.toSeq == again.toSeq, "viterbi report not deterministic")
+    } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
+  }
+
   test("phraseSearch: served counts equal the positional ground truth, incl. repeats") {
     import spark.implicits._
     // "x y" appears 3× (twice in doc1, once in doc2) — the top phrase;
