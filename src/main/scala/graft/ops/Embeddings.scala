@@ -347,6 +347,78 @@ object Embeddings {
     calibrationReport(Tables.embeddings(s, dir), w, b)
   }
 
+  /** Full-batch logistic-regression TRAINING of the quality classifier —
+    * the missing first act of the classifier lifecycle the engine already
+    * serves (train HERE → broadcast inference q93 → calibration q146).
+    * Gradient descent on the log-loss: wⱼ ← wⱼ − η/n Σᵢ (σ(w·xᵢ+b) − yᵢ)·xᵢⱼ,
+    * a fixed `iters` epochs from w = 0 (so σ starts at exactly 0.5 and the
+    * whole trajectory is closed-form checkable). The binary target is the
+    * deterministic label parity, as in q146 — a real run joins its human
+    * labels in unchanged.
+    *
+    * Scale shape (the fastText/quality-filter training loop at 100 TB):
+    * each epoch is ONE scan of the cached (embedding, y) frame — the
+    * margin rides the codegen'd graft_dot with the current weights as a
+    * plan literal (the exact q93 deployment shape), and the gradient is a
+    * 65-key aggregation (posexplode over bias+dims) with map-side partial
+    * decimal sums, so the wire carries ≤ 65·partitions rows per epoch and
+    * no hot key can exist. The 65-row model is the ONLY driver data (the
+    * BPE argmax precedent); iterations are a constant, so lineage stays
+    * bounded. Floats pinned end-to-end: margin round 6, sigmoid and
+    * per-element gradient products round 9, decimal sums (order-free →
+    * partition-count-independent), weight updates round 9 computed IN the
+    * engine (never driver math), so the trained model is bit-identical
+    * across engines, runs, and partitionings. */
+  def logregTrainWeights(emb: DataFrame, iters: Int = 3,
+                         lr: Double = 0.5): (Array[Double], Double) = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dec = DecimalType(28, 12)
+    val data = graft.core.InternalCaches.persist(
+      emb.select(col("embedding"),
+        when(col("label") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y")))
+    val n = data.count()
+    require(n > 0, "logregTrain: empty training corpus")
+    var bias = 0.0
+    var w = Array.fill(64)(0.0)
+    for (_ <- 1 to iters) {
+      val wLit = w.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+      val wAll = (bias +: w.toSeq).map(v => s"CAST($v AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      val margin = round(expr(s"graft_dot(embedding, $wLit)") + lit(bias), 6)
+      val updated = data
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-margin)), 9))
+        .withColumn("g", round(col("p") - col("y"), 9))
+        .select(col("g"), posexplode(expr(
+          "concat(array(CAST(1.0 AS DOUBLE)), " +
+            "transform(embedding, x -> CAST(x AS DOUBLE)))")).as(Seq("j", "x")))
+        .groupBy(col("j").cast(LongType).as("j"))
+        .agg(sum(round(col("g") * col("x"), 9).cast(dec)).as("gs"))
+        .select(col("j"),
+          round(expr(s"element_at($wAll, CAST(j + 1 AS INT))")
+            - lit(lr) * col("gs").cast(DoubleType) / lit(n.toDouble), 9).as("w"))
+        .collect()
+      val m = updated.map(r => (r.getLong(0), r.getDouble(1))).toMap
+      bias = m(0L)
+      w = Array.tabulate(64)(i => m(i + 1L))
+    }
+    (w, bias)
+  }
+
+  /** Gate: the trained 65-coefficient model as rows — j = 0 is the bias,
+    * j = 1..64 the per-dimension weights. Hash-matching this table means
+    * the DuckDB oracle reproduced all `iters` distributed epochs exactly. */
+  def logregTrain(emb: DataFrame, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val (w, b) = logregTrainWeights(emb, iters, lr)
+    val s = emb.sparkSession
+    import s.implicits._
+    (0 to 64).map(j => (j.toLong, if (j == 0) b else w(j - 1)))
+      .toDF("j", "w")
+  }
+
+  def qLogregTrain(s: SparkSession, dir: String): DataFrame =
+    logregTrain(Tables.embeddings(s, dir))
+
   /** Fixed-iteration PageRank over an undirected edge list `(d1, d2)` —
     * the importance signal used to pick canonical pages / weight training
     * mixes (the reference has no iterative graph op at all; this is the
@@ -751,6 +823,7 @@ object Embeddings {
     "q86_triangles"      -> (qTriangles _),
     "q93_classifier"     -> (qClassifier _),
     "q146_calibration"   -> (qCalibration _),
+    "q147_logreg_train"  -> (qLogregTrain _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -823,6 +896,51 @@ object Embeddings {
           round(abs(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) / count(*)
                 - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS gap
         FROM bkt GROUP BY bucket ORDER BY bucket"""
+  }
+
+  /** The q147 training loop unrolled as materialized per-epoch CTE stages
+    * (the q25 Gonzalez / q118 BPE recipe for iterated computations): each
+    * epoch's weight table w{k} derives from w{k-1} with the IDENTICAL
+    * pinned arithmetic — margin = round(list_dot_product + bias, 6)
+    * (sequential left-to-right fold, same as graft_dot), sigmoid round 9,
+    * per-element gradient products round 9 summed as DECIMAL(28,12), the
+    * update's (lr·Σ)/n association mirrored exactly. */
+  private def logregOracle: String = {
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++= """WITH data AS MATERIALIZED (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            [CAST(1.0 AS DOUBLE)] ||
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+            CASE WHEN label % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS y
+          FROM embeddings),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM data),
+        w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS j,
+            CAST(0.0 AS DOUBLE) AS w FROM range(0, 65))"""
+    for (k <- 1 to iters) {
+      val p = s"w${k - 1}"
+      sb ++= s""",
+        g$k AS MATERIALIZED (
+          SELECT round(round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                + exp(-round(list_dot_product(d.v, wl.l) + bw.bw, 6))), 9)
+              - d.y, 9) AS g, d.xs
+          FROM data d
+          CROSS JOIN (SELECT list(w ORDER BY j) AS l FROM $p WHERE j >= 1) wl
+          CROSS JOIN (SELECT w AS bw FROM $p WHERE j = 0) bw),
+        w$k AS MATERIALIZED (
+          SELECT e.sj - 1 AS j,
+            round(pw.w - CAST(0.5 AS DOUBLE)
+              * CAST(sum(CAST(round(e.g * e.xv, 9) AS DECIMAL(28, 12))) AS DOUBLE)
+              / nn.n, 9) AS w
+          FROM (SELECT g, generate_subscripts(xs, 1) AS sj, unnest(xs) AS xv
+                FROM g$k) e
+          JOIN $p pw ON pw.j = e.sj - 1
+          CROSS JOIN nn
+          GROUP BY e.sj, pw.w, nn.n)"""
+    }
+    sb ++= s"\n        SELECT CAST(j AS BIGINT) AS j, w FROM w$iters"
+    sb.toString
   }
 
   /** One PageRank power-iteration step in DuckDB — integer fixed-point,
@@ -989,6 +1107,7 @@ object Embeddings {
          CROSS JOIN nn""",
     "q93_classifier" -> classifierOracle,
     "q146_calibration" -> calibrationOracle,
+    "q147_logreg_train" -> logregOracle,
     "q94_pagerank" -> pageRankOracle,
     // q143: both rankings use the q40 round-6-sim + nid tie-break, so the
     // top-k sets are engine-exact on both the full and the sliced side

@@ -336,6 +336,49 @@ class EmbeddingsSpec extends SparkSpec {
       fr.head.getDouble(5) == 0.0, s"${fr.toSeq}")
   }
 
+  test("logregTrain: loss decreases, training is partitioning-invariant, model separates a separable corpus") {
+    import spark.implicits._
+    val (w, b) = Embeddings.logregTrainWeights(emb, iters = 3)
+    // 1. determinism across physical partitionings: decimal gradient sums
+    //    are order-free, so a 7-partition re-run must be bit-identical
+    val (w2, b2) = Embeddings.logregTrainWeights(emb.repartition(7), iters = 3)
+    assert(b == b2 && w.sameElements(w2),
+      "trained model differs across partitionings")
+    // 2. training reduces the log-loss vs the w=0 start (driver recompute
+    //    of the UNROUNDED loss — the direction, not the pinned digits)
+    val rows = emb.select(col("embedding"), (col("label") % 2 === 0).as("y"))
+      .collect().map(r => (r.getSeq[Float](0).map(_.toDouble).toArray, r.getBoolean(1)))
+    def loss(wv: Array[Double], bv: Double): Double = {
+      val ls = rows.map { case (x, y) =>
+        val m = x.indices.foldLeft(bv)((acc, j) => acc + wv(j) * x(j))
+        math.log1p(math.exp(m)) - (if (y) m else 0.0)
+      }
+      ls.sum / ls.length
+    }
+    val l0 = loss(Array.fill(64)(0.0), 0.0)
+    val lT = loss(w, b)
+    assert(lT < l0, s"training did not reduce loss: $l0 -> $lT")
+    // 3. on a linearly separable planted corpus the trained model must
+    //    classify every example correctly after a few epochs
+    val sep = (0 until 40).map { i =>
+      val v = Array.fill(64)(0f); v(0) = if (i % 2 == 0) 3f else -3f
+      (i.toLong, v.toSeq, i % 2)   // label parity == sign of dim 0
+    }.toDF("vec_id", "embedding", "label")
+    val (ws, bs) = Embeddings.logregTrainWeights(sep, iters = 8, lr = 1.0)
+    val preds = sep.collect()
+    assert(ws(0) > 0.0, "separating weight has the wrong sign")
+    preds.foreach { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      val m = x.indices.foldLeft(bs)((acc, j) => acc + ws(j) * x(j))
+      val keep = m >= 0.0
+      assert(keep == (r.getInt(2) % 2 == 0), s"misclassified ${r.getLong(0)}")
+    }
+    // 4. the gate frame carries exactly the 65 coefficients
+    val frame = Embeddings.logregTrain(emb).collect()
+    assert(frame.length == 65 &&
+      frame.map(_.getLong(0)).sorted.sameElements(0L to 64L))
+  }
+
   test("truncationRecall: planted neighbor flip at k=1 heals at k=2") {
     import spark.implicits._
     // query id0 = (1,0,0,0). Full-dim nearest is id2 (sim ≈ .995); under
