@@ -2401,6 +2401,103 @@ object Text {
   def qZipfSlope(s: SparkSession, dir: String): DataFrame =
     zipfSlope(Tables.documents(s, dir))
 
+  /** Per-source Heaps-law fit — the other half of the corpus-profiling
+    * pair beside [[zipfSlope]]: vocabulary growth V(n) ≈ K·n^β against
+    * tokens read (natural text sits near β ≈ 0.5; boilerplate-heavy or
+    * templated sources flatten early, token-soup inflates). The curve is
+    * sampled at `nCheckpoints` decile positions ck = max(1, ⌊k·N/10⌋) and
+    * least-squares fitted in log-log space (β = slope), with R²
+    * surfaced — the statistic that decides whether a source's vocabulary
+    * is still growing before committing tokenizer capacity to it.
+    *
+    * Scale shape: global token positions come from the two-level
+    * distributed prefix sum over per-doc counts ([[distributedRunningSum]]
+    * — NO corpus-wide window per source), so V(ck) needs only the
+    * (source, token) → min(position) frame, which is vocab-bounded; the
+    * checkpoint frame is 10 rows per source and broadcasts back onto it
+    * (fan-out ≤ nCheckpoints per vocab entry, never corpus-sized). The
+    * regression runs on ≤ 10 rows per source. Floats pinned as in q139:
+    * ln's round 9, products round 9, decimal sums, round-6 finish. */
+  def heapsLaw(docs: DataFrame, nCheckpoints: Int = 10): DataFrame = {
+    require(nCheckpoints >= 2 && nCheckpoints <= 1000,
+      s"nCheckpoints must be in [2,1000], got $nCheckpoints")
+    val dec = DecimalType(28, 12)
+    val cached = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("source"), col("doc_id"), col("t")))
+    val counts = cached.select(col("source"), col("doc_id"),
+      size(col("t")).cast(LongType).as("n_tok"))
+    val withEnd = graft.core.InternalCaches.persist(distributedRunningSum(
+      counts, "source", Seq("doc_id"), "n_tok", "end_pos"))
+    val offsets = withEnd.select(col("source").as("o_source"),
+      col("doc_id").as("o_doc"), (col("end_pos") - col("n_tok")).as("off"))
+    val first = cached
+      .select(col("source"), col("doc_id"), posexplode(col("t")).as(Seq("p", "w")))
+      .join(offsets,
+        col("source") === col("o_source") && col("doc_id") === col("o_doc"))
+      .select(col("source"), col("w"), (col("off") + col("p") + 1).as("gp"))
+      .groupBy(col("source"), col("w"))
+      .agg(min(col("gp")).cast(LongType).as("first_pos"))
+    val firstC = graft.core.InternalCaches.persist(first)
+    val totals = withEnd.groupBy(col("source"))
+      .agg(max(col("end_pos")).cast(LongType).as("n_tokens"))
+    val vocabDf = firstC.groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("vocab"))
+    val cps = totals
+      .select(col("source"), col("n_tokens"),
+        explode(expr(s"sequence(1, $nCheckpoints)")).as("k"))
+      .withColumn("ck", greatest(lit(1L),
+        expr(s"(k * n_tokens) div $nCheckpoints")))
+      .select(col("source").as("c_source"), col("k"), col("ck"))
+    val vk = firstC.join(broadcast(cps),
+        col("source") === col("c_source") && col("first_pos") <= col("ck"))
+      .groupBy(col("source"), col("k"), col("ck"))
+      .agg(count(lit(1)).cast(LongType).as("v"))
+    val xy = vk.select(col("source"),
+      round(log(col("ck").cast(DoubleType)), 9).as("x"),
+      round(log(col("v").cast(DoubleType)), 9).as("y"))
+    val sums = xy.groupBy(col("source")).agg(
+      count(lit(1)).cast(LongType).as("n_points"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(round(col("x") * col("y"), 9).cast(dec)).as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast(dec)).as("sxx"),
+      sum(round(col("y") * col("y"), 9).cast(dec)).as("syy"))
+    def d(c: String): Column = col(c).cast(DoubleType)
+    val nD = col("n_points").cast(DoubleType)
+    sums
+      .withColumn("num", nD * d("sxy") - d("sx") * d("sy"))
+      .withColumn("denx", nD * d("sxx") - d("sx") * d("sx"))
+      .withColumn("deny", nD * d("syy") - d("sy") * d("sy"))
+      .withColumn("beta_raw", when(col("denx") === 0.0,
+        lit(null).cast(DoubleType)).otherwise(col("num") / col("denx")))
+      .join(broadcast(totals), "source")
+      .join(broadcast(vocabDf), "source")
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n_points"),
+        when(col("n_points") < 2L, lit(null).cast(DoubleType))
+          .otherwise(round(col("beta_raw"), 6)).as("beta"),
+        when(col("n_points") < 2L, lit(null).cast(DoubleType))
+          .otherwise(round((d("sy") - col("beta_raw") * d("sx")) / nD, 6))
+          .as("intercept"),
+        when(col("n_points") < 2L || col("deny") === 0.0 ||
+          col("denx") === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(col("num") * col("num") /
+            when(col("denx") * col("deny") === 0.0, lit(1.0))
+              .otherwise(col("denx") * col("deny")), 6)).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  /** Gate: Heaps over the positional 3-gram shingle stream rather than
+    * raw words — the gate corpus has a closed ~30-word vocabulary, so the
+    * word-level curve saturates inside the first decile and the fit would
+    * be vacuous; the shingle vocabulary keeps growing corpus-long, giving
+    * the regression real spread (β genuinely between 0 and 1). Shingles
+    * are derived with the same deterministic transform in both engines
+    * (the q128 derivation precedent). */
+  def qHeapsLaw(s: SparkSession, dir: String): DataFrame =
+    heapsLaw(withTokens(Tables.documents(s, dir)).withColumn("t", expr(
+      "transform(sequence(1, greatest(size(t) - 2, 1)), " +
+        "i -> concat_ws(' ', slice(t, i, 3)))")))
+
   private[graft] def bleuDerivedPairs(docs: DataFrame): DataFrame =
     withTokens(docs)
       .select(col("source"), col("doc_id"), col("t").as("r"),
@@ -3486,6 +3583,7 @@ object Text {
     "q138_corpus_bleu"         -> (qCorpusBleu _),
     "q139_zipf_slope"          -> (qZipfSlope _),
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
+    "q148_heaps_law"           -> (qHeapsLaw _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -3969,6 +4067,68 @@ object Text {
            CASE WHEN n_ranks < 2 OR deny = 0.0 THEN NULL
                 ELSE round(num * num / (denx * deny), 6) END AS r2
          FROM fin ORDER BY source""",
+    // q148: global token positions = row_number over (doc_id, p) per
+    // source — provably equal to the engine's two-level prefix sum, since
+    // the (doc_id, position) order key is unique and dense; the decile
+    // checkpoints, ln round-9, decimal regression sums, and the guarded
+    // round-6 finish mirror the q139 fit exactly
+    "q148_heaps_law" ->
+      """WITH tok AS MATERIALIZED (
+           SELECT source, doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS w
+           FROM (SELECT source, doc_id,
+                   list_transform(range(1, greatest(len(t0) - 2, 1) + 1),
+                     i -> array_to_string(list_slice(t0, i, i + 2), ' ')) AS t
+                 FROM (SELECT source, doc_id, string_split(text, ' ') AS t0
+                       FROM documents))),
+         gp AS MATERIALIZED (
+           SELECT source, w,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id, p) AS gpos
+           FROM tok),
+         fst AS MATERIALIZED (
+           SELECT source, w, CAST(min(gpos) AS BIGINT) AS first_pos
+           FROM gp GROUP BY source, w),
+         tot AS MATERIALIZED (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM tok GROUP BY source),
+         voc AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+                 FROM fst GROUP BY source),
+         cps AS (SELECT source, n_tokens, k,
+             greatest(CAST(1 AS BIGINT), CAST((k * n_tokens) // 10 AS BIGINT)) AS ck
+           FROM tot, unnest(range(1, 11)) AS u(k)),
+         vk AS (SELECT f.source, c.k, c.ck, CAST(count(*) AS BIGINT) AS v
+           FROM fst f JOIN cps c
+             ON c.source = f.source AND f.first_pos <= c.ck
+           GROUP BY f.source, c.k, c.ck),
+         xy AS (SELECT source,
+             round(ln(CAST(ck AS DOUBLE)), 9) AS x,
+             round(ln(CAST(v AS DOUBLE)), 9) AS y FROM vk),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+             sum(CAST(x AS DECIMAL(28, 12))) AS sx,
+             sum(CAST(y AS DECIMAL(28, 12))) AS sy,
+             sum(CAST(round(x * y, 9) AS DECIMAL(28, 12))) AS sxy,
+             sum(CAST(round(x * x, 9) AS DECIMAL(28, 12))) AS sxx,
+             sum(CAST(round(y * y, 9) AS DECIMAL(28, 12))) AS syy
+           FROM xy GROUP BY source),
+         fin AS (SELECT source, n_points,
+             CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+             CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE) -
+               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM s)
+         SELECT f.source, t.n_tokens, v.vocab, f.n_points,
+           CASE WHEN f.n_points < 2 OR f.denx = 0.0 THEN NULL
+                ELSE round(f.num / f.denx, 6) + 0.0 END AS beta,
+           CASE WHEN f.n_points < 2 OR f.denx = 0.0 THEN NULL
+                ELSE round((f.syd - (f.num / f.denx) * f.sxd) /
+                           CAST(f.n_points AS DOUBLE), 6) + 0.0 END AS intercept,
+           CASE WHEN f.n_points < 2 OR f.deny = 0.0 OR f.denx = 0.0 THEN NULL
+                ELSE round(f.num * f.num / (f.denx * f.deny), 6) + 0.0 END AS r2
+         FROM fin f JOIN tot t ON t.source = f.source
+                    JOIN voc v ON v.source = f.source
+         ORDER BY f.source""",
     // q138: same derived candidate (drop 7th, UNK 11th); clip join keyed
     // (doc_id, n, g); every p_n is ONE double division of BIGINT sums,
     // ln/exp round 9, fixed 4-term mean, final product round 6

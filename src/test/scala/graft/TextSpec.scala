@@ -1755,6 +1755,57 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("heapsLaw: doc-order positions, saturating source flattens to beta 0, partition-invariant") {
+    import spark.implicits._
+    // source A: first 10 tokens distinct, then 90 repeats of 'a' →
+    // every checkpoint ck ≥ 10 sees the full vocabulary: V constant 10,
+    // beta exactly 0, intercept ln 10
+    val sat = Seq((0L,
+      ((0 until 10).map("w" + _) ++ Seq.fill(90)("w0")).mkString(" "), "A"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val r = Text.heapsLaw(sat).collect().head
+      val m = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(m("n_tokens")) == 100L && r.getLong(m("vocab")) == 10L, s"$r")
+      assert(r.getDouble(m("beta")) == 0.0, s"flat curve expected: $r")
+      assert(math.abs(r.getDouble(m("intercept")) - math.log(10.0)) < 1e-5, s"$r")
+
+      // doc boundaries: global positions follow doc_id order — doc 1 is
+      // [x y], doc 2 [x z]; checkpoints of N=4 are ck = 1,1,1,1,2,2,2,3,3,4
+      // → V = 1,1,1,1,2,2,2,2,2,3. A driver least-squares over those
+      // exact points must agree with the engine's fit digit for digit.
+      val two = Seq((1L, "x y", "B"), (2L, "x z", "B"))
+        .toDF("doc_id", "text", "source")
+      val rb = Text.heapsLaw(two).collect().head
+      val mb = rb.schema.fieldNames.zipWithIndex.toMap
+      assert(rb.getLong(mb("n_tokens")) == 4L && rb.getLong(mb("vocab")) == 3L, s"$rb")
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cks = (1 to 10).map(k => math.max(1L, (k * 4L) / 10))
+      val vs = cks.map(ck => Seq(1L -> "x", 2L -> "y", 3L -> "x", 4L -> "z")
+        .filter(_._1 <= ck).map(_._2).distinct.size)
+      val xs = cks.map(c => r9(math.log(c.toDouble)))
+      val ys = vs.map(v => r9(math.log(v.toDouble)))
+      val n = 10.0
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => r9(x * y) }.sum
+      val sxx = xs.map(x => r9(x * x)).sum
+      val num = n * sxy - sx * sy
+      val denx = n * sxx - sx * sx
+      val beta = BigDecimal(num / denx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rb.getDouble(mb("beta")) == beta,
+        s"engine beta ${rb.getDouble(mb("beta"))} vs driver $beta")
+
+      // partitioning invariance on the real corpus: the two-level prefix
+      // sum must produce the same positions (hence the same fit) at any
+      // physical layout
+      val corpus = graft.core.Tables.documents(spark, sfDir)
+      val base = Text.heapsLaw(corpus).collect().map(_.toSeq).sortBy(_.head.toString)
+      val rep = Text.heapsLaw(corpus.repartition(7)).collect()
+        .map(_.toSeq).sortBy(_.head.toString)
+      assert(base.sameElements(rep), "heapsLaw is partitioning-dependent")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("corpusBleu: hand-computed clipped counts, BP, and BLEU on a 14-token doc") {
     import spark.implicits._
     // derivation drops positions 7 and 14, UNKs position 11:
