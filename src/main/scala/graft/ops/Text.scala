@@ -197,6 +197,47 @@ object Text {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** MinHash Jaccard-ESTIMATOR error report — the sketch-calibration gate
+    * a fuzzy-dedup deployment runs before trusting banded MinHash at a new
+    * band/row setting: for every LSH candidate pair, the k-hash signature
+    * estimate ĵ = |{i : minᵢ(A) = minᵢ(B)}|/k next to the exact Jaccard,
+    * with the absolute error surfaced (E[ĵ] = J; spread ~ √(J(1−J)/k) —
+    * if the observed errors blow past that, the hash family is broken).
+    * The signature hashes are k affine maps over the q130 31-ary
+    * code-point polynomial (mod 2²⁰, then mod the prime 1048573) — chosen
+    * over xxhash64 because BOTH engines evaluate it exactly, so the gate
+    * hash-matches the estimator itself, not just the exact side. k = 16
+    * keeps ĵ = n_agree/16 an exact binary double.
+    *
+    * Scale shape: signatures are ONE scan — all k mins per doc ride a
+    * single nested array expression (no explode, no shuffle); candidates
+    * come from the audited banded-LSH join; the estimator comparison
+    * ships two k-long arrays per candidate pair, constant work per pair. */
+  def minhashErrorReport(docs: DataFrame, k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
+    val m = 1 << 20
+    val p = 1048573L
+    val ph = "aggregate(transform(sequence(1, length(s)), j -> ascii(substring(s, j, 1))), " +
+      s"0L, (acc, c) -> (acc * 31L + c) % $m)"
+    val sigExpr = expr(
+      s"transform(sequence(0, ${k - 1}), i -> array_min(transform(sh, s -> " +
+        s"((2 * CAST(i AS BIGINT) + 1) * ($ph) + (1000 * CAST(i AS BIGINT) + 7)) % $p)))")
+    val sigs = graft.core.InternalCaches.persist(
+      withShingles(docs).select(col("doc_id"), sigExpr.as("sig")))
+    minHashLshPairs(docs)
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .withColumn("n_agree", expr(
+        "size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))").cast(LongType))
+      .withColumn("est_jaccard", col("n_agree").cast(DoubleType) / lit(k.toDouble))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .select(col("d1"), col("d2"), col("jaccard"), col("n_agree"),
+        col("est_jaccard"), col("abs_err"))
+  }
+
+  def qMinhashError(s: SparkSession, dir: String): DataFrame =
+    minhashErrorReport(Tables.documents(s, dir))
+
   /** Edit-distance verification of near-dup candidates — the final verify
     * stage of a fuzzy-dedup pipeline: the q35 LSH+Jaccard layer proposes
     * pairs, exact Levenshtein over a bounded text PREFIX confirms them at
@@ -3584,6 +3625,7 @@ object Text {
     "q139_zipf_slope"          -> (qZipfSlope _),
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q148_heaps_law"           -> (qHeapsLaw _),
+    "q149_minhash_error"       -> (qMinhashError _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5159,6 +5201,43 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q149: candidates + exact side are the q35 all-pairs Jaccard recipe;
+    // the estimator side recomputes the SAME 16 affine-over-31-ary-poly
+    // min-hashes (exact integer folds in both engines), n_agree/16 is an
+    // exact binary double, abs_err rounds the difference of identical
+    // raw doubles
+    "q149_minhash_error" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS MATERIALIZED (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+           FROM tok WHERE len(t) >= 3),
+         card AS (SELECT doc_id AS cid, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+                   FROM common JOIN card ca ON d1 = ca.cid
+                               JOIN card cb ON d2 = cb.cid
+                   WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5),
+         ph AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(s) + 1), j -> CAST(ascii(s[j]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1048576) AS h
+           FROM sh),
+         sig AS MATERIALIZED (
+           SELECT doc_id, i,
+             CAST(min(((2 * i + 1) * h + (1000 * i + 7)) % 1048573) AS BIGINT) AS mh
+           FROM ph, unnest(range(0, 16)) AS u(i) GROUP BY doc_id, i),
+         agr AS (SELECT p.d1, p.d2,
+             CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS BIGINT) AS n_agree
+           FROM pairs p
+           JOIN sig sa ON sa.doc_id = p.d1
+           JOIN sig sb ON sb.doc_id = p.d2 AND sb.i = sa.i
+           GROUP BY p.d1, p.d2)
+         SELECT p.d1, p.d2, p.jaccard, a.n_agree,
+           CAST(a.n_agree AS DOUBLE) / 16.0 AS est_jaccard,
+           round(abs(CAST(a.n_agree AS DOUBLE) / 16.0 - p.jaccard), 6) AS abs_err
+         FROM pairs p JOIN agr a ON a.d1 = p.d1 AND a.d2 = p.d2""",
     // q35 minhash: same output contract as q34 on separated corpora — verified
     // empirically at the harness SF; recorded as the all-pairs Jaccard SQL.
     "q35_minhash_lsh" ->

@@ -1755,6 +1755,45 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("minhashErrorReport: identical docs estimate 1 exactly; errors stay in the k=16 envelope") {
+    import spark.implicits._
+    // identical docs: every min-hash agrees → est 1.0, err 0
+    val twins = Seq((1L, "a b c d e f g h", "A"), (2L, "a b c d e f g h", "A"))
+      .toDF("doc_id", "text", "source")
+    try {
+      val t = Text.minhashErrorReport(twins).collect()
+      assert(t.length == 1, s"${t.toSeq}")
+      val m = t.head.schema.fieldNames.zipWithIndex.toMap
+      assert(t.head.getDouble(m("jaccard")) == 1.0 &&
+        t.head.getLong(m("n_agree")) == 16L &&
+        t.head.getDouble(m("est_jaccard")) == 1.0 &&
+        t.head.getDouble(m("abs_err")) == 0.0, s"${t.head}")
+
+      // a J = 0.5 planted pair: exact side pinned, estimator side
+      // internally consistent (est = n_agree/16, err = |est − J|)
+      val half = Seq((1L, "a b c d e", "A"), (2L, "a b c d f", "A"))
+        .toDF("doc_id", "text", "source")
+      val h = Text.minhashErrorReport(half).collect()
+      assert(h.length == 1 && h.head.getDouble(m("jaccard")) == 0.5, s"${h.toSeq}")
+      val (na, est, err) = (h.head.getLong(m("n_agree")),
+        h.head.getDouble(m("est_jaccard")), h.head.getDouble(m("abs_err")))
+      assert(est == na / 16.0 && math.abs(err - math.abs(est - 0.5)) < 1e-6, s"${h.head}")
+
+      // on the real corpus the estimator must be unbiased-ish: every
+      // estimate in [0,1], mean |err| well inside the √(J(1−J)/16) ≤ .125
+      // envelope (3× slack for the small pair count)
+      val rows = Text.minhashErrorReport(graft.core.Tables.documents(spark, sfDir))
+        .collect()
+      assert(rows.nonEmpty, "no candidate pairs on the gate corpus")
+      rows.foreach { r =>
+        val (nag, e) = (r.getLong(m("n_agree")), r.getDouble(m("est_jaccard")))
+        assert(nag >= 0L && nag <= 16L && e >= 0.0 && e <= 1.0, s"$r")
+      }
+      val meanErr = rows.map(_.getDouble(m("abs_err"))).sum / rows.length
+      assert(meanErr < 0.25, s"mean estimator error $meanErr out of envelope")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("heapsLaw: doc-order positions, saturating source flattens to beta 0, partition-invariant") {
     import spark.implicits._
     // source A: first 10 tokens distinct, then 90 repeats of 'a' →
