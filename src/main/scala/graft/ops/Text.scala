@@ -1267,6 +1267,56 @@ object Text {
   def qDupNgrams(s: SparkSession, dir: String): DataFrame =
     dupNgramSpans(Tables.documents(s, dir))
 
+  /** Inter-document duplicated-PARAGRAPH statistics — the RefinedWeb /
+    * MassiveText cleaning signal between q83's verbatim-span pairs and
+    * q80's top-K boilerplate lines: per document, what fraction of its
+    * paragraph CHARACTERS belongs to a paragraph appearing verbatim in at
+    * least `minDocs` DISTINCT documents. (Within-doc repetition is q135's
+    * job — the document-frequency here is distinct-doc, so a paragraph
+    * repeated only inside one doc does not count.) Input carries a
+    * `paras` array column; the gate derives paragraphs deterministically.
+    *
+    * Scale shape: one scan + one explode; the document-frequency agg and
+    * the join back are keyed by md5(paragraph) — 128-bit keys instead of
+    * arbitrary-length boilerplate strings on the wire, same identity
+    * modulo a ~2⁻⁶⁴ collision. A viral boilerplate paragraph is ONE df
+    * row (count-distinct, partial-aggregated) and fans back out only to
+    * its own occurrence rows — never quadratic. */
+  def paragraphDupStats(docs: DataFrame, minDocs: Int = 2,
+                        maxDupFrac: Double = 0.5): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val occ = graft.core.InternalCaches.persist(
+      docs.select(col("doc_id"), explode(col("paras")).as("para"))
+        .select(col("doc_id"), md5(col("para")).as("pk"),
+          length(col("para")).cast(LongType).as("chars")))
+    val dfreq = occ.groupBy(col("pk"))
+      .agg(countDistinct(col("doc_id")).cast(LongType).as("df"))
+    occ.join(dfreq, "pk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_paras"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).cast(LongType)
+          .as("n_dup_paras"),
+        sum(col("chars")).cast(LongType).as("total_chars"),
+        sum(when(col("df") >= minDocs, col("chars")).otherwise(0L))
+          .cast(LongType).as("dup_chars"))
+      .withColumn("dup_frac_raw",
+        col("dup_chars").cast(DoubleType) / col("total_chars"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        col("total_chars"), col("dup_chars"),
+        round(col("dup_frac_raw"), 6).as("dup_char_fraction"),
+        (col("dup_frac_raw") <= maxDupFrac).cast(LongType).as("keep"))
+  }
+
+  /** Gate: paragraphs are derived as non-overlapping 4-token chunks (the
+    * q128 derivation precedent — the gate corpus is single-line, and the
+    * closed vocabulary makes 4-token chunks repeat across documents at a
+    * real, nontrivial rate, so the df ≥ 2 branch genuinely fires). */
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    paragraphDupStats(withTokens(Tables.documents(s, dir))
+      .withColumn("paras", expr(
+        "transform(sequence(1, cast(ceil(size(t) / 4.0) as int)), " +
+          "i -> concat_ws(' ', slice(t, (i - 1) * 4 + 1, 4)))")))
+
   /** Positional inverted index — the lookup structure behind exact-phrase
     * decontamination and span attribution: one posting row per (token,
     * doc) with the term frequency and the ascending 0-based position list.
@@ -3626,6 +3676,7 @@ object Text {
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q148_heaps_law"           -> (qHeapsLaw _),
     "q149_minhash_error"       -> (qMinhashError _),
+    "q150_paragraph_dedup"     -> (qParagraphDedup _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5201,6 +5252,29 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q150: same non-overlapping 4-token chunk derivation; df is
+    // count(DISTINCT doc_id) per chunk string (md5 keying on the Spark
+    // side is identity-preserving), fraction = one pinned division
+    "q150_paragraph_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         occ AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(
+             range(1, CAST(ceil(len(t) / 4.0) AS BIGINT) + 1),
+             i -> array_to_string(list_slice(t, (i - 1) * 4 + 1, (i - 1) * 4 + 4), ' '))) AS para
+           FROM tok),
+         dfreq AS (SELECT para, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM occ GROUP BY para)
+         SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           CAST(sum(len(o.para)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN d.df >= 2 THEN len(o.para) ELSE 0 END) AS BIGINT) AS dup_chars,
+           round(CAST(sum(CASE WHEN d.df >= 2 THEN len(o.para) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(len(o.para)) AS BIGINT), 6) AS dup_char_fraction,
+           CAST(CASE WHEN CAST(sum(CASE WHEN d.df >= 2 THEN len(o.para) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(len(o.para)) AS BIGINT) <= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM occ o JOIN dfreq d ON d.para = o.para
+         GROUP BY o.doc_id""",
     // q149: candidates + exact side are the q35 all-pairs Jaccard recipe;
     // the estimator side recomputes the SAME 16 affine-over-31-ary-poly
     // min-hashes (exact integer folds in both engines), n_agree/16 is an

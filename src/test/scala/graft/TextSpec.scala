@@ -1755,6 +1755,33 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("paragraphDupStats: distinct-doc df, within-doc repeats excluded, char fractions exact") {
+    import spark.implicits._
+    // doc 1 and 2 share paragraph "dup text here"; doc 3 repeats its own
+    // paragraph twice (df = 1 distinct doc → NOT inter-doc duplicated)
+    val docs = Seq(
+      (1L, Seq("dup text here", "only in one")),
+      (2L, Seq("dup text here", "unique two")),
+      (3L, Seq("self rep", "self rep")))
+      .toDF("doc_id", "paras")
+    try {
+      val rows = Text.paragraphDupStats(docs).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val m = rows(1L).schema.fieldNames.zipWithIndex.toMap
+      // doc 1: dup para 13 chars of 24 total → fraction 13/24, keep 0 (> .5)
+      assert(rows(1L).getLong(m("n_dup_paras")) == 1L &&
+        rows(1L).getLong(m("dup_chars")) == 13L &&
+        rows(1L).getLong(m("total_chars")) == 24L, s"${rows(1L)}")
+      assert(rows(1L).getDouble(m("dup_char_fraction")) ==
+        BigDecimal(13.0 / 24).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(rows(1L).getLong(m("keep")) == 0L, s"${rows(1L)}")
+      // doc 3: self-repeat only → zero inter-doc duplication, keep 1
+      assert(rows(3L).getLong(m("n_dup_paras")) == 0L &&
+        rows(3L).getLong(m("dup_chars")) == 0L &&
+        rows(3L).getLong(m("keep")) == 1L, s"${rows(3L)}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("minhashErrorReport: identical docs estimate 1 exactly; errors stay in the k=16 envelope") {
     import spark.implicits._
     // identical docs: every min-hash agrees → est 1.0, err 0
