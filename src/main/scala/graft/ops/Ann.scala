@@ -187,8 +187,77 @@ object Ann {
   def qIvfKnn(s: SparkSession, dir: String): DataFrame =
     ivfKnn(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
 
+  /** Product-quantization codebooks (FAISS PQ): the 64-dim space splits
+    * into `m` orthogonal subspaces; each gets its own `ksub`-centroid
+    * codebook trained by the same deterministic farthest-first quantizer
+    * the IVF path uses, over the same first-`sampleN` training sample. */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, ksub: Int = 8,
+                  sampleN: Int = 256): Array[Array[Array[Double]]] = {
+    val dim = 64
+    require(m >= 1 && dim % m == 0, s"m must divide $dim, got $m")
+    val sub = dim / m
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(m)(s =>
+      farthestFirst(sample.map(_.slice(s * sub, (s + 1) * sub)), ksub))
+  }
+
+  /** PQ encoding health report — the compression step after q103's SQ8 on
+    * the storage/serving path (FAISS IVF-PQ): every vector encodes as m
+    * sub-codes (argmin centroid per subspace, the same NearestCells
+    * native expression as IVF assignment), and the report rolls up per
+    * (subspace, code) cell count plus the mean/max squared reconstruction
+    * error — the codebook-quality diagnostic an ANN deployment reads
+    * before committing to (m, ksub).
+    *
+    * Scale shape: codebooks are m·ksub·(dim/m) doubles — plan literals;
+    * encoding + per-subspace reconstruction error is a pure projection
+    * riding ONE scan (the m subspaces explode as an m-length struct
+    * array per row, fan-out m, each row bounded); the only shuffle is the
+    * m·ksub-key rollup with map-side partial aggregation. Floats pinned:
+    * per-vector d2 is the direct Σ(a−b)² left-to-right fold (graft_dot of
+    * the diff with itself ≡ DuckDB's list_dot_product), rounded 9 into
+    * decimal sums, round-6 finish. */
+  def pqReport(emb: DataFrame, m: Int = 4, ksub: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dim = 64
+    val sub = dim / m
+    val books = pqCodebooks(emb, m, ksub)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    import org.apache.spark.sql.graftbridge.Bridge
+    var df = emb
+    for (s <- 0 until m) {
+      val slice = expr(s"slice(embedding, ${s * sub + 1}, $sub)")
+      val codeCol = Bridge.column(graft.functions.NearestCells(
+        Bridge.expression(slice), books(s), 1))
+      val centLit = books(s).map(c => c.map(v => s"CAST($v AS DOUBLE)")
+        .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+      df = df.withColumn(s"_c$s", codeCol.cast(org.apache.spark.sql.types.LongType))
+      val diff = s"zip_with(slice(embedding, ${s * sub + 1}, $sub), " +
+        s"element_at($centLit, CAST(_c$s + 1 AS INT)), " +
+        "(a, b) -> CAST(a AS DOUBLE) - b)"
+      df = df.withColumn(s"_d$s", expr(s"graft_dot($diff, $diff)"))
+    }
+    val cells = (0 until m).map(s => struct(
+      lit(s.toLong).as("subspace"), col(s"_c$s").as("code"), col(s"_d$s").as("d2")))
+    df.select(explode(array(cells: _*)).as("x"))
+      .select(col("x.subspace").as("subspace"), col("x.code").as("code"),
+        col("x.d2").as("d2"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_vecs"),
+        round(sum(round(col("d2"), 9).cast(dec)).cast(
+          org.apache.spark.sql.types.DoubleType) / count(lit(1)), 6).as("avg_dist2"),
+        round(max(round(col("d2"), 9)), 6).as("max_dist2"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  def qPqReport(s: SparkSession, dir: String): DataFrame =
+    pqReport(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_ann_ivf" -> (qIvfKnn _),
+    "q151_pq_codes" -> (qPqReport _),
   )
 
   /** DuckDB oracle for q68. The IVF index has no randomness — the only
@@ -283,7 +352,72 @@ object Ann {
     sb.toString
   }
 
+  /** The q151 oracle: the q68 FFT-unroll recipe applied per subspace —
+    * m × ksub chained CTEs train the codebooks over the identical sample
+    * subvectors (direct-form distance, md DESC / vec_id ASC tie-break),
+    * assignment replays NearestCells' expansion-form argmin with the
+    * (d2 ASC, cid ASC) tie-break, and the report mirrors the round-9 /
+    * decimal-sum / round-6 chain. */
+  private def pqOracle: String = {
+    val m = 4; val ksub = 8; val sub = 16; val sampleN = 256
+    def dist2(a: String, b: String): String = {
+      val d = s"list_transform(list_zip($a, $b), p -> p[1] - p[2])"
+      s"list_dot_product($d, $d)"
+    }
+    def cellD2(x: String, c: String, cn: String): String =
+      s"(list_dot_product($x, $x) - 2.0 * list_dot_product($x, $c)) + $cn"
+    val sb = new StringBuilder
+    sb ++= s"""WITH emb AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      smp AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $sampleN)"""
+    for (s <- 0 until m) {
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      sb ++= s""",
+      s${s}smp AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS sv FROM smp),
+      s${s}emb AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS sv FROM emb),
+      s${s}c0 AS MATERIALIZED (SELECT sv FROM s${s}smp ORDER BY vec_id LIMIT 1),
+      s${s}d1 AS MATERIALIZED (SELECT t.vec_id, t.sv, ${dist2("t.sv", "c.sv")} AS md
+             FROM s${s}smp t, s${s}c0 c)"""
+      for (i <- 1 until ksub) {
+        sb ++= s""",
+      s${s}c$i AS MATERIALIZED (SELECT sv FROM s${s}d$i ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+        if (i < ksub - 1) sb ++= s""",
+      s${s}d${i + 1} AS MATERIALIZED (SELECT d.vec_id, d.sv,
+                      least(d.md, ${dist2("d.sv", "c.sv")}) AS md
+                    FROM s${s}d$i d, s${s}c$i c)"""
+      }
+      val centUnion = (0 until ksub)
+        .map(i => s"SELECT $i AS cid, sv, list_dot_product(sv, sv) AS cn FROM s${s}c$i")
+        .mkString("\n        UNION ALL ")
+      sb ++= s""",
+      s${s}cent AS MATERIALIZED (
+        $centUnion),
+      s${s}asn AS MATERIALIZED (
+        SELECT $s AS subspace, t.vec_id, t.cid AS code,
+          ${dist2("t.sv", "t.cv")} AS d2 FROM (
+          SELECT e.vec_id, e.sv, c.cid, c.sv AS cv,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cellD2("e.sv", "c.sv", "c.cn")} ASC, c.cid ASC) AS rnk
+          FROM s${s}emb e CROSS JOIN s${s}cent c) t
+        WHERE rnk = 1)"""
+    }
+    val asnUnion = (0 until m).map(s => s"SELECT * FROM s${s}asn")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+      allasn AS ($asnUnion)
+      SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+        CAST(count(*) AS BIGINT) AS n_vecs,
+        round(CAST(sum(CAST(round(d2, 9) AS DECIMAL(28, 12))) AS DOUBLE)
+          / count(*), 6) AS avg_dist2,
+        round(max(round(d2, 9)), 6) AS max_dist2
+      FROM allasn GROUP BY subspace, code
+      ORDER BY subspace, code"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q68_ann_ivf" -> ivfOracle,
+    "q151_pq_codes" -> pqOracle,
   )
 }

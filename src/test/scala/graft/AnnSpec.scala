@@ -97,4 +97,36 @@ class AnnSpec extends SparkSpec {
     }
     assert(hits >= 1, s"IVF found none of the brute-force top-1s")
   }
+
+  test("pqReport: exact reconstruction on a codebook-sized corpus; bigger codebooks reconstruct better") {
+    import spark.implicits._
+    // 16 vectors, 8 distinct constant patterns: FFT with ksub=8 recovers
+    // every pattern as a centroid in every subspace → all d2 exactly 0,
+    // each (subspace, code) cell holds exactly 2 vectors
+    val planted = (0 until 16).map(i =>
+      (i.toLong, Seq.fill(64)((i % 8).toFloat), 0)).toDF("vec_id", "embedding", "label")
+    val pr = Ann.pqReport(planted).collect()
+    assert(pr.length == 32, s"expected 4x8 populated cells, got ${pr.length}")
+    pr.foreach { r =>
+      assert(r.getLong(2) == 2L && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0,
+        s"imperfect reconstruction on a perfectly coverable corpus: $r")
+    }
+
+    // real corpus: report conserves counts (m rows of n each), codes stay
+    // in range, and total weighted reconstruction error drops when the
+    // codebook grows from ksub=2 to ksub=8
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    def tot(ksub: Int): Double = {
+      val rows = Ann.pqReport(emb, m = 4, ksub = ksub).collect()
+      val bySub = rows.groupBy(_.getLong(0))
+      assert(bySub.size == 4 && bySub.values.forall(_.map(_.getLong(2)).sum == n),
+        "cell counts do not conserve the corpus")
+      rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < ksub, s"$r"))
+      rows.map(r => r.getLong(2) * r.getDouble(3)).sum
+    }
+    val (coarse, fine) = (tot(2), tot(8))
+    assert(fine < coarse,
+      s"ksub=8 did not reconstruct better than ksub=2: $fine vs $coarse")
+  }
 }
