@@ -565,6 +565,78 @@ class PlanContractSpec extends SparkSpec {
       s"q144 planned a join:\n$p")
   }
 
+  test("q147: each training epoch is join-free — literal weights, 65-key agg") {
+    // one epoch of the gradient plan: no join anywhere (the model is a
+    // plan literal through graft_dot), partial+final hash agg around the
+    // 65-key exchange, no single-partition stage
+    try {
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions._
+      val wLit = Array.fill(64)(0.0).map(v => s"CAST($v AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      val margin = round(expr(s"graft_dot(embedding, $wLit)") + lit(0.0), 6)
+      val epoch = emb
+        .select(col("embedding"),
+          when(col("label") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-margin)), 9))
+        .withColumn("g", round(col("p") - col("y"), 9))
+        .select(col("g"), posexplode(expr(
+          "concat(array(CAST(1.0 AS DOUBLE)), " +
+            "transform(embedding, x -> CAST(x AS DOUBLE)))")).as(Seq("j", "x")))
+        .groupBy(col("j"))
+        .agg(sum(round(col("g") * col("x"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("gs"))
+      val p = epoch.queryExecution.executedPlan.toString
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"q147 epoch planned a join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"q147 epoch lost partial aggregation:\n$p")
+      assert(!p.toLowerCase.contains("singlepartition"),
+        s"q147 epoch planned a single-partition exchange:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q151: PQ encoding is one join-free scan into a bounded rollup") {
+    try {
+      val p = plan("q151_pq_codes")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"q151 planned a join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"q151 lost partial aggregation:\n$p")
+      assert("FileScan".r.findAllIn(p).length == 1,
+        s"q151 scans the corpus more than once:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q148: Heaps positions never plan a per-source corpus window") {
+    // every Window must partition by a compound (source, bucket) or
+    // (source, token)-derived key — the two-level prefix sum's contract;
+    // a bare partitionby-source window over corpus rows would be the
+    // one-reducer-per-source shape this operator exists to avoid
+    try {
+      val p = plan("q148_heaps_law")
+      // locate Window operators and check their spec mentions the bucket key
+      val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+      winLines.foreach { l =>
+        assert(l.contains("_bkt"),
+          s"q148 planned a window not keyed by the prefix-sum bucket: $l")
+      }
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"q148 planned a nested loop:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q150: paragraph df joins back by equi-key — no nested loop, partial-agg'd") {
+    try {
+      val p = plan("q150_paragraph_dedup")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"q150 planned a nested loop:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"q150 lost partial aggregation:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("q133: duplicated spans — capped pair join, per-diagonal windows only") {
     // the q121 contract with the islands window on top: the pair join runs
     // AFTER the df cap (never a cartesian), and the only window partitions
