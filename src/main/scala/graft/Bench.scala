@@ -873,7 +873,31 @@ object Bench {
               (2080 - cov.length) }
           if (cBad != 0L) throw new GoldenMismatch(
             s"covariance 100k anchor MISMATCH: $cBad cells off (want 2080 cells, n=100000, diag>0)")
-          s""","reference_vec_1m":{$j1,$j2,$j3,$j4,"ivf_recall_1m":$recall}"""
+          // logreg training at 1M (2000x the gate corpus): 3 full-batch
+          // epochs; the decimal gradient sums make the trained model
+          // bit-identical across reps regardless of partitioning — every
+          // warm rep must produce the same 65 coefficients, and the model
+          // must have moved off the zero start.
+          var models = List.empty[(Seq[Double], Double)]
+          val j5 = coldWarm("reference_vec_1m", "logreg_train_1m", warmReps = 3) {
+            val (w, b) = graft.ops.Embeddings.logregTrainWeights(
+              vecs.withColumn("label", pmod(col("vec_id"), lit(64)).cast("int")))
+            models = (w.toSeq, b) :: models }
+          if (models.distinct.size != 1 || models.head._1.forall(_ == 0.0))
+            throw new GoldenMismatch(
+              s"logreg 1M anchor MISMATCH: ${models.distinct.size} distinct models " +
+                "across reps (want 1, nonzero)")
+          // PQ encoding at 1M: every vector must yield exactly m=4 codes
+          // (counts conserve 4M) with nonnegative reconstruction errors in
+          // every populated cell.
+          var pqBad = -1L
+          val j6 = coldWarm("reference_vec_1m", "pq_encode_1m", warmReps = 3) {
+            val rep = graft.ops.Ann.pqReport(vecs).collect()
+            pqBad = math.abs(rep.map(_.getLong(2)).sum - 4000000L) +
+              rep.count(r => r.getDouble(3) < 0.0 || r.getDouble(4) < r.getDouble(3)) }
+          if (pqBad != 0L) throw new GoldenMismatch(
+            s"pq 1M anchor MISMATCH: $pqBad (want 4x1M codes, 0 <= avg <= max)")
+          s""","reference_vec_1m":{$j1,$j2,$j3,$j4,$j5,$j6,"ivf_recall_1m":$recall}"""
         } finally { vecs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
