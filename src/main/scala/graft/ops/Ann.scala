@@ -219,26 +219,41 @@ object Ann {
     * per-vector d2 is the direct Σ(a−b)² left-to-right fold (graft_dot of
     * the diff with itself ≡ DuckDB's list_dot_product), rounded 9 into
     * decimal sums, round-6 finish. */
-  def pqReport(emb: DataFrame, m: Int = 4, ksub: Int = 8): DataFrame = {
+  /** Codebook literal for subspace `s` — a ksub × (dim/m) nested double
+    * array expression. */
+  private def pqCentLit(books: Array[Array[Array[Double]]], s: Int): String =
+    books(s).map(c => c.map(v => s"CAST($v AS DOUBLE)")
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+
+  /** Append per-subspace code columns `_c0.._c{m-1}` (NearestCells argmin
+    * against the subspace codebook) and, when `withDist`, the direct-form
+    * squared reconstruction distances `_d0.._d{m-1}`. Pure projection. */
+  private def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]],
+                       withDist: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dim = 64
-    val sub = dim / m
-    val books = pqCodebooks(emb, m, ksub)
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     import org.apache.spark.sql.graftbridge.Bridge
+    val m = books.length
+    val sub = 64 / m
     var df = emb
     for (s <- 0 until m) {
       val slice = expr(s"slice(embedding, ${s * sub + 1}, $sub)")
       val codeCol = Bridge.column(graft.functions.NearestCells(
         Bridge.expression(slice), books(s), 1))
-      val centLit = books(s).map(c => c.map(v => s"CAST($v AS DOUBLE)")
-        .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
       df = df.withColumn(s"_c$s", codeCol.cast(org.apache.spark.sql.types.LongType))
-      val diff = s"zip_with(slice(embedding, ${s * sub + 1}, $sub), " +
-        s"element_at($centLit, CAST(_c$s + 1 AS INT)), " +
-        "(a, b) -> CAST(a AS DOUBLE) - b)"
-      df = df.withColumn(s"_d$s", expr(s"graft_dot($diff, $diff)"))
+      if (withDist) {
+        val diff = s"zip_with(slice(embedding, ${s * sub + 1}, $sub), " +
+          s"element_at(${pqCentLit(books, s)}, CAST(_c$s + 1 AS INT)), " +
+          "(a, b) -> CAST(a AS DOUBLE) - b)"
+        df = df.withColumn(s"_d$s", expr(s"graft_dot($diff, $diff)"))
+      }
     }
+    df
+  }
+
+  def pqReport(emb: DataFrame, m: Int = 4, ksub: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val books = pqCodebooks(emb, m, ksub)
+    val df = pqEncode(emb, books, withDist = true)
     val cells = (0 until m).map(s => struct(
       lit(s.toLong).as("subspace"), col(s"_c$s").as("code"), col(s"_d$s").as("d2")))
     df.select(explode(array(cells: _*)).as("x"))
@@ -255,9 +270,71 @@ object Ann {
   def qPqReport(s: SparkSession, dir: String): DataFrame =
     pqReport(Tables.embeddings(s, dir))
 
+  /** PQ asymmetric-distance (ADC) top-k recall — the query-time half of
+    * [[pqReport]] and the eval an IVF-PQ deployment runs before serving
+    * from codes: queries keep their FULL vector, database vectors are
+    * represented ONLY by their m sub-codes, and the ADC distance is the
+    * sum of per-subspace direct-form distances to the coded centroids
+    * (Jégou et al. 2011). Per query, the ADC top-k is overlapped against
+    * the exact full-vector L2 top-k (the q105 recall-report shape) — the
+    * number that decides whether (m, ksub) is servable.
+    *
+    * Scale shape: the bounded query side BROADCASTS onto the coded
+    * database scan (one projection join, no shuffle of DB rows); at
+    * production scale the cand side ships m bytes of codes per vector,
+    * not the embedding — the compression is the point. Both rankings
+    * pin round-6 distances with ascending-id tie-breaks, so the report
+    * is engine-exact. */
+  def pqAdcRecall(emb: DataFrame, queryPred: Column, k: Int = 5,
+                  m: Int = 4, ksub: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = 64 / m
+    val books = pqCodebooks(emb, m, ksub)
+    val coded = graft.core.InternalCaches.persist(
+      pqEncode(emb, books, withDist = false)
+        .select(col("vec_id").as("nid") +:
+          (0 until m).map(s => col(s"_c$s")): _*))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val adcExpr = (0 until m).map { s =>
+      val diff = s"zip_with(slice(qv, ${s * sub + 1}, $sub), " +
+        s"element_at(${pqCentLit(books, s)}, CAST(_c$s + 1 AS INT)), " +
+        "(a, b) -> CAST(a AS DOUBLE) - b)"
+      s"graft_dot($diff, $diff)"
+    }.mkString(" + ")
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val adcTop = broadcast(q).join(coded, col("qid") =!= col("nid"))
+      .withColumn("d2", round(expr(adcExpr), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid").as("anid"))
+    val full = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val exactTop = broadcast(q).join(full, col("qid") =!= col("nid"))
+      .withColumn("d2", round(expr(
+        "graft_dot(zip_with(qv, nv, (a, b) -> CAST(a AS DOUBLE) - b), " +
+          "zip_with(qv, nv, (a, b) -> CAST(a AS DOUBLE) - b))"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+    exactTop
+      .join(adcTop, exactTop("qid") === adcTop("qid") &&
+        col("nid") === col("anid"), "left_outer")
+      .groupBy(exactTop("qid"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_exact"),
+        sum(when(col("anid").isNotNull, 1L).otherwise(0L))
+          .cast(org.apache.spark.sql.types.LongType).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast(
+        org.apache.spark.sql.types.DoubleType) / col("n_exact"))
+      .select(col("qid"), col("n_exact"), col("n_hit"), col("recall"))
+  }
+
+  def qPqAdcRecall(s: SparkSession, dir: String): DataFrame =
+    pqAdcRecall(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_ann_ivf" -> (qIvfKnn _),
     "q151_pq_codes" -> (qPqReport _),
+    "q152_pq_adc_recall" -> (qPqAdcRecall _),
   )
 
   /** DuckDB oracle for q68. The IVF index has no randomness — the only
@@ -358,12 +435,17 @@ object Ann {
     * assignment replays NearestCells' expansion-form argmin with the
     * (d2 ASC, cid ASC) tie-break, and the report mirrors the round-9 /
     * decimal-sum / round-6 chain. */
-  private def pqOracle: String = {
+  private def pqDist2(a: String, b: String): String = {
+    val d = s"list_transform(list_zip($a, $b), p -> p[1] - p[2])"
+    s"list_dot_product($d, $d)"
+  }
+
+  /** Shared q151/q152 CTE prefix: codebook training (m × ksub FFT unroll)
+    * plus per-subspace assignment — everything up through `s{s}asn` and
+    * `s{s}cent`. */
+  private def pqTrainSql: String = {
     val m = 4; val ksub = 8; val sub = 16; val sampleN = 256
-    def dist2(a: String, b: String): String = {
-      val d = s"list_transform(list_zip($a, $b), p -> p[1] - p[2])"
-      s"list_dot_product($d, $d)"
-    }
+    def dist2(a: String, b: String): String = pqDist2(a, b)
     def cellD2(x: String, c: String, cn: String): String =
       s"(list_dot_product($x, $x) - 2.0 * list_dot_product($x, $c)) + $cn"
     val sb = new StringBuilder
@@ -402,9 +484,14 @@ object Ann {
           FROM s${s}emb e CROSS JOIN s${s}cent c) t
         WHERE rnk = 1)"""
     }
+    sb.toString
+  }
+
+  private def pqOracle: String = {
+    val m = 4
     val asnUnion = (0 until m).map(s => s"SELECT * FROM s${s}asn")
       .mkString(" UNION ALL ")
-    sb ++= s""",
+    pqTrainSql + s""",
       allasn AS ($asnUnion)
       SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
         CAST(count(*) AS BIGINT) AS n_vecs,
@@ -413,11 +500,54 @@ object Ann {
         round(max(round(d2, 9)), 6) AS max_dist2
       FROM allasn GROUP BY subspace, code
       ORDER BY subspace, code"""
-    sb.toString
+  }
+
+  /** The q152 oracle: the shared PQ training prefix, then ADC distances
+    * (per-subspace direct-form distance of the FULL query slice to the
+    * CODED centroid, summed left-to-right, round 6, nid tie-break)
+    * against the exact full-vector L2 ranking — the recall report joins
+    * the two bounded top-k sets. */
+  private def pqAdcOracle: String = {
+    val k = 5
+    pqTrainSql + s""",
+      qset AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 8),
+      pairsq AS (SELECT q.qid, q.qv, a0.vec_id AS nid,
+          c0.sv AS cv0, c1.sv AS cv1, c2.sv AS cv2, c3.sv AS cv3
+        FROM qset q CROSS JOIN s0asn a0
+        JOIN s1asn a1 ON a1.vec_id = a0.vec_id
+        JOIN s2asn a2 ON a2.vec_id = a0.vec_id
+        JOIN s3asn a3 ON a3.vec_id = a0.vec_id
+        JOIN s0cent c0 ON c0.cid = a0.code
+        JOIN s1cent c1 ON c1.cid = a1.code
+        JOIN s2cent c2 ON c2.cid = a2.code
+        JOIN s3cent c3 ON c3.cid = a3.code
+        WHERE q.qid <> a0.vec_id),
+      adc AS (SELECT qid, nid,
+          round(${pqDist2("qv[1:16]", "cv0")} + ${pqDist2("qv[17:32]", "cv1")}
+            + ${pqDist2("qv[33:48]", "cv2")} + ${pqDist2("qv[49:64]", "cv3")}, 6) AS d2
+        FROM pairsq),
+      adctop AS (SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid
+            ORDER BY d2 ASC, nid ASC) AS rk FROM adc) t
+        WHERE rk <= $k),
+      exact AS (SELECT q.qid, e.vec_id AS nid,
+          round(${pqDist2("q.qv", "e.v")}, 6) AS d2
+        FROM qset q JOIN emb e ON e.vec_id <> q.qid),
+      exacttop AS (SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid
+            ORDER BY d2 ASC, nid ASC) AS rk FROM exact) t
+        WHERE rk <= $k)
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS recall
+      FROM exacttop e LEFT JOIN adctop a ON a.qid = e.qid AND a.nid = e.nid
+      GROUP BY e.qid"""
   }
 
   val oracles: Map[String, String] = Map(
     "q68_ann_ivf" -> ivfOracle,
     "q151_pq_codes" -> pqOracle,
+    "q152_pq_adc_recall" -> pqAdcOracle,
   )
 }

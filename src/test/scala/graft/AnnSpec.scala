@@ -129,4 +129,30 @@ class AnnSpec extends SparkSpec {
     assert(fine < coarse,
       s"ksub=8 did not reconstruct better than ksub=2: $fine vs $coarse")
   }
+
+  test("pqAdcRecall: exact reconstruction implies recall 1.0; real corpus stays in range") {
+    import spark.implicits._
+    // the q151 perfectly-coverable corpus: every vector reconstructs with
+    // d2 = 0, so ADC distances EQUAL exact distances and every query's
+    // ADC top-k is the exact top-k — recall exactly 1.0
+    val planted = (0 until 16).map(i =>
+      (i.toLong, Seq.fill(64)((i % 8).toFloat), 0)).toDF("vec_id", "embedding", "label")
+    try {
+      val pr = Ann.pqAdcRecall(planted, col("vec_id") < 4, k = 3).collect()
+      assert(pr.length == 4, s"${pr.toSeq}")
+      pr.foreach(r => assert(r.getDouble(3) == 1.0,
+        s"perfect codes should yield perfect recall: $r"))
+
+      // real corpus: every query reports k exact neighbors and a recall
+      // in [0,1]; the coarse (m=4, ksub=8) codebook is NOT expected to be
+      // servable here — the report exists to say so honestly
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+      val rows = Ann.pqAdcRecall(emb, col("vec_id") < 8, k = 5).collect()
+      assert(rows.length == 8)
+      rows.foreach { r =>
+        assert(r.getLong(1) == 5L && r.getLong(2) >= 0L && r.getLong(2) <= 5L &&
+          r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"$r")
+      }
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
