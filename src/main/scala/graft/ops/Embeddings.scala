@@ -537,6 +537,68 @@ object Embeddings {
   def qAnnRecall(s: SparkSession, dir: String): DataFrame =
     annRecallReport(Tables.embeddings(s, dir), col("vec_id") < 8, k = 5)
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity stage a production retrieval stack runs AFTER
+    * candidate generation (BM25 → ANN → RRF → MMR here): from each
+    * query's `nCand` relevance-ranked candidates, greedily select `k`
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so near-duplicate
+    * hits cannot crowd the final slate. λ and 1−λ are BOTH pinned
+    * literals (0.7 / 0.3) — deriving 1−λ at runtime would bake the float
+    * 0.30000000000000004 into the scores on one engine only.
+    *
+    * Scale shape: corpus-sized work stays inside the audited kNN
+    * operator; everything here runs on ≤ nCand rows per query — the
+    * pairwise candidate-similarity join is nCand² per query (a constant),
+    * and each of the k−1 greedy stages is one bounded join + one argmax
+    * window over per-query partitions. The greedy loop is a fixed k, so
+    * lineage stays bounded. */
+  def mmrRerank(emb: DataFrame, queryPred: Column, k: Int = 3,
+                nCand: Int = 10, lambda: Double = 0.7,
+                oneMinusLambda: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= nCand, s"need 1 <= k <= nCand, got $k vs $nCand")
+    val cands = graft.core.InternalCaches.persist(
+      bruteForceKnn(emb, queryPred, nCand)
+        .select(col("qid"), col("nid"), col("sim").as("rel")))
+    val n = withNorm(emb)
+    val withVec = cands.join(
+      n.select(col("vec_id").as("nid"), col("embedding").as("dv"), col("nrm").as("dn")),
+      "nid")
+    val left = withVec.select(col("qid"), col("nid").as("d"), col("dv"), col("dn"))
+    val right = withVec.select(col("qid").as("q2"), col("nid").as("s"),
+      col("dv").as("sv"), col("dn").as("sn"))
+    val pair = graft.core.InternalCaches.persist(
+      left.join(right, col("qid") === col("q2") && col("d") =!= col("s"))
+        .select(col("qid"), col("d"), col("s"),
+          round(expr("graft_dot(dv, sv)") / (col("dn") * col("sn")), 6).as("dd")))
+    var out = cands
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("nid").asc)))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), lit(1L).as("sel_rank"), col("rel").as("mmr"))
+    for (t <- 2 to k) {
+      val sel = out.select(col("qid").as("sq"), col("nid").as("sel"))
+      val pen = pair.join(sel, col("qid") === col("sq") && col("s") === col("sel"))
+        .groupBy(col("qid"), col("d")).agg(max(col("dd")).as("pen"))
+      val rem = cands.join(sel,
+        cands("qid") === col("sq") && cands("nid") === col("sel"), "left_anti")
+      val next = rem
+        .join(pen, rem("qid") === pen("qid") && rem("nid") === pen("d"))
+        .select(rem("qid"), col("nid"),
+          (lit(lambda) * col("rel") - lit(oneMinusLambda) * col("pen")).as("mmrraw"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("mmrraw").desc, col("nid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), lit(t.toLong).as("sel_rank"),
+          round(col("mmrraw"), 6).as("mmr"))
+      out = out.union(next)
+    }
+    out.select(col("qid"), col("sel_rank"), col("nid"), col("mmr"))
+  }
+
+  def qMmrRerank(s: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.embeddings(s, dir), col("vec_id") < 8)
+
   /** Exact d×d covariance of the embedding corpus — the whitening /
     * drift-detection statistic (a degenerate dimension means a wasted
     * axis; covariance drift across snapshots means the encoder moved).
@@ -824,6 +886,7 @@ object Embeddings {
     "q93_classifier"     -> (qClassifier _),
     "q146_calibration"   -> (qCalibration _),
     "q147_logreg_train"  -> (qLogregTrain _),
+    "q153_mmr_rerank"    -> (qMmrRerank _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -896,6 +959,53 @@ object Embeddings {
           round(abs(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) / count(*)
                 - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS gap
         FROM bkt GROUP BY bucket ORDER BY bucket"""
+  }
+
+  /** The q153 greedy MMR selection unrolled as per-stage CTEs: candidate
+    * generation is the q40 recipe at depth nCand, the pairwise
+    * candidate-similarity table mirrors the round-6 cosine, and each
+    * stage's argmax ranks the identical raw 0.7·rel − 0.3·pen expression
+    * with the nid tie-break. */
+  private def mmrOracle: String = {
+    val nCand = 10; val k = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH scored AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid, round($CosSql, 6) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+        cands AS MATERIALIZED (
+          SELECT qid, nid, sim AS rel FROM (
+            SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid ASC) AS rk FROM scored) t
+          WHERE rk <= $nCand),
+        pair AS MATERIALIZED (
+          SELECT ca.qid, ca.nid AS d, cb.nid AS s, round($CosSql, 6) AS dd
+          FROM cands ca JOIN cands cb ON ca.qid = cb.qid AND ca.nid <> cb.nid
+          JOIN embeddings a ON a.vec_id = ca.nid
+          JOIN embeddings b ON b.vec_id = cb.nid),
+        sel1 AS (SELECT qid, nid, CAST(1 AS BIGINT) AS sel_rank, rel AS mmr FROM (
+            SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid
+              ORDER BY rel DESC, nid ASC) AS rk FROM cands) t
+          WHERE rk = 1),
+        all1 AS (SELECT * FROM sel1)"""
+    for (t <- 2 to k) {
+      val prev = s"all${t - 1}"
+      sb ++= s""",
+        pen$t AS (SELECT p.qid, p.d, max(p.dd) AS pen
+          FROM pair p JOIN $prev s ON s.qid = p.qid AND s.nid = p.s
+          GROUP BY p.qid, p.d),
+        sel$t AS (SELECT qid, nid, CAST($t AS BIGINT) AS sel_rank,
+            round(mmrraw, 6) AS mmr FROM (
+            SELECT qid, nid, mmrraw, row_number() OVER (PARTITION BY qid
+              ORDER BY mmrraw DESC, nid ASC) AS rk
+            FROM (SELECT c.qid, c.nid, 0.7 * c.rel - 0.3 * p.pen AS mmrraw
+                  FROM cands c JOIN pen$t p ON p.qid = c.qid AND p.d = c.nid
+                  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                    WHERE s.qid = c.qid AND s.nid = c.nid)) u) t
+          WHERE rk = 1),
+        all$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$t)"""
+    }
+    sb ++= s"\n        SELECT qid, sel_rank, nid, mmr FROM all$k"
+    sb.toString
   }
 
   /** The q147 training loop unrolled as materialized per-epoch CTE stages
@@ -1108,6 +1218,7 @@ object Embeddings {
     "q93_classifier" -> classifierOracle,
     "q146_calibration" -> calibrationOracle,
     "q147_logreg_train" -> logregOracle,
+    "q153_mmr_rerank" -> mmrOracle,
     "q94_pagerank" -> pageRankOracle,
     // q143: both rankings use the q40 round-6-sim + nid tie-break, so the
     // top-k sets are engine-exact on both the full and the sliced side

@@ -379,6 +379,40 @@ class EmbeddingsSpec extends SparkSpec {
       frame.map(_.getLong(0)).sorted.sameElements(0L to 64L))
   }
 
+  test("mmrRerank: redundant near-twin demoted below the diverse candidate") {
+    import spark.implicits._
+    def pad(v: Seq[Float]) = v ++ Seq.fill(64 - v.size)(0f)
+    // q = e1; A and A' near-identical high-relevance; B diverse, lower rel.
+    // relevance order is A, A', B — MMR at lambda = .5 must pick A, then B
+    // (A' pays ~1.0 redundancy penalty), then A'.
+    val vecs = Seq(
+      (0L, pad(Seq(1f, 0f, 0f, 0f)), 0),
+      (1L, pad(Seq(0.95f, 0.31f, 0f, 0f)), 0),     // A
+      (2L, pad(Seq(0.95f, 0.31f, 0.01f, 0f)), 0),  // A' ~ A
+      (3L, pad(Seq(0.8f, 0f, 0f, 0.6f)), 0))       // B
+      .toDF("vec_id", "embedding", "label")
+    try {
+      val got = Embeddings.mmrRerank(vecs, col("vec_id") === 0, k = 3, nCand = 3,
+          lambda = 0.5, oneMinusLambda = 0.5)
+        .orderBy(col("sel_rank")).collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+        s"MMR did not diversify: ${got.toSeq}")
+      // pure relevance would have ranked A' second — MMR moved B up
+      val rel = Embeddings.bruteForceKnn(vecs, col("vec_id") === 0, 3)
+        .orderBy(col("rk")).collect().map(_.getLong(2))
+      assert(rel.toSeq == Seq(1L, 2L, 3L), s"relevance baseline moved: ${rel.toSeq}")
+
+      // real corpus: 3 distinct selections per query, ranks 1..3
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+      val rows = Embeddings.mmrRerank(emb, col("vec_id") < 8).collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.size == 8 && byQ.values.forall { g =>
+        g.map(_.getLong(1)).sorted.sameElements(1L to 3L) &&
+          g.map(_.getLong(2)).distinct.length == 3
+      }, s"malformed slates: ${rows.toSeq}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("truncationRecall: planted neighbor flip at k=1 heals at k=2") {
     import spark.implicits._
     // query id0 = (1,0,0,0). Full-dim nearest is id2 (sim ≈ .995); under
