@@ -60,6 +60,30 @@ object Text {
            sum(col("n_chars")).cast(LongType).as("sum_chars"))
 
   /** Per-document quality features: token/stopword/punct ratios. */
+  /** Per-document character-distribution Shannon entropy — the cheap
+    * gibberish / encoding-noise signal beside the q31 ratio battery (low
+    * entropy = repeated-character spam, high entropy near ln(alphabet) =
+    * random bytes; natural text sits in a band). Entirely a per-row
+    * projection: the histogram folds over the SORTED distinct-character
+    * array (both engines sort byte-identically on this corpus), each
+    * −p·ln p term rounds to 9, the fold runs left-to-right in that fixed
+    * order, finish rounds to 6 — no explode, no shuffle, rides any scan
+    * at any corpus size. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cs = "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    val p = s"(CAST(size(filter($cs, x -> x = c)) AS DOUBLE) / length(text))"
+    docs.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("text_len"),
+      expr(s"size(array_distinct($cs))").cast(LongType).as("n_distinct"),
+      round(-expr(
+        s"aggregate(transform(array_sort(array_distinct($cs)), " +
+          s"c -> round($p * ln($p), 9)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"),
+        6).as("entropy"))
+  }
+
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(s, dir))
+
   def qQuality(s: SparkSession, dir: String): DataFrame = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
     withTokens(Tables.documents(s, dir))
@@ -3677,6 +3701,7 @@ object Text {
     "q148_heaps_law"           -> (qHeapsLaw _),
     "q149_minhash_error"       -> (qMinhashError _),
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
+    "q154_char_entropy"        -> (qCharEntropy _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5252,6 +5277,23 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q154: the same sorted-distinct fold — list_sort(list_distinct) on
+    // this ASCII corpus orders identically to array_sort, each term
+    // rounds to 9, the fold is left-to-right in that order, finish 6
+    "q154_char_entropy" ->
+      """SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS text_len,
+           CAST(len(list_distinct(list_transform(range(1, len(text) + 1),
+             i -> text[i]))) AS BIGINT) AS n_distinct,
+           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list_distinct(list_transform(range(1, len(text) + 1),
+               i -> text[i]))),
+               c -> round((CAST(len(list_filter(list_transform(range(1, len(text) + 1),
+                 i -> text[i]), x -> x = c)) AS DOUBLE) / len(text))
+                 * ln((CAST(len(list_filter(list_transform(range(1, len(text) + 1),
+                 i -> text[i]), x -> x = c)) AS DOUBLE) / len(text))), 9))),
+             (a, x) -> a + x), 6) AS entropy
+         FROM documents""",
     // q150: same non-overlapping 4-token chunk derivation; df is
     // count(DISTINCT doc_id) per chunk string (md5 keying on the Spark
     // side is identity-preserving), fraction = one pinned division

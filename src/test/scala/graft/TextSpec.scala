@@ -1755,6 +1755,23 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("charEntropy: degenerate and uniform distributions hit their closed forms") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    try {
+      val got = Text.charEntropy(docs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(1L) == ((8L, 1L, 0.0)), s"${got(1L)}")        // single char → H = 0
+      // uniform over 2 chars → ln 2; over 4 chars → ln 4 (modulo pinning)
+      assert(got(2L)._3 == r6(-2 * r9(0.5 * math.log(0.5))), s"${got(2L)}")
+      assert(got(3L)._3 == r6(-4 * r9(0.25 * math.log(0.25))), s"${got(3L)}")
+      assert(math.abs(got(3L)._3 - math.log(4.0)) < 1e-5)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("paragraphDupStats: distinct-doc df, within-doc repeats excluded, char fractions exact") {
     import spark.implicits._
     // doc 1 and 2 share paragraph "dup text here"; doc 3 repeats its own
