@@ -405,6 +405,47 @@ object Embeddings {
     (w, bias)
   }
 
+  /** Exact tie-corrected ROC-AUC of the quality classifier against the
+    * binary target — the threshold-free ranking metric that completes the
+    * classifier lifecycle (train q147 → broadcast inference q93 →
+    * calibration q146 → AUC here). Mann–Whitney form with ties counted
+    * half: AUC = Σ_s n⁺(s)·(2·N⁻₍₋₎(s) + n⁻(s)) / (2·P·N), where the sum
+    * runs over DISTINCT round-6 margins — all integer until the single
+    * final division, so the statistic is bit-identical on every engine
+    * and partitioning.
+    *
+    * Scale shape: scoring is the q93 pure map stage; the per-score
+    * aggregation is combine-friendly keyed by the scaled-long margin; the
+    * cumulative-negatives pass runs the two-level distributed prefix sum
+    * over the DISTINCT-SCORE frame (already ≪ corpus) — no global
+    * single-reducer rank over corpus rows, which is how the textbook
+    * rank-based AUC dies at 100 TB. */
+  def classifierAuc(emb: DataFrame, weights: Array[Double],
+                    bias: Double): DataFrame = {
+    val scored = classifierScores(emb, weights, bias)
+      .withColumn("y", when(col("label") % 2 === 0, 1L).otherwise(0L))
+      .withColumn("sk", round(col("margin") * 1000000.0, 0).cast(LongType))
+    val byScore = scored.groupBy(col("sk"))
+      .agg(sum(col("y")).cast(LongType).as("np"),
+        sum(lit(1L) - col("y")).cast(LongType).as("nn"))
+      .withColumn("_g", lit(1))
+    val cum = Text.distributedRunningSum(byScore, "_g", Seq("sk"), "nn", "cumnn")
+    cum
+      .withColumn("u2", col("np") * (lit(2L) * (col("cumnn") - col("nn")) + col("nn")))
+      .agg(sum(col("np")).cast(LongType).as("n_pos"),
+        sum(col("nn")).cast(LongType).as("n_neg"),
+        count(lit(1)).cast(LongType).as("n_scores"),
+        sum(col("u2")).cast(LongType).as("u2s"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        round(col("u2s").cast(DoubleType) /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  def qClassifierAuc(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = q93Model
+    classifierAuc(Tables.embeddings(s, dir), w, b)
+  }
+
   /** Gate: the trained 65-coefficient model as rows — j = 0 is the bias,
     * j = 1..64 the per-dimension weights. Hash-matching this table means
     * the DuckDB oracle reproduced all `iters` distributed epochs exactly. */
@@ -887,6 +928,7 @@ object Embeddings {
     "q146_calibration"   -> (qCalibration _),
     "q147_logreg_train"  -> (qLogregTrain _),
     "q153_mmr_rerank"    -> (qMmrRerank _),
+    "q155_classifier_auc" -> (qClassifierAuc _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -959,6 +1001,34 @@ object Embeddings {
           round(abs(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) / count(*)
                 - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS gap
         FROM bkt GROUP BY bucket ORDER BY bucket"""
+  }
+
+  /** The q155 oracle: the q93 literal-model margin, scaled-long score
+    * keys, a window cumulative over the distinct-score frame (provably
+    * equal to the engine's two-level prefix sum — unique dense order
+    * key), and the identical all-integer Mann–Whitney finish. */
+  private def aucOracle: String = {
+    val (w, b) = q93Model
+    val lst = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+          SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+            CAST(round(round(
+              list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst)
+                + CAST($b AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT) AS sk
+          FROM embeddings),
+        byscore AS (SELECT sk, CAST(sum(y) AS BIGINT) AS np,
+            CAST(sum(1 - y) AS BIGINT) AS nn
+          FROM scored GROUP BY sk),
+        cum AS (SELECT sk, np, nn,
+            CAST(sum(nn) OVER (ORDER BY sk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumnn
+          FROM byscore)
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(nn) AS BIGINT) AS n_neg,
+          CAST(count(*) AS BIGINT) AS n_scores,
+          round(CAST(sum(np * (2 * (cumnn - nn) + nn)) AS DOUBLE)
+            / (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6) AS auc
+        FROM cum"""
   }
 
   /** The q153 greedy MMR selection unrolled as per-stage CTEs: candidate
@@ -1219,6 +1289,7 @@ object Embeddings {
     "q146_calibration" -> calibrationOracle,
     "q147_logreg_train" -> logregOracle,
     "q153_mmr_rerank" -> mmrOracle,
+    "q155_classifier_auc" -> aucOracle,
     "q94_pagerank" -> pageRankOracle,
     // q143: both rankings use the q40 round-6-sim + nid tie-break, so the
     // top-k sets are engine-exact on both the full and the sliced side

@@ -379,6 +379,36 @@ class EmbeddingsSpec extends SparkSpec {
       frame.map(_.getLong(0)).sorted.sameElements(0L to 64L))
   }
 
+  test("classifierAuc: closed forms for separation, ties, and anti-separation; trained model lifts AUC") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Float, Int)]) = rows.map { case (id, v, l) =>
+      (id, Seq(v) ++ Seq.fill(63)(0f), l) }.toDF("vec_id", "embedding", "label")
+    val w = Array.fill(64)(0.0).updated(0, 1.0)
+    try {
+      // perfectly separated: every positive margin above every negative
+      val sep = mk(Seq((0L, 3f, 0), (1L, 2f, 0), (2L, -2f, 1), (3L, -3f, 1)))
+      val rSep = Embeddings.classifierAuc(sep, w, 0.0).collect().head
+      assert((rSep.getLong(0), rSep.getLong(1), rSep.getDouble(3)) == ((2L, 2L, 1.0)), s"$rSep")
+      // all margins tied → AUC exactly 0.5 (the tie-correction path)
+      val tied = mk(Seq((0L, 1f, 0), (1L, 1f, 1), (2L, 1f, 0), (3L, 1f, 1)))
+      val rTied = Embeddings.classifierAuc(tied, w, 0.0).collect().head
+      assert(rTied.getLong(2) == 1L && rTied.getDouble(3) == 0.5, s"$rTied")
+      // anti-separated → AUC 0
+      val anti = mk(Seq((0L, -2f, 0), (1L, 2f, 1)))
+      assert(Embeddings.classifierAuc(anti, w, 0.0).collect().head.getDouble(3) == 0.0)
+
+      // composition with q147: on the separable planted corpus the TRAINED
+      // model must rank near-perfectly where the zero model sits at 0.5
+      val sepCorpus = (0 until 40).map { i =>
+        val v = Array.fill(64)(0f); v(0) = if (i % 2 == 0) 3f else -3f
+        (i.toLong, v.toSeq, i % 2)
+      }.toDF("vec_id", "embedding", "label")
+      val (tw, tb) = Embeddings.logregTrainWeights(sepCorpus, iters = 8, lr = 1.0)
+      val auc = Embeddings.classifierAuc(sepCorpus, tw, tb).collect().head.getDouble(3)
+      assert(auc == 1.0, s"trained model should separate the separable corpus: $auc")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("mmrRerank: redundant near-twin demoted below the diverse candidate") {
     import spark.implicits._
     def pad(v: Seq[Float]) = v ++ Seq.fill(64 - v.size)(0f)
