@@ -2671,6 +2671,70 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's benchmark winner) — the smoothing the add-1 gate
+    * (q120) and stupid backoff (q122/q127) approximate:
+    *
+    *   P(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1,·)/c1 · Pc(w2)
+    *
+    * with absolute discount d = 0.75 and the CONTINUATION probability
+    * Pc(w2) = (N1+(·,w2) + 1)/(T + V) — how many distinct contexts w2
+    * follows, add-1-smoothed over the T bigram types + V vocab so unseen
+    * eval words score finitely (the pinned-floor contract of q122);
+    * unseen w1 backs off to Pc alone. "Francisco" scores low despite
+    * high frequency because it follows only "San" — the signal raw
+    * counts miss.
+    *
+    * Scale shape: the q120/q122 contract verbatim — every model table
+    * (bigrams, left/right continuation counts) is train-vocab-bounded
+    * and BROADCAST onto the eval bigram explode with the 1-row totals
+    * frame; eval rows never shuffle before the per-doc partial-agg sum.
+    * Per-bigram P is one pinned double chain, ln rounds 9, per-doc
+    * decimal mean rounds 6. */
+  def kneserNeyScore(train: DataFrame, eval: DataFrame): DataFrame = {
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    val n12 = graft.core.InternalCaches.persist(
+      trainTok.filter(size(col("t")) >= 2)
+        .select(explode(bigramExpr).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast(LongType).as("c12")))
+    val n1 = n12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast(LongType).as("c1"),
+        count(lit(1)).cast(LongType).as("n1f"))
+    val nb = n12.groupBy(col("w2")).agg(count(lit(1)).cast(LongType).as("n1b"))
+    val tot = n12.agg(count(lit(1)).cast(LongType).as("t_types"))
+      .crossJoin(trainTok.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).cast(LongType).as("v")))
+    withTokens(eval).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigramExpr).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .join(broadcast(n12), Seq("w1", "w2"), "left")
+      .join(broadcast(n1), Seq("w1"), "left")
+      .join(broadcast(nb), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pc",
+        expr("(coalesce(n1b, 0) + 1.0) / CAST(t_types + v AS DOUBLE)"))
+      .withColumn("p", expr(
+        "CASE WHEN c1 IS NULL THEN pc ELSE " +
+          "greatest(CAST(coalesce(c12, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) " +
+          "+ 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) * pc END"))
+      .withColumn("lp", round(log(col("p")), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_lp"))
+  }
+
+  def qKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    kneserNeyScore(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 — "Large
     * Language Models in Machine Translation") — the round-12 upgrade of
     * [[bigramScore]]'s held-out quality gate from a bigram to the
@@ -3702,6 +3766,7 @@ object Text {
     "q149_minhash_error"       -> (qMinhashError _),
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
     "q154_char_entropy"        -> (qCharEntropy _),
+    "q156_kneser_ney"          -> (qKneserNey _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5277,6 +5342,47 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q156: model tables from the even half, eval on the odd half; the
+    // CASE chain and every cast/association mirror the operator exactly;
+    // ln round 9, per-doc decimal mean round 6
+    "q156_kneser_ney" ->
+      """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         bg AS MATERIALIZED (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+             SELECT t[i - 1] AS w1, t[i] AS w2 FROM (
+               SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tr
+               WHERE len(t) >= 2))
+           GROUP BY w1, w2),
+         n1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+         nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+         tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS t_types,
+             (SELECT CAST(count(DISTINCT w) AS BIGINT)
+              FROM (SELECT unnest(t) AS w FROM tr)) AS v),
+         ev AS (SELECT doc_id, t[i - 1] AS w1, t[i] AS w2 FROM (
+             SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM (
+               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE doc_id % 2 = 1)
+             WHERE len(t) >= 2)),
+         j AS (SELECT e.doc_id, bg.c12, n1.c1, n1.n1f, nb.n1b, tot.t_types, tot.v
+           FROM ev e LEFT JOIN bg ON bg.w1 = e.w1 AND bg.w2 = e.w2
+           LEFT JOIN n1 ON n1.w1 = e.w1
+           LEFT JOIN nb ON nb.w2 = e.w2
+           CROSS JOIN tot),
+         lp AS (SELECT doc_id, round(ln(
+             CASE WHEN c1 IS NULL
+               THEN (coalesce(n1b, 0) + 1.0) / CAST(t_types + v AS DOUBLE)
+               ELSE greatest(CAST(coalesce(c12, 0) AS DOUBLE) - 0.75, 0.0)
+                   / CAST(c1 AS DOUBLE)
+                 + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+                   * ((coalesce(n1b, 0) + 1.0) / CAST(t_types + v AS DOUBLE))
+             END), 9) AS lp
+           FROM j)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28, 12))) AS DOUBLE)
+             / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id""",
     // q154: the same sorted-distinct fold — list_sort(list_distinct) on
     // this ASCII corpus orders identically to array_sort, each term
     // rounds to 9, the fold is left-to-right in that order, finish 6

@@ -437,23 +437,29 @@ class PlanContractSpec extends SparkSpec {
       || p.contains("LessThan(vec_id,8)"), s"q116 query filter not pushed:\n$p")
   }
 
-  test("q120/q122/q127: LM scoring joins all broadcast — eval rows never shuffle") {
+  test("q120/q122/q127/q156: LM scoring joins all broadcast — eval rows never shuffle") {
     // the reference-corpus-LM contract: model tables (vocab/n-gram
     // bounded) broadcast onto the eval explode; the only non-hash join is
     // the 1-row totals crossJoin. A SortMergeJoin here means the eval
     // corpus started shuffling by n-gram — the shape that dies at 100 TB.
     try {
-      for (q <- Seq("q120_bigram_score", "q122_trigram_score", "q127_fivegram_score")) {
+      for (q <- Seq("q120_bigram_score", "q122_trigram_score", "q127_fivegram_score",
+                    "q156_kneser_ney")) {
         val p = plan(q)
         assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
           s"$q shuffles eval rows:\n$p")
         assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
-        assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
-          s"$q expected exactly the 1-row totals broadcast crossJoin:\n$p")
+        // q156 carries TWO 1-row totals frames (bigram-type count and
+        // vocab count come from different aggregates); the others one
+        val wantBnlj = if (q.startsWith("q156")) 2 else 1
+        assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == wantBnlj,
+          s"$q expected exactly $wantBnlj 1-row totals broadcast crossJoins:\n$p")
         val bhj = "BroadcastHashJoin".r.findAllIn(p).length
         // q127: 5-gram hit + 4-gram ctx/hit + 3-gram ctx/hit + 2-gram
         // ctx/hit + two unigram lookups = 9 broadcast model joins
-        val want = if (q.startsWith("q127")) 9 else if (q.startsWith("q122")) 5 else 2
+        // q156: bigram + left-continuation + right-continuation = 3
+        val want = if (q.startsWith("q127")) 9 else if (q.startsWith("q122")) 5
+          else if (q.startsWith("q156")) 3 else 2
         assert(bhj == want, s"$q expected $want broadcast model joins, got $bhj:\n$p")
       }
     } finally graft.core.InternalCaches.release(spark)

@@ -1755,6 +1755,32 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("kneserNeyScore: continuation counts beat raw frequency (the Francisco property), closed forms") {
+    import spark.implicits._
+    // train: 'francisco' is FREQUENT (5x) but follows only 'san';
+    // 'cat' is rarer (3x) but follows 3 distinct contexts.
+    // T = 4 bigram types, V = 6 vocab → Pc(francisco) = 2/10, Pc(cat) = 4/10
+    val train = (Seq.fill(5)("san francisco") ++ Seq("the cat", "a cat", "my cat"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val eval = Seq((100L, "zzz francisco"), (101L, "zzz cat"), (102L, "san francisco"))
+      .toDF("doc_id", "text")
+    try {
+      val got = Text.kneserNeyScore(train, eval).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // unseen context → pure continuation probability
+      assert(got(100L) == r6(r9(math.log((1 + 1.0) / 10.0))), s"${got(100L)}")
+      assert(got(101L) == r6(r9(math.log((3 + 1.0) / 10.0))), s"${got(101L)}")
+      assert(got(101L) > got(100L),
+        "KN must rank the multi-context word above the single-context frequent one")
+      // seen bigram: discounted ML + interpolated continuation
+      val pSeen = (5.0 - 0.75) / 5.0 + 0.75 * 1.0 / 5.0 * ((1 + 1.0) / 10.0)
+      assert(got(102L) == r6(r9(math.log(pSeen))), s"${got(102L)} vs $pSeen")
+      assert(got(102L) > got(100L), "a seen bigram must outscore its unseen-context twin")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("charEntropy: degenerate and uniform distributions hit their closed forms") {
     import spark.implicits._
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcd"))
