@@ -1699,6 +1699,87 @@ object Text {
   def qBm25(s: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(s, dir), Seq("vector", "join", "scan"))
 
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    * 2001; the Anserini/Lucene default feedback model) — the classic
+    * recall lever on top of [[bm25]]: score the original query, treat the
+    * top `fbDocs` as relevant, build the relevance model
+    * P(w|R) = Σ_d ŵ(d)·tf(w,d)/|d| (ŵ = normalized BM25 score), take the
+    * top `fbTerms` expansion terms, and re-run BM25 with interpolated
+    * term weights — α/|Q| per original term, (1−α)·P̂(w) per expansion
+    * term. α and 1−α are BOTH pinned (the q153 precedent).
+    *
+    * Scale shape: pass 1 is the audited q113 plan; the relevance model
+    * touches ONLY the fbDocs feedback documents (a bounded frame — the
+    * expansion-term selection sorts the vocabulary of 5 documents, not
+    * the corpus); the final |Q|+fbTerms term weights collect to the
+    * driver (≤ 8 rows, the BPE-argmax precedent) and ship back as plan
+    * literals into pass 2, which is again the q113 posting-list shape.
+    * Floats pinned end-to-end: feedback weights are round-6 BM25 scores
+    * over an exact decimal total, relevance-model contributions round 9
+    * into decimal sums, term weights round 9 BEFORE the collect (so the
+    * literal equals the oracle's computed value), weighted term scores
+    * round 9 into per-doc decimal sums, round-6 finish. */
+  def rm3Bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+              fbDocs: Int = 5, fbTerms: Int = 5,
+              alpha: Double = 0.6, oneMinusAlpha: Double = 0.4,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "rm3 needs at least one query term")
+    val dec = DecimalType(28, 12)
+    val tok = graft.core.InternalCaches.persist(
+      withTokens(docs).select(col("doc_id"), col("t")))
+    val fb = graft.core.InternalCaches.persist(bm25(tok, terms, fbDocs, k1, b))
+    val fbTot = fb.agg(sum(col("bm25").cast(dec)).as("tot"))
+    val wd = fb.crossJoin(broadcast(fbTot))
+      .select(col("doc_id"), (col("bm25") / col("tot").cast(DoubleType)).as("wd"))
+    val rm = tok.join(broadcast(wd), "doc_id")
+      .withColumn("dl", size(col("t")).cast(LongType))
+      .select(col("doc_id"), col("wd"), col("dl"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("wd"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast(LongType).as("tfw"))
+      .withColumn("contrib",
+        round(col("wd") * (col("tfw").cast(DoubleType) / col("dl")), 9))
+      .groupBy(col("w"))
+      .agg(sum(col("contrib").cast(dec)).as("prs"))
+      .filter(!col("w").isin(terms: _*))
+    val topE = graft.core.InternalCaches.persist(
+      rm.orderBy(col("prs").desc, col("w").asc).limit(fbTerms))
+    val eTot = topE.agg(sum(col("prs")).as("etot"))
+    val eW = topE.crossJoin(broadcast(eTot))
+      .select(col("w"), round(lit(oneMinusAlpha) *
+        (col("prs").cast(DoubleType) / col("etot").cast(DoubleType)), 9).as("qw"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val ow = BigDecimal(alpha / terms.length)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val weights = terms.map(t => (t, ow)) ++ eW
+    val mapCol = map(weights.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
+    val allTerms = weights.map(_._1)
+    val stats = tok.agg(count(lit(1)).cast(LongType).as("n_docs"),
+      sum(size(col("t")).cast(LongType)).as("sum_dl"))
+    val tf2 = graft.core.InternalCaches.persist(tok
+      .withColumn("dl", size(col("t")).cast(LongType))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast(LongType).as("tf")))
+    val df2 = tf2.groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
+    tf2.join(broadcast(df2), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * (col("dl").cast(DoubleType) * col("n_docs") / col("sum_dl"))))))
+      .withColumn("score", round(element_at(mapCol, col("tok")) * col("ts"), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        round(sum(col("score").cast(dec)).cast(DoubleType), 6).as("rm3"))
+      .orderBy(col("rm3").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qRm3(s: SparkSession, dir: String): DataFrame =
+    rm3Bm25(Tables.documents(s, dir), Seq("vector", "join", "scan"))
+
   /** Temperature-scaled source mixing (the UniMax / multilingual-sampling
     * α-exponent family, here pinned at α = 1/2 so the exponent is a
     * correctly-rounded IEEE sqrt, not a libm pow): upweights small sources
@@ -3767,6 +3848,7 @@ object Text {
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
     "q154_char_entropy"        -> (qCharEntropy _),
     "q156_kneser_ney"          -> (qKneserNey _),
+    "q157_rm3_expansion"       -> (qRm3 _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5342,6 +5424,66 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q157: pass 1 is the q113 recipe; the relevance model runs over the
+    // 5 feedback docs only; term weights round 9 (matching the engine's
+    // pre-collect rounding); pass 2 mirrors the q113 chain with the
+    // weight multiplied OUTSIDE the idf*tfpart product, same assoc
+    "q157_rm3_expansion" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tok),
+         ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM tok),
+         tf1 AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS tok,
+                        CAST(count(*) AS BIGINT) AS tf
+                 FROM ex WHERE w IN ('vector', 'join', 'scan')
+                 GROUP BY doc_id, dl, w),
+         dfq1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY tok),
+         sc1 AS (SELECT doc_id,
+                   round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * ((tf * (1.2 + 1.0)) /
+                        (tf + 1.2 * ((1.0 - 0.75) +
+                           0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))), 9) AS score
+                 FROM tf1 JOIN dfq1 USING (tok) CROSS JOIN st),
+         fb AS MATERIALIZED (
+           SELECT doc_id, round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+           FROM sc1 GROUP BY doc_id
+           ORDER BY bm25 DESC, doc_id ASC LIMIT 5),
+         fbtot AS (SELECT sum(CAST(bm25 AS DECIMAL(28,12))) AS tot FROM fb),
+         wdt AS (SELECT doc_id, bm25 / CAST(tot AS DOUBLE) AS wd
+                 FROM fb CROSS JOIN fbtot),
+         rmagg AS (SELECT e.w, wdt.wd, e.dl, CAST(count(*) AS BIGINT) AS tfw
+                   FROM ex e JOIN wdt ON wdt.doc_id = e.doc_id
+                   GROUP BY e.doc_id, wdt.wd, e.dl, e.w),
+         rmc AS (SELECT w,
+                   sum(CAST(round(wd * (CAST(tfw AS DOUBLE) / dl), 9)
+                     AS DECIMAL(28,12))) AS prs
+                 FROM rmagg
+                 WHERE w NOT IN ('vector', 'join', 'scan')
+                 GROUP BY w),
+         etop AS MATERIALIZED (
+           SELECT w, prs FROM rmc ORDER BY prs DESC, w ASC LIMIT 5),
+         etot AS (SELECT sum(prs) AS etot FROM etop),
+         qw AS MATERIALIZED (
+           SELECT w, round(0.4 * (CAST(prs AS DOUBLE) / CAST(etot AS DOUBLE)), 9) AS qw
+           FROM etop CROSS JOIN etot
+           UNION ALL
+           SELECT unnest(['vector', 'join', 'scan']) AS w, round(0.6 / 3, 9) AS qw),
+         tf2 AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS tok,
+                        CAST(count(*) AS BIGINT) AS tf
+                 FROM ex WHERE w IN (SELECT w FROM qw)
+                 GROUP BY doc_id, dl, w),
+         df2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+         sc2 AS (SELECT doc_id,
+                   round(q.qw * (ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * ((tf * (1.2 + 1.0)) /
+                        (tf + 1.2 * ((1.0 - 0.75) +
+                           0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))), 9) AS score
+                 FROM tf2 JOIN df2 USING (tok) JOIN qw q ON q.w = tf2.tok
+                 CROSS JOIN st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE), 6) AS rm3
+         FROM sc2 GROUP BY doc_id
+         ORDER BY rm3 DESC, doc_id ASC LIMIT 10""",
     // q156: model tables from the even half, eval on the odd half; the
     // CASE chain and every cast/association mirror the operator exactly;
     // ln round 9, per-doc decimal mean round 6

@@ -1755,6 +1755,35 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("rm3Bm25: expansion recalls a document the original query cannot see") {
+    import spark.implicits._
+    // doc 1 is the only 'vector' match → sole feedback doc; its relevance
+    // model is dominated by 'apple', so RM3 expands to 'apple' and doc 2
+    // (which never mentions 'vector') becomes retrievable — the recall
+    // payoff pseudo-relevance feedback exists for
+    val docs = Seq(
+      (1L, "vector apple apple apple"),
+      (2L, "apple apple apple apple"),
+      (3L, "banana banana banana banana"))
+      .toDF("doc_id", "text")
+    try {
+      val plain = Text.bm25(docs, Seq("vector"), k = 5).collect().map(_.getLong(0)).toSet
+      assert(plain == Set(1L), s"plain BM25 baseline moved: $plain")
+      val rm3 = Text.rm3Bm25(docs, Seq("vector"), k = 5, fbDocs = 2, fbTerms = 1)
+        .collect()
+      val ids = rm3.map(_.getLong(0)).toSet
+      assert(ids.contains(2L), s"expansion failed to recall doc 2: ${rm3.toSeq}")
+      assert(!ids.contains(3L), s"unrelated doc leaked in: ${rm3.toSeq}")
+      // determinism across physical layouts (feedback selection, term
+      // selection, and the weighted rerun are all pinned)
+      val a = Text.rm3Bm25(docs, Seq("vector"), k = 5, fbDocs = 2, fbTerms = 1)
+        .collect().map(_.toSeq).toSeq
+      val b = Text.rm3Bm25(docs.repartition(7), Seq("vector"), k = 5,
+        fbDocs = 2, fbTerms = 1).collect().map(_.toSeq).toSeq
+      assert(a == b, "rm3 is partitioning-dependent")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("kneserNeyScore: continuation counts beat raw frequency (the Francisco property), closed forms") {
     import spark.implicits._
     // train: 'francisco' is FREQUENT (5x) but follows only 'san';
