@@ -2816,6 +2816,58 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Per-source Good-Turing frequency-of-frequencies report (Good 1953;
+    * Gale & Sampson 1995) — the count-of-counts table N_r behind every
+    * smoothing decision: the adjusted count r* = (r+1)·N_{r+1}/N_r per
+    * frequency class r ≤ `maxR`, plus the Chen-Goodman estimate of the
+    * absolute discount d̂ = N₁/(N₁+2N₂) that [[kneserNeyScore]]'s d=0.75
+    * approximates — per source, so a pipeline can see which sources'
+    * vocabularies are singleton-heavy (crawl noise) before smoothing.
+    *
+    * Scale shape: ONE corpus scan into the vocab-bounded (source, word)
+    * count frame; count-of-counts collapses that to ≤ maxR+1 rows per
+    * source, and every join after (the N_{r+1} lookup, the d̂ attach)
+    * runs on those bounded frames. Integer until the two round-6
+    * divisions. */
+  def goodTuring(docs: DataFrame, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1,1000], got $maxR")
+    val freqs = withTokens(docs)
+      .select(col("source"), explode(col("t")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast(LongType).as("r"))
+    val cc = graft.core.InternalCaches.persist(
+      freqs.filter(col("r") <= maxR + 1)
+        .groupBy(col("source"), col("r"))
+        .agg(count(lit(1)).cast(LongType).as("n_r")))
+    val nxt = cc.select(col("source").as("s2"), (col("r") - 1).as("r2"),
+      col("n_r").as("n_r1"))
+    val d = cc.groupBy(col("source")).agg(
+      sum(when(col("r") === 1L, col("n_r"))).cast(LongType).as("n1"),
+      sum(when(col("r") === 2L, col("n_r"))).cast(LongType).as("n2"))
+      .select(col("source").as("s3"),
+        round(col("n1").cast(DoubleType) /
+          (col("n1") + lit(2L) * col("n2")).cast(DoubleType), 6).as("kn_discount"))
+    cc.filter(col("r") <= maxR)
+      .join(nxt, col("source") === col("s2") && col("r") === col("r2"), "left")
+      .join(d, col("source") === col("s3"), "left")
+      .select(col("source"), col("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r_plus1"),
+        round((col("r") + 1L).cast(DoubleType) * coalesce(col("n_r1"), lit(0L))
+          / col("n_r").cast(DoubleType), 6).as("r_star"),
+        col("kn_discount"))
+      .orderBy(col("source"), col("r"))
+  }
+
+  /** Gate: Good-Turing over the positional 3-gram shingle stream (the
+    * q148 derivation) — the closed ~30-word vocabulary has no
+    * low-frequency classes at all at word level, while the shingle
+    * vocabulary is singleton-rich, which is the regime Good-Turing
+    * exists for. */
+  def qGoodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuring(withTokens(Tables.documents(s, dir)).withColumn("t", expr(
+      "transform(sequence(1, greatest(size(t) - 2, 1)), " +
+        "i -> concat_ws(' ', slice(t, i, 3)))")))
+
   /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 — "Large
     * Language Models in Machine Translation") — the round-12 upgrade of
     * [[bigramScore]]'s held-out quality gate from a bigram to the
@@ -3849,6 +3901,7 @@ object Text {
     "q154_char_entropy"        -> (qCharEntropy _),
     "q156_kneser_ney"          -> (qKneserNey _),
     "q157_rm3_expansion"       -> (qRm3 _),
+    "q158_good_turing"         -> (qGoodTuring _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5424,6 +5477,35 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q158: the q148 shingle derivation; count-of-counts, the N_{r+1}
+    // self-lookup and the Chen-Goodman discount all mirror; integer
+    // until the two round-6 divisions
+    "q158_good_turing" ->
+      """WITH tok AS (
+           SELECT source, list_transform(range(1, greatest(len(t0) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t0, i, i + 2), ' ')) AS t
+           FROM (SELECT source, string_split(text, ' ') AS t0 FROM documents)),
+         f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS r
+               FROM (SELECT source, unnest(t) AS w FROM tok)
+               GROUP BY source, w),
+         cc AS MATERIALIZED (
+           SELECT source, r, CAST(count(*) AS BIGINT) AS n_r
+           FROM f WHERE r <= 11 GROUP BY source, r),
+         d AS (SELECT source,
+             round(CAST(sum(CASE WHEN r = 1 THEN n_r END) AS DOUBLE) /
+               CAST(sum(CASE WHEN r = 1 THEN n_r END)
+                 + 2 * sum(CASE WHEN r = 2 THEN n_r END) AS DOUBLE), 6) AS kn_discount
+           FROM cc GROUP BY source)
+         SELECT c.source, c.r, c.n_r,
+           CAST(coalesce(n2.n_r, 0) AS BIGINT) AS n_r_plus1,
+           round(CAST(c.r + 1 AS DOUBLE) * coalesce(n2.n_r, 0)
+             / CAST(c.n_r AS DOUBLE), 6) AS r_star,
+           d.kn_discount
+         FROM cc c
+         LEFT JOIN cc n2 ON n2.source = c.source AND n2.r = c.r + 1
+         LEFT JOIN d ON d.source = c.source
+         WHERE c.r <= 10
+         ORDER BY c.source, c.r""",
     // q157: pass 1 is the q113 recipe; the relevance model runs over the
     // 5 feedback docs only; term weights round 9 (matching the engine's
     // pre-collect rounding); pass 2 mirrors the q113 chain with the

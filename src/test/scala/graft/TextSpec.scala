@@ -1755,6 +1755,29 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("goodTuring: count-of-counts, adjusted counts, and the Chen-Goodman discount hit closed forms") {
+    import spark.implicits._
+    // freqs: x=1, y=1, z=2 → N1=2, N2=1; r*(1) = 2·N2/N1 = 1.0,
+    // r*(2) = 3·N3/N2 = 0; d̂ = N1/(N1+2N2) = 0.5
+    val docs = Seq((1L, "x y z z", "A")).toDF("doc_id", "text", "source")
+    try {
+      val rows = Text.goodTuring(docs).collect().map(r => r.getLong(1) -> r).toMap
+      assert(rows.keySet == Set(1L, 2L), s"${rows.values.toSeq}")
+      val m = rows(1L).schema.fieldNames.zipWithIndex.toMap
+      assert(rows(1L).getLong(m("n_r")) == 2L &&
+        rows(1L).getLong(m("n_r_plus1")) == 1L &&
+        rows(1L).getDouble(m("r_star")) == 1.0, s"${rows(1L)}")
+      assert(rows(2L).getLong(m("n_r")) == 1L &&
+        rows(2L).getDouble(m("r_star")) == 0.0, s"${rows(2L)}")
+      assert(rows(1L).getDouble(m("kn_discount")) == 0.5, s"${rows(1L)}")
+      // maxR caps the classes: a frequency-12 word contributes nothing
+      val heavy = Seq((1L, Seq.fill(12)("w").mkString(" ") + " u", "B"))
+        .toDF("doc_id", "text", "source")
+      val h = Text.goodTuring(heavy).collect()
+      assert(h.map(_.getLong(1)).toSet == Set(1L), s"${h.toSeq}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("rm3Bm25: expansion recalls a document the original query cannot see") {
     import spark.implicits._
     // doc 1 is the only 'vector' match → sole feedback doc; its relevance
