@@ -2816,6 +2816,86 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Held-out OOV-rate report — the vocabulary-coverage metric a
+    * tokenizer/vocab deployment publishes before freezing: build the
+    * frequency vocabulary (top `cap` by freq desc, token asc — the q99
+    * contract) on the TRAIN half, then per source on the EVAL half the
+    * fraction of token occurrences outside it. High OOV = the vocab
+    * under-serves that source (new domain, new language, crawl drift).
+    *
+    * Scale shape: train side is one scan + a vocab-bounded count + a
+    * TakeOrderedAndProject bounded heap (never a global sort); the cap-
+    * sized vocab BROADCASTS onto the eval explode as a left join — eval
+    * rows never shuffle before the per-source partial-agg rollup. */
+  def oovRate(train: DataFrame, eval: DataFrame, cap: Int = 100): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val vocab = withTokens(train)
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(cap)
+      .select(col("w"), lit(1).as("in_vocab"))
+    withTokens(eval)
+      .select(col("source"), explode(col("t")).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast(LongType)
+          .as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Gate: vocab from the even half over the SHINGLE stream (the q148
+    * derivation — at word level the 30-token vocabulary gives OOV 0
+    * everywhere), coverage measured on the odd half. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val sh = withTokens(Tables.documents(s, dir)).withColumn("t", expr(
+      "transform(sequence(1, greatest(size(t) - 2, 1)), " +
+        "i -> concat_ws(' ', slice(t, i, 3)))"))
+    oovRate(sh.filter(expr("doc_id % 2 = 0")), sh.filter(expr("doc_id % 2 = 1")),
+      cap = 500)
+  }
+
+  /** Unigram^(3/4) negative-sampling distribution (Mikolov et al. 2013,
+    * word2vec's noise distribution — also the UniMax-family source-
+    * sampling exponent): sampling mass ∝ freq^0.75, realized WITHOUT
+    * libm pow as s = ⌊√(freq·√freq)·10⁶⌋ — two correctly-rounded IEEE
+    * sqrts and one multiply, so the scaled mass is BIT-IDENTICAL on
+    * every engine (the q114 α = 1/2 trick, composed once more); the
+    * normalizer is an exact integer sum. Top `topK` rows by (freq desc,
+    * token asc) keep the gate bounded; the full table is vocab-sized.
+    *
+    * Scale shape: one corpus scan into the vocab-bounded count frame;
+    * the exact integer normalizer is one 1-row aggregate broadcast
+    * back; the top-K cut is a TakeOrderedAndProject bounded heap. */
+  def negSamplingTable(docs: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val freqs = graft.core.InternalCaches.persist(
+      withTokens(docs)
+        .select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
+        .withColumn("s_scaled", floor(
+          sqrt(col("freq").cast(DoubleType) * sqrt(col("freq").cast(DoubleType)))
+            * lit(1000000.0)).cast(LongType)))
+    val tot = freqs.agg(sum(col("s_scaled")).cast(LongType).as("s_total"))
+    freqs.crossJoin(broadcast(tot))
+      .withColumn("prob", round(
+        col("s_scaled").cast(DoubleType) / col("s_total").cast(DoubleType), 6))
+      .select(col("w"), col("freq"), col("s_scaled"), col("prob"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(topK)
+  }
+
+  /** Gate: over the shingle stream (singleton-rich, so the ^0.75
+    * flattening is visible — at word level every mass is huge and the
+    * distribution nearly proportional). */
+  def qNegSampling(s: SparkSession, dir: String): DataFrame =
+    negSamplingTable(withTokens(Tables.documents(s, dir)).withColumn("t", expr(
+      "transform(sequence(1, greatest(size(t) - 2, 1)), " +
+        "i -> concat_ws(' ', slice(t, i, 3)))")))
+
   /** Per-source Good-Turing frequency-of-frequencies report (Good 1953;
     * Gale & Sampson 1995) — the count-of-counts table N_r behind every
     * smoothing decision: the adjusted count r* = (r+1)·N_{r+1}/N_r per
@@ -3902,6 +3982,8 @@ object Text {
     "q156_kneser_ney"          -> (qKneserNey _),
     "q157_rm3_expansion"       -> (qRm3 _),
     "q158_good_turing"         -> (qGoodTuring _),
+    "q159_oov_rate"            -> (qOovRate _),
+    "q160_neg_sampling"        -> (qNegSampling _),
     "q141_doremi_weights"      -> (qDoremiWeights _),
     "q142_edit_verified"       -> (qEditVerified _),
     "q144_luhn_pii"            -> (qLuhnPii _),
@@ -5477,6 +5559,46 @@ object Text {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    // q159: vocab = top-500 shingles of the even half (freq desc, shingle
+    // asc — the engine's bounded-heap order); OOV measured on the odd half
+    "q159_oov_rate" ->
+      """WITH sh AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_transform(
+             range(1, greatest(len(t0) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t0, i, i + 2), ' '))) AS w
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS t0
+                 FROM documents)),
+         voc AS MATERIALIZED (
+           SELECT w FROM (
+             SELECT w, CAST(count(*) AS BIGINT) AS freq
+             FROM sh WHERE doc_id % 2 = 0 GROUP BY w)
+           ORDER BY freq DESC, w ASC LIMIT 500)
+         SELECT s.source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS BIGINT), 6) AS oov_rate
+         FROM sh s LEFT JOIN voc v ON v.w = s.w
+         WHERE s.doc_id % 2 = 1
+         GROUP BY s.source
+         ORDER BY s.source""",
+    // q160: the same shingle stream; mass = floor(sqrt(freq*sqrt(freq))
+    // * 1e6) — two correctly-rounded sqrts, bit-identical both engines;
+    // exact integer normalizer, one round-6 division
+    "q160_neg_sampling" ->
+      """WITH f AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)
+               * sqrt(CAST(count(*) AS DOUBLE))) * 1000000.0) AS BIGINT) AS s_scaled
+           FROM (SELECT unnest(list_transform(
+                   range(1, greatest(len(t0) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t0, i, i + 2), ' '))) AS w
+                 FROM (SELECT string_split(text, ' ') AS t0 FROM documents))
+           GROUP BY w),
+         tot AS (SELECT CAST(sum(s_scaled) AS BIGINT) AS s_total FROM f)
+         SELECT w, freq, s_scaled,
+           round(CAST(s_scaled AS DOUBLE) / CAST(s_total AS DOUBLE), 6) AS prob
+         FROM f CROSS JOIN tot
+         ORDER BY freq DESC, w ASC LIMIT 50""",
     // q158: the q148 shingle derivation; count-of-counts, the N_{r+1}
     // self-lookup and the Chen-Goodman discount all mirror; integer
     // until the two round-6 divisions

@@ -1755,6 +1755,31 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("oovRate and negSamplingTable: closed forms and the ^0.75 flattening property") {
+    import spark.implicits._
+    try {
+      // vocab (cap 2) from train = {a, b}; eval has 4 tokens, 1 OOV
+      val train = Seq((0L, "a a b c", "T")).toDF("doc_id", "text", "source")
+      val eval = Seq((1L, "a b b z", "E")).toDF("doc_id", "text", "source")
+      val r = Text.oovRate(train, eval, cap = 2).collect().head
+      assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("E", 4L, 1L)), s"$r")
+      assert(r.getDouble(3) == 0.25, s"$r")
+
+      // neg sampling: freq 16 → mass floor(16^0.75 * 1e6) = 8000000;
+      // freq 1 → 1000000. The ^0.75 flattening: mass ratio 8 < freq ratio 16
+      val corpus = Seq((0L, (Seq.fill(16)("x") ++ Seq("y")).mkString(" "), "A"))
+        .toDF("doc_id", "text", "source")
+      val t = Text.negSamplingTable(corpus, topK = 10).collect()
+        .map(x => x.getString(0) -> x).toMap
+      val m = t("x").schema.fieldNames.zipWithIndex.toMap
+      assert(t("x").getLong(m("freq")) == 16L &&
+        t("x").getLong(m("s_scaled")) == 8000000L, s"${t("x")}")
+      assert(t("y").getLong(m("s_scaled")) == 1000000L, s"${t("y")}")
+      assert(t("x").getDouble(m("prob")) ==
+        BigDecimal(8000000.0 / 9000000.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("goodTuring: count-of-counts, adjusted counts, and the Chen-Goodman discount hit closed forms") {
     import spark.implicits._
     // freqs: x=1, y=1, z=2 → N1=2, N2=1; r*(1) = 2·N2/N1 = 1.0,
