@@ -1699,6 +1699,100 @@ object Text {
   def qBm25(s: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(s, dir), Seq("vector", "join", "scan"))
 
+  /** Graded retrieval-quality eval — nDCG@k (Järvelin & Kekäläinen 2002,
+    * TOIS 20(4)) and average precision@k (the trec_eval "map" cut), the
+    * two metrics every retrieval deployment publishes next to recall@k
+    * (q105). Each query term is a single-term query ranked by its q113
+    * per-term BM25 score; graded relevance is derived deterministically
+    * from the corpus (rel = min(tf, 3), binary relevance = tf ≥ 2), so
+    * the gate needs no external judgment file and stays hash-matchable.
+    *
+    *   DCG@k  = Σ_{r≤k} (2^rel_r − 1)/ln(r+1)   (natural-log discount,
+    *            the Burges et al. 2005 LambdaRank convention)
+    *   nDCG@k = DCG@k / IDCG@k  (ideal ranking: rel desc, doc_id asc)
+    *   AP@k   = Σ_{r≤k, rel_r binary} P@r / min(R, k)
+    *
+    * Scale shape: the only corpus-sized work is the q113 posting build
+    * (explode filtered to query terms before any shuffle); BOTH the
+    * system and ideal top-k cuts are the bounded-heap TopKPerKey operator
+    * — no posting-list-sized window partitions — and every downstream
+    * frame (ranked lists, per-term rollups) is ≤ k rows per term. Floats
+    * pinned: per-rank gains are exact small integers via CASE (no pow),
+    * discounts round to 9, DCG/AP sums run in DECIMAL(28,12)
+    * (order-free), finals round to 6. */
+  def ndcgEval(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "ndcgEval needs at least one query term")
+    val dec = DecimalType(28, 12)
+    val tok = withTokens(docs).select(col("doc_id"), col("t"))
+    val stats = tok.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(size(col("t")).cast(LongType)).as("sum_dl"))
+    val tf = graft.core.InternalCaches.persist(tok
+      .withColumn("dl", size(col("t")).cast(LongType))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("tf")))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast(LongType).as("df"))
+    val gainSql = "CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END"
+    val scored = graft.core.InternalCaches.persist(tf
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast(DoubleType) * col("n_docs") / col("sum_dl"))))), 9))
+      .withColumn("rel", least(col("tf"), lit(3L)).cast(LongType))
+      .withColumn("relb", (col("tf") >= 2L).cast(LongType))
+      .select(col("term"), col("doc_id"), col("score"), col("rel"), col("relb")))
+    val sys = graft.plans.TopK.perKey(scored, Seq("term"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("doc_id")), k)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+    val dcg = sys
+      .withColumn("g", expr(gainSql))
+      .groupBy(col("term"))
+      .agg(sum(round(col("g") / log(col("rk").cast(DoubleType) + lit(1.0)), 9)
+        .cast(dec)).as("dcg_d"))
+    val ideal = graft.plans.TopK.perKey(
+        scored.select(col("term"), col("doc_id"), col("rel")), Seq("term"),
+        Seq(graft.plans.TopK.desc("rel"), graft.plans.TopK.asc("doc_id")), k)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("rel").desc, col("doc_id").asc)).cast(LongType))
+      .withColumn("g", expr(gainSql))
+      .groupBy(col("term"))
+      .agg(sum(round(col("g") / log(col("rk").cast(DoubleType) + lit(1.0)), 9)
+        .cast(dec)).as("idcg_d"))
+    val nrel = scored.groupBy(col("term"))
+      .agg(sum(col("relb")).cast(LongType).as("n_rel"))
+    val ap = sys
+      .withColumn("cum", sum(col("relb")).over(Window.partitionBy(col("term"))
+        .orderBy(col("rk").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+      .withColumn("contrib", when(col("relb") === 1L,
+        round(col("cum").cast(DoubleType) / col("rk").cast(DoubleType), 9))
+        .otherwise(lit(0.0)))
+      .groupBy(col("term"))
+      .agg(sum(col("contrib").cast(dec)).as("ap_d"))
+    dcg.join(ideal, "term").join(broadcast(nrel), "term").join(ap, "term")
+      .select(col("term"), col("n_rel"),
+        round(col("dcg_d").cast(DoubleType), 6).as("dcg"),
+        round(col("idcg_d").cast(DoubleType), 6).as("idcg"),
+        round(col("dcg_d").cast(DoubleType) / col("idcg_d").cast(DoubleType), 6)
+          .as("ndcg"),
+        when(col("n_rel") > 0L,
+          round(col("ap_d").cast(DoubleType) /
+            least(col("n_rel"), lit(k.toLong)).cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
+  def qNdcg(s: SparkSession, dir: String): DataFrame =
+    ndcgEval(Tables.documents(s, dir), Seq("vector", "join", "scan"))
+
   /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
     * 2001; the Anserini/Lucene default feedback model) — the classic
     * recall lever on top of [[bm25]]: score the original query, treat the
@@ -2813,6 +2907,70 @@ object Text {
   def qKneserNey(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     kneserNeyScore(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
+  /** Witten–Bell interpolated bigram scoring (Witten & Bell 1991, "The
+    * zero-frequency problem", IEEE Trans. IT 37(4)) — the third classical
+    * smoother next to Kneser–Ney ([[kneserNeyScore]]) and Good–Turing
+    * (q158), and the default smoothing in SRILM's `-wbdiscount`. Per
+    * history w1 the interpolation weight is data-driven rather than a
+    * fixed discount: λ(w1) = c(w1·)/(c(w1·) + N1+(w1·)) — histories with
+    * many distinct continuations (high N1+) trust the backoff more.
+    *
+    *   P(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·P_add1(w2)
+    *   P_add1(w2) = (c(w2)+1)/(N+V)      (the q120 add-one unigram floor)
+    *   unseen w1 → P_add1(w2)
+    *
+    * Same shape and scale contract as [[kneserNeyScore]]: every model
+    * table (bigrams, histories, unigrams, totals) is train-corpus-bounded
+    * and broadcast; eval rows never shuffle. Both engines evaluate the
+    * identical double chain (λ and 1−λ spelled as the two explicit
+    * ratios over c1+n1f) with the ln-round-9 / decimal-sum / round-6
+    * finish. */
+  def wittenBellScore(train: DataFrame, eval: DataFrame): DataFrame = {
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    val n12 = graft.core.InternalCaches.persist(
+      trainTok.filter(size(col("t")) >= 2)
+        .select(explode(bigramExpr).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast(LongType).as("c12")))
+    val n1 = n12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast(LongType).as("c1"),
+        count(lit(1)).cast(LongType).as("n1f"))
+    val uniT = graft.core.InternalCaches.persist(
+      trainTok.select(explode(col("t")).as("w2"))
+        .groupBy(col("w2")).agg(count(lit(1)).cast(LongType).as("cu")))
+    val tot = uniT.agg(sum(col("cu")).cast(LongType).as("nn"),
+      count(lit(1)).cast(LongType).as("v"))
+    withTokens(eval).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigramExpr).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .join(broadcast(n12), Seq("w1", "w2"), "left")
+      .join(broadcast(n1), Seq("w1"), "left")
+      .join(broadcast(uniT), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pu",
+        expr("(coalesce(cu, 0) + 1.0) / CAST(nn + v AS DOUBLE)"))
+      .withColumn("p", expr(
+        "CASE WHEN c1 IS NULL THEN pu ELSE " +
+          "(CAST(c1 AS DOUBLE) / CAST(c1 + n1f AS DOUBLE)) " +
+          "* (CAST(coalesce(c12, 0) AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
+          "+ (CAST(n1f AS DOUBLE) / CAST(c1 + n1f AS DOUBLE)) * pu END"))
+      .withColumn("lp", round(log(col("p")), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_lp"))
+  }
+
+  def qWittenBell(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    wittenBellScore(docs.filter(expr("doc_id % 2 = 0")),
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
@@ -3980,6 +4138,8 @@ object Text {
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
     "q154_char_entropy"        -> (qCharEntropy _),
     "q156_kneser_ney"          -> (qKneserNey _),
+    "q161_ndcg"                -> (qNdcg _),
+    "q162_witten_bell"         -> (qWittenBell _),
     "q157_rm3_expansion"       -> (qRm3 _),
     "q158_good_turing"         -> (qGoodTuring _),
     "q159_oov_rate"            -> (qOovRate _),
@@ -5691,6 +5851,106 @@ object Text {
     // q156: model tables from the even half, eval on the odd half; the
     // CASE chain and every cast/association mirror the operator exactly;
     // ln round 9, per-doc decimal mean round 6
+    // q161: nDCG@10 + AP@10 — the scoring CTE is the q113 per-term chain,
+    // rankings pin (score desc, doc_id) / (rel desc, doc_id) tie-breaks,
+    // gains are CASE integers (no pow), discounts/precisions round to 9
+    // and sum as decimals, finals round to 6
+    "q161_ndcg" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tok),
+         ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ex WHERE w IN ('vector', 'join', 'scan')
+                GROUP BY doc_id, dl, w),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         sc AS (SELECT term, doc_id,
+                  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * ((1.0 - 0.75) +
+                          0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))), 9) AS score,
+                  CAST(least(tf, 3) AS BIGINT) AS rel,
+                  CASE WHEN tf >= 2 THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS relb
+                FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         sys AS (SELECT term, doc_id, rel, relb, rk FROM (
+             SELECT term, doc_id, rel, relb, CAST(row_number() OVER (
+                 PARTITION BY term ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+             FROM sc) WHERE rk <= 10),
+         dcg AS (SELECT term, sum(CAST(round(
+               (CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END)
+                 / ln(CAST(rk + 1 AS DOUBLE)), 9) AS DECIMAL(28, 12))) AS dcg_d
+             FROM sys GROUP BY term),
+         ideal AS (SELECT term, rel, rk FROM (
+             SELECT term, rel, CAST(row_number() OVER (
+                 PARTITION BY term ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rk
+             FROM sc) WHERE rk <= 10),
+         idcg AS (SELECT term, sum(CAST(round(
+               (CASE rel WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END)
+                 / ln(CAST(rk + 1 AS DOUBLE)), 9) AS DECIMAL(28, 12))) AS idcg_d
+             FROM ideal GROUP BY term),
+         nrel AS (SELECT term, CAST(sum(relb) AS BIGINT) AS n_rel
+             FROM sc GROUP BY term),
+         apc AS (SELECT term, relb, rk, CAST(sum(relb) OVER (
+               PARTITION BY term ORDER BY rk ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM sys),
+         ap AS (SELECT term, sum(CASE WHEN relb = 1
+               THEN CAST(round(CAST(cum AS DOUBLE) / CAST(rk AS DOUBLE), 9)
+                         AS DECIMAL(28, 12))
+               ELSE CAST(0.0 AS DECIMAL(28, 12)) END) AS ap_d
+             FROM apc GROUP BY term)
+         SELECT term, n_rel,
+           round(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+           round(CAST(idcg_d AS DOUBLE), 6) AS idcg,
+           round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6) AS ndcg,
+           CASE WHEN n_rel > 0
+             THEN round(CAST(ap_d AS DOUBLE) / CAST(least(n_rel, 10) AS DOUBLE), 6)
+             ELSE 0.0 END AS ap
+         FROM dcg JOIN idcg USING (term) JOIN nrel USING (term)
+           JOIN ap USING (term)""",
+    // q162: Witten–Bell — the q156 CTE scaffold with a unigram-count table
+    // in place of the continuation table; λ and 1−λ are spelled as the two
+    // explicit c1+n1f ratios so both engines run the identical double chain
+    "q162_witten_bell" ->
+      """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         bg AS MATERIALIZED (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+             SELECT t[i - 1] AS w1, t[i] AS w2 FROM (
+               SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tr
+               WHERE len(t) >= 2))
+           GROUP BY w1, w2),
+         n1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+         uni AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS cu
+             FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS v FROM uni),
+         ev AS (SELECT doc_id, t[i - 1] AS w1, t[i] AS w2 FROM (
+             SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM (
+               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE doc_id % 2 = 1)
+             WHERE len(t) >= 2)),
+         j AS (SELECT e.doc_id, bg.c12, n1.c1, n1.n1f, uni.cu, tot.nn, tot.v
+           FROM ev e LEFT JOIN bg ON bg.w1 = e.w1 AND bg.w2 = e.w2
+           LEFT JOIN n1 ON n1.w1 = e.w1
+           LEFT JOIN uni ON uni.w2 = e.w2
+           CROSS JOIN tot),
+         lp AS (SELECT doc_id, round(ln(
+             CASE WHEN c1 IS NULL
+               THEN (coalesce(cu, 0) + 1.0) / CAST(nn + v AS DOUBLE)
+               ELSE (CAST(c1 AS DOUBLE) / CAST(c1 + n1f AS DOUBLE))
+                   * (CAST(coalesce(c12, 0) AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 + (CAST(n1f AS DOUBLE) / CAST(c1 + n1f AS DOUBLE))
+                   * ((coalesce(cu, 0) + 1.0) / CAST(nn + v AS DOUBLE))
+             END), 9) AS lp
+           FROM j)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28, 12))) AS DOUBLE)
+             / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id""",
     "q156_kneser_ney" ->
       """WITH tr AS MATERIALIZED (
            SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),

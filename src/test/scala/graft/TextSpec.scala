@@ -1832,6 +1832,70 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("wittenBellScore: data-driven lambda, add-one floor, closed forms") {
+    import spark.implicits._
+    // train: bigrams (a,b)x3 (a,c)x1 → c1(a)=4, N1+(a)=2, λ(a)=4/6;
+    // unigrams a:4 b:3 c:1 → N=8, V=3; Pu(b)=4/11, Pu(c)=2/11, Pu(z)=1/11
+    val train = (Seq.fill(3)("a b") ++ Seq("a c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val eval = Seq((100L, "a b"), (101L, "a z"), (102L, "z b"))
+      .toDF("doc_id", "text")
+    try {
+      val got = Text.wittenBellScore(train, eval).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // seen bigram: λ·ML + (1−λ)·Pu, in the exact pinned op order
+      val p100 = (4.0 / 6.0) * (3.0 / 4.0) + (2.0 / 6.0) * ((3 + 1.0) / 11.0)
+      assert(got(100L) == r6(r9(math.log(p100))), s"${got(100L)} vs $p100")
+      // seen history, unseen continuation: only the backoff mass survives
+      val p101 = (4.0 / 6.0) * (0.0 / 4.0) + (2.0 / 6.0) * ((0 + 1.0) / 11.0)
+      assert(got(101L) == r6(r9(math.log(p101))), s"${got(101L)} vs $p101")
+      // unseen history → pure add-one unigram
+      assert(got(102L) == r6(r9(math.log((3 + 1.0) / 11.0))), s"${got(102L)}")
+      assert(got(100L) > got(102L) && got(102L) > got(101L),
+        "seen bigram > unigram floor > backed-off novel continuation")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("ndcgEval: perfect ranking hits nDCG=AP=1, dl-induced misranking hits its closed form") {
+    import spark.implicits._
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def decSum(vs: Double*): Double = vs.map(v => BigDecimal(r9(v))).sum.toDouble
+    val ln = math.log _
+    // scenario 1: equal dl → BM25 ranks by tf → system == ideal
+    val perfect = Seq(
+      (1L, "q q q x x x"), (2L, "q q x x x x"), (3L, "q x x x x x"),
+      (4L, "x x x x x x"))
+      .toDF("doc_id", "text")
+    try {
+      val row = Text.ndcgEval(perfect, Seq("q"), k = 10).collect().head
+      val m = row.schema.fieldNames.zipWithIndex.toMap
+      val ideal = decSum(7.0 / ln(2.0), 3.0 / ln(3.0), 1.0 / ln(4.0))
+      assert(row.getLong(m("n_rel")) == 2L)
+      assert(row.getDouble(m("dcg")) == r6(ideal), s"$row")
+      assert(row.getDouble(m("ndcg")) == 1.0 && row.getDouble(m("ap")) == 1.0, s"$row")
+      graft.core.InternalCaches.release(spark)
+      // scenario 2: a short tf=1 doc outranks a long tf=2 doc
+      // (d1 1.507 > d3 1.486 > d2 0.987 by the BM25 length term)
+      val skewed = Seq(
+        (1L, "q q q aa aa aa"),
+        (2L, "q q aa aa aa aa aa aa aa aa aa aa"),
+        (3L, "q"), (4L, "aa"))
+        .toDF("doc_id", "text")
+      val row2 = Text.ndcgEval(skewed, Seq("q"), k = 10).collect().head
+      val dcg = decSum(7.0 / ln(2.0), 1.0 / ln(3.0), 3.0 / ln(4.0))
+      val idcg = decSum(7.0 / ln(2.0), 3.0 / ln(3.0), 1.0 / ln(4.0))
+      assert(row2.getDouble(m("dcg")) == r6(dcg), s"$row2")
+      assert(row2.getDouble(m("idcg")) == r6(idcg), s"$row2")
+      assert(row2.getDouble(m("ndcg")) == r6(dcg / idcg), s"$row2")
+      // relevant (tf>=2) docs land at ranks 1 and 3 → AP = (1 + 2/3)/2
+      assert(row2.getDouble(m("ap")) == r6(decSum(1.0, 2.0 / 3.0) / 2.0), s"$row2")
+      assert(row2.getDouble(m("ndcg")) < 1.0)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("kneserNeyScore: continuation counts beat raw frequency (the Francisco property), closed forms") {
     import spark.implicits._
     // train: 'francisco' is FREQUENT (5x) but follows only 'san';
