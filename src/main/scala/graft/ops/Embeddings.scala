@@ -446,6 +446,65 @@ object Embeddings {
     classifierAuc(Tables.embeddings(s, dir), w, b)
   }
 
+  /** Operating-point threshold sweep — the precision/recall/F1 table a
+    * quality-filter deployment reads to PICK its keep threshold, the
+    * missing slice of the classifier lifecycle between the threshold-free
+    * AUC ([[classifierAuc]]) and the fixed-threshold survival report
+    * (q93): confusion counts and P/R/F1 at every candidate threshold in a
+    * pinned literal grid. AUC says whether the model ranks; this table
+    * says where to cut it.
+    *
+    * Scale shape: scoring is the q93 pure map stage (model as a plan
+    * literal through the codegen'd graft_dot); the grid is a broadcast
+    * T-row literal frame, so the cross join is a constant ×T fan-out
+    * riding the scan — never a shuffle — and the only shuffle is the
+    * T-key confusion rollup with map-side combine. Floats pinned: the
+    * prediction thresholds the ROUND-6 margin against exact grid
+    * literals (both engines compare the same doubles), confusion counts
+    * are exact integers, P/R divide once each and round to 6, F1 comes
+    * from the UNROUNDED P/R. Zero denominators (no predicted positives /
+    * no actual positives at a threshold) yield 0.0 by guard, not NULL. */
+  def thresholdSweep(emb: DataFrame, weights: Array[Double], bias: Double,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs a threshold grid")
+    val s = emb.sparkSession
+    import s.implicits._
+    val grid = thresholds.toDF("thr")
+    val scored = classifierScores(emb, weights, bias)
+      .withColumn("y", when(col("label") % 2 === 0, 1L).otherwise(0L))
+    val conf = scored.crossJoin(broadcast(grid))
+      .withColumn("pred", (col("margin") >= col("thr")).cast(LongType))
+      .groupBy(col("thr"))
+      .agg(sum(col("pred") * col("y")).cast(LongType).as("tp"),
+        sum(col("pred") * (lit(1L) - col("y"))).cast(LongType).as("fp"),
+        sum((lit(1L) - col("pred")) * col("y")).cast(LongType).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("y"))).cast(LongType).as("tn"))
+    conf
+      .withColumn("p_raw", when(col("tp") + col("fp") > 0L,
+        col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
+        .otherwise(lit(0.0)))
+      .withColumn("r_raw", when(col("tp") + col("fn") > 0L,
+        col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType))
+        .otherwise(lit(0.0)))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("p_raw"), 6).as("prec"),
+        round(col("r_raw"), 6).as("rec"),
+        when(col("p_raw") + col("r_raw") > 0.0,
+          round(lit(2.0) * col("p_raw") * col("r_raw") /
+            (col("p_raw") + col("r_raw")), 6)).otherwise(lit(0.0)).as("f1"))
+  }
+
+  /** The q164 grid: asymmetric around 0 so degenerate all-keep /
+    * all-drop operating points are both exercised at the gate corpus's
+    * margin spread. */
+  private[graft] val q164Grid: Seq[Double] =
+    Seq(-1.5, -1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0, 1.5)
+
+  def qThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = q93Model
+    thresholdSweep(Tables.embeddings(s, dir), w, b, q164Grid)
+  }
+
   /** Gate: the trained 65-coefficient model as rows — j = 0 is the bias,
     * j = 1..64 the per-dimension weights. Hash-matching this table means
     * the DuckDB oracle reproduced all `iters` distributed epochs exactly. */
@@ -506,6 +565,105 @@ object Embeddings {
     pageRank(graft.core.InternalCaches.persist(
       cosineNearDup(Tables.embeddings(s, dir), 0.4).select(col("d1"), col("d2"))),
       iters = 3)
+
+  /** Fixed-iteration HITS (Kleinberg 1999, JACM 46(5)) over a DIRECTED
+    * edge list `(d1 → d2)` — the hubs-and-authorities decomposition
+    * beside [[pageRank]]'s single importance score: an authority is
+    * pointed TO by good hubs, a hub points AT good authorities. On the
+    * low-to-high-id-oriented near-dup graph this separates "document many
+    * near-dups point at" from "document whose near-dups are themselves
+    * authoritative" — the two roles a canonical-pick heuristic conflates.
+    *
+    * Same fixed-point integer contract as [[pageRank]]: hub/authority
+    * masses are 64-bit integers on a `scale` grid, each half-step
+    * max-normalizes by INTEGER division (a'(v) = a(v)·scale div max a),
+    * so every engine and partitioning produces bit-identical scores and
+    * the iterated gate is hash-matchable at all. Nodes missing a side
+    * (no in-edges / no out-edges) hold mass 0 via the left join back
+    * onto the node set, never NULL. Overflow bound: raw mass ≤
+    * n·scale and the normalize multiply ≤ n·scale² = n·10¹² — safe in
+    * Long to n ≈ 9·10⁶ nodes at the default scale; shrink `scale` for
+    * larger graphs.
+    *
+    * Scale shape: edges + nodes built once and cached; each iteration is
+    * two edge-width shuffles (the two contribution aggs) plus two 1-row
+    * max frames broadcast back — no driver data beyond the maxes, and
+    * `iters` is a constant so the lineage stays bounded. */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val e = graft.core.InternalCaches.persist(
+      edges.select(col("d1").as("src"), col("d2").as("dst")))
+    val nodes = graft.core.InternalCaches.persist(
+      e.select(col("src").as("vec_id"))
+        .union(e.select(col("dst").as("vec_id"))).distinct())
+    var hub = nodes.select(col("vec_id"), lit(scale).as("h"))
+    var auth = nodes.select(col("vec_id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val ar = nodes.join(
+          e.join(hub.withColumnRenamed("vec_id", "hv"), col("src") === col("hv"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("ar")),
+          col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val am = ar.agg(greatest(max(col("ar")), lit(1L)).as("am"))
+      auth = ar.crossJoin(broadcast(am))
+        .select(col("vec_id"), expr(s"(ar * $scale) div am").as("a"))
+      val hr = nodes.join(
+          e.join(auth.withColumnRenamed("vec_id", "av"), col("dst") === col("av"))
+            .groupBy(col("src")).agg(sum(col("a")).as("hr")),
+          col("vec_id") === col("src"), "left")
+        .select(col("vec_id"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val hm = hr.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
+      hub = hr.crossJoin(broadcast(hm))
+        .select(col("vec_id"), expr(s"(hr * $scale) div hm").as("h"))
+    }
+    hub.join(auth, "vec_id")
+      .select(col("vec_id"), col("h").as("hub_units"), col("a").as("auth_units"))
+  }
+
+  /** Gate: 3 HITS iterations over the q41 near-dup graph oriented
+    * low-id → high-id (the q86 triangle orientation). */
+  def qHits(s: SparkSession, dir: String): DataFrame =
+    hits(graft.core.InternalCaches.persist(
+      cosineNearDup(Tables.embeddings(s, dir), 0.4).select(col("d1"), col("d2"))),
+      iters = 3)
+
+  /** Label-centroid affinity matrix — pairwise cosine between the
+    * per-label centroids (q42's vectors, carried past the norm): the
+    * domain-similarity table a mixture designer reads before merging or
+    * contrasting sources (near-parallel centroids → redundant domains;
+    * near-orthogonal → complementary), and the cheap first look at
+    * whether labels are separable at all before training the q147
+    * classifier.
+    *
+    * Scale shape: ONE corpus-sized stage — the (label, pos) decimal-mean
+    * agg, map-side combinable with ≤ labels·dim accumulator rows per
+    * task; everything after (the pos-keyed self-join, the K² rollup)
+    * runs on the labels×dim-bounded centroid frame. Floats pinned with
+    * the q42 recipe: round-6 components into DECIMAL(28,10) order-free
+    * sums, per-pos products round-12 into DECIMAL(28,14), one sqrt·sqrt
+    * division rounded to 6. */
+  def centroidAffinity(emb: DataFrame): DataFrame = {
+    val mv = graft.core.InternalCaches.persist(
+      emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(round(col("col").cast(DoubleType), 6).cast(DecimalType(28, 10)))
+          .cast(DoubleType) / count(lit(1))).as("mean_v")))
+    mv.select(col("label").as("label_a"), col("pos"), col("mean_v").as("ma"))
+      .join(mv.select(col("label").as("label_b"), col("pos"), col("mean_v").as("mb")),
+        "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(round(col("ma") * col("mb"), 12).cast(DecimalType(28, 14))).as("dot_d"),
+        sum(round(col("ma") * col("ma"), 12).cast(DecimalType(28, 14))).as("na_d"),
+        sum(round(col("mb") * col("mb"), 12).cast(DecimalType(28, 14))).as("nb_d"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot_d").cast(DoubleType) /
+          (sqrt(col("na_d").cast(DoubleType)) * sqrt(col("nb_d").cast(DoubleType))),
+          6).as("cos_sim"))
+  }
+
+  def qCentroidAffinity(s: SparkSession, dir: String): DataFrame =
+    centroidAffinity(Tables.embeddings(s, dir))
 
   /** Symmetric per-vector int8 scalar quantization — the storage/serving
     * compression step every embedding corpus goes through before ANN
@@ -929,6 +1087,9 @@ object Embeddings {
     "q147_logreg_train"  -> (qLogregTrain _),
     "q153_mmr_rerank"    -> (qMmrRerank _),
     "q155_classifier_auc" -> (qClassifierAuc _),
+    "q164_threshold_sweep" -> (qThresholdSweep _),
+    "q166_hits"          -> (qHits _),
+    "q168_centroid_affinity" -> (qCentroidAffinity _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -1001,6 +1162,47 @@ object Embeddings {
           round(abs(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) / count(*)
                 - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS gap
         FROM bkt GROUP BY bucket ORDER BY bucket"""
+  }
+
+  /** The q164 oracle: the q93 literal-model round-6 margin, a VALUES
+    * grid, and the identical integer confusion counts → guarded round-6
+    * P/R → F1-from-unrounded finish. */
+  private def thresholdSweepOracle: String = {
+    val (w, b) = q93Model
+    val lst = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val grid = q164Grid.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH scored AS (
+          SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+            round(list_dot_product(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst)
+              + CAST($b AS DOUBLE), 6) AS margin
+          FROM embeddings),
+        grid(thr) AS (VALUES $grid),
+        conf AS (
+          SELECT thr,
+            CAST(sum(pred * y) AS BIGINT) AS tp,
+            CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+            CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+            CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+          FROM (SELECT thr, y,
+                  CASE WHEN margin >= thr THEN 1 ELSE 0 END AS pred
+                FROM scored CROSS JOIN grid)
+          GROUP BY thr),
+        pr AS (
+          SELECT thr, tp, fp, fn, tn,
+            CASE WHEN tp + fp > 0
+              THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+              ELSE 0.0 END AS p_raw,
+            CASE WHEN tp + fn > 0
+              THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+              ELSE 0.0 END AS r_raw
+          FROM conf)
+        SELECT thr, tp, fp, fn, tn,
+          round(p_raw, 6) AS prec, round(r_raw, 6) AS rec,
+          CASE WHEN p_raw + r_raw > 0.0
+            THEN round(2.0 * p_raw * r_raw / (p_raw + r_raw), 6)
+            ELSE 0.0 END AS f1
+        FROM pr"""
   }
 
   /** The q155 oracle: the q93 literal-model margin, scaled-long score
@@ -1136,6 +1338,40 @@ object Embeddings {
                  JOIN $prev ON $prev.vec_id = adjc.src
                  CROSS JOIN nn
           GROUP BY adjc.dst, nn.n)"""
+
+  /** One HITS iteration as CTEs — the q25/q118 unroll recipe: auth raw
+    * sums via the left-join chain (so zero-in-degree nodes hold 0, not
+    * NULL), integer max-normalize, then the hub half mirrored. */
+  private def hitsIterSql(hPrev: String, k: Int): String =
+    s"""ar$k AS (SELECT n.vec_id, CAST(coalesce(sum(h.h), 0) AS BIGINT) AS ar
+          FROM nodesc n LEFT JOIN e ON e.d2 = n.vec_id
+            LEFT JOIN $hPrev h ON h.vec_id = e.d1
+          GROUP BY n.vec_id),
+        am$k AS (SELECT greatest(max(ar), 1) AS am FROM ar$k),
+        a$k AS (SELECT vec_id, CAST((ar * 1000000) // am AS BIGINT) AS a
+          FROM ar$k CROSS JOIN am$k),
+        hr$k AS (SELECT n.vec_id, CAST(coalesce(sum(a.a), 0) AS BIGINT) AS hr
+          FROM nodesc n LEFT JOIN e ON e.d1 = n.vec_id
+            LEFT JOIN a$k a ON a.vec_id = e.d2
+          GROUP BY n.vec_id),
+        hm$k AS (SELECT greatest(max(hr), 1) AS hm FROM hr$k),
+        h$k AS (SELECT vec_id, CAST((hr * 1000000) // hm AS BIGINT) AS h
+          FROM hr$k CROSS JOIN hm$k)"""
+
+  private def hitsOracle: String =
+    s"""WITH e AS MATERIALIZED (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round($CosSql, 6) >= 0.4),
+        nodesc AS MATERIALIZED (
+          SELECT DISTINCT vec_id FROM (
+            SELECT d1 AS vec_id FROM e UNION ALL SELECT d2 FROM e)),
+        h0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS h FROM nodesc),
+        ${hitsIterSql("h0", 1)},
+        ${hitsIterSql("h1", 2)},
+        ${hitsIterSql("h2", 3)}
+        SELECT h3.vec_id, h3.h AS hub_units, a3.a AS auth_units
+        FROM h3 JOIN a3 USING (vec_id)"""
 
   private def pageRankOracle: String =
     s"""WITH e AS MATERIALIZED (
@@ -1290,6 +1526,31 @@ object Embeddings {
     "q147_logreg_train" -> logregOracle,
     "q153_mmr_rerank" -> mmrOracle,
     "q155_classifier_auc" -> aucOracle,
+    "q164_threshold_sweep" -> thresholdSweepOracle,
+    "q166_hits" -> hitsOracle,
+    // q168: the q42 decimal-mean centroids carried into a pos-keyed
+    // self-join; identical round-12/DECIMAL(28,14)/sqrt·sqrt finish
+    "q168_centroid_affinity" ->
+      """WITH el AS (
+           SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings),
+         mv AS MATERIALIZED (
+           SELECT label, pos,
+             CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*) AS mean_v
+           FROM el GROUP BY label, pos),
+         j AS (
+           SELECT a.label AS label_a, b.label AS label_b,
+             sum(CAST(round(a.mean_v * b.mean_v, 12) AS DECIMAL(28,14))) AS dot_d,
+             sum(CAST(round(a.mean_v * a.mean_v, 12) AS DECIMAL(28,14))) AS na_d,
+             sum(CAST(round(b.mean_v * b.mean_v, 12) AS DECIMAL(28,14))) AS nb_d
+           FROM mv a JOIN mv b ON a.pos = b.pos AND a.label < b.label
+           GROUP BY a.label, b.label)
+         SELECT label_a, label_b,
+           round(CAST(dot_d AS DOUBLE)
+             / (sqrt(CAST(na_d AS DOUBLE)) * sqrt(CAST(nb_d AS DOUBLE))), 6) AS cos_sim
+         FROM j""",
     "q94_pagerank" -> pageRankOracle,
     // q143: both rankings use the q40 round-6-sim + nid tie-break, so the
     // top-k sets are engine-exact on both the full and the sliced side

@@ -242,7 +242,67 @@ object Events {
   def qAnomalies(s: SparkSession, dir: String): DataFrame =
     hourlyAnomalies(Tables.events(s, dir))
 
+  /** Interval-overlap join — the range-join family member beside the
+    * as-of join (q56): user activity SESSIONS (gap-based intervals, the
+    * q52 build carried through to full [start, end] extents) joined
+    * against per-(event_type, day) activity WINDOWS on the overlap
+    * predicate `max(starts) <= min(ends)`, reporting per (user,
+    * event_type) how many daily windows each user's sessions touched and
+    * for how long. This is the "which incident windows did this user's
+    * activity intersect" primitive behind on-call forensics and
+    * exposure/attribution joins.
+    *
+    * Scale shape — the classic interval-join decomposition: a naive
+    * interval join is a cross product with a range predicate (Spark
+    * would BNLJ it); instead each session EXPLODES into the UTC days it
+    * covers (fan-out = session length in days, ~1) and equi-joins on the
+    * day key. Windows are keyed by (type, day) and bounded within one
+    * day BY CONSTRUCTION, so a (session, window) pair meets in exactly
+    * one bucket — no post-join dedup. The window table is
+    * calendar×types-bounded (not corpus-bounded) and broadcast; with two
+    * corpus-sized interval sets the same day-bucket explode turns the
+    * range join into a shuffle equi-join on the day key — the shape
+    * survives either way. Sessionization windows partition by user_id
+    * (bounded per user, no global sort). All arithmetic in integer
+    * epoch-ms; both engines order the lag by the TRUNCATED ms (not the
+    * µs timestamp) + event_id, so session boundaries agree exactly. */
+  def intervalOverlap(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val sessions = ev
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("s_ms"), max(col("ms")).as("e_ms"))
+    val windows = ev
+      .withColumn("day", expr("ms div 86400000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(min(col("ms")).as("w_s"), max(col("ms")).as("w_e"))
+    sessions
+      .withColumn("day",
+        explode(sequence(expr("s_ms div 86400000"), expr("e_ms div 86400000"))))
+      .join(broadcast(windows), "day")
+      .filter(greatest(col("s_ms"), col("w_s")) <= least(col("e_ms"), col("w_e")))
+      .withColumn("ov",
+        least(col("e_ms"), col("w_e")) - greatest(col("s_ms"), col("w_s")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_windows"),
+        sum(col("ov")).cast(LongType).as("overlap_ms"),
+        max(col("ov")).cast(LongType).as("max_overlap_ms"))
+  }
+
+  def qIntervalOverlap(s: SparkSession, dir: String): DataFrame =
+    intervalOverlap(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_interval_overlap" -> (qIntervalOverlap _),
     "q111_anomalies"     -> (qAnomalies _),
     "q56_asof_join"      -> (qAsOf _),
     "q97_cohorts"        -> (qCohorts _),
@@ -255,6 +315,40 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // q163: sessions rebuilt by the identical lag/running-sum cascade
+    // (ordered by truncated ms + event_id on BOTH engines), windows by
+    // (type, day) group-by, the range predicate after a day-bucket
+    // equi-join; range(a, b+1) ≡ Spark's inclusive sequence(a, b)
+    "q163_interval_overlap" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+                     FROM events),
+         lg AS (SELECT user_id, ms,
+                  CASE WHEN lag(ms) OVER (PARTITION BY user_id
+                         ORDER BY ms, event_id) IS NULL
+                         OR ms - lag(ms) OVER (PARTITION BY user_id
+                              ORDER BY ms, event_id) > 1800000
+                       THEN 1 ELSE 0 END AS ns,
+                  event_id
+                FROM ev),
+         sess AS (SELECT user_id, sid, min(ms) AS s_ms, max(ms) AS e_ms FROM (
+             SELECT user_id, ms, CAST(sum(ns) OVER (PARTITION BY user_id
+                 ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             FROM lg) GROUP BY user_id, sid),
+         win AS (SELECT event_type, ms // 86400000 AS day,
+                   min(ms) AS w_s, max(ms) AS w_e
+                 FROM ev GROUP BY event_type, day),
+         sd AS (SELECT user_id, s_ms, e_ms,
+                  unnest(range(s_ms // 86400000, e_ms // 86400000 + 1)) AS day
+                FROM sess),
+         j AS (SELECT user_id, event_type,
+                 least(e_ms, w_e) - greatest(s_ms, w_s) AS ov
+               FROM sd JOIN win USING (day)
+               WHERE greatest(s_ms, w_s) <= least(e_ms, w_e))
+         SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(ov) AS BIGINT) AS overlap_ms,
+           CAST(max(ov) AS BIGINT) AS max_overlap_ms
+         FROM j GROUP BY user_id, event_type""",
     // q111: the cleared-form 3-sigma test — every quantity a BIGINT
     "q111_anomalies" ->
       """WITH hourly AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hr, count(*) AS cnt

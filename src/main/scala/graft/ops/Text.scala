@@ -70,15 +70,30 @@ object Text {
     * order, finish rounds to 6 — no explode, no shuffle, rides any scan
     * at any corpus size. */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val cs = "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
-    val p = s"(CAST(size(filter($cs, x -> x = c)) AS DOUBLE) / length(text))"
-    docs.select(col("doc_id"),
-      length(col("text")).cast(LongType).as("text_len"),
-      expr(s"size(array_distinct($cs))").cast(LongType).as("n_distinct"),
-      round(-expr(
-        s"aggregate(transform(array_sort(array_distinct($cs)), " +
-          s"c -> round($p * ln($p), 9)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"),
-        6).as("entropy"))
+    // Histogram as run lengths over the ONE sorted char array (shared
+    // via real columns so each is materialized once per row — the naive
+    // per-distinct-char filter() rebuilds the array O(distinct) times and
+    // was measured 40× slower at sf0.1). Run starts in sorted order ARE
+    // the sorted distinct characters, so the fold visits the identical
+    // −p·ln p terms in the identical order as the per-char form: the
+    // round-9/round-6 stream is unchanged and the oracle is too.
+    docs
+      .withColumn("sc", expr(
+        "array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1)))"))
+      .withColumn("bd", expr(
+        "filter(sequence(1, size(sc)), " +
+          "i -> i = 1 OR element_at(sc, i) <> element_at(sc, i - 1))"))
+      .withColumn("cnts", expr(
+        "transform(sequence(1, size(bd)), j -> " +
+          "coalesce(try_element_at(bd, j + 1), size(sc) + 1) - element_at(bd, j))"))
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("text_len"),
+        size(col("bd")).cast(LongType).as("n_distinct"),
+        round(-expr(
+          "aggregate(cnts, CAST(0.0 AS DOUBLE), (a, x) -> a + " +
+            "round((CAST(x AS DOUBLE) / length(text)) * " +
+            "ln(CAST(x AS DOUBLE) / length(text)), 9))"),
+          6).as("entropy"))
   }
 
   def qCharEntropy(s: SparkSession, dir: String): DataFrame =
@@ -2691,6 +2706,111 @@ object Text {
   def qZipfSlope(s: SparkSession, dir: String): DataFrame =
     zipfSlope(Tables.documents(s, dir))
 
+  /** Per-source lexical-diversity battery — the third corpus-profiling
+    * statistic beside the Zipf ([[zipfSlope]]) and Heaps ([[heapsFit]])
+    * fits: type-token ratio, hapax fraction, and Yule's K
+    * (Yule 1944; K = 10⁴·(Σc² − N)/N², the repeat-rate statistic that —
+    * unlike raw TTR — does not collapse with corpus size, so sources ARE
+    * comparable at different volumes). Low K ≈ diverse natural text; high
+    * K flags templated/spammy sources before they dominate a mixture.
+    *
+    * Scale shape: ONE corpus scan into the (source, token) count frame
+    * (vocab-bounded per source — the q99/q158 contract), then one
+    * source-keyed rollup; no joins, no windows. All sums are exact
+    * integers — Σc² accumulates in DECIMAL(38,0) because a stopword's
+    * count squares past Long at ~3·10⁹ occurrences — with exactly three
+    * pinned double divisions (TTR, hapax, K) rounding to 6 at the end.
+    * N² in Yule's K is computed in DOUBLE (N·N overflows Long at
+    * ~3·10⁹ tokens; both engines run the identical double chain). */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val counts = withTokens(docs)
+      .select(col("source"), explode(col("t")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast(LongType).as("n_hapax"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("s2"))
+      .withColumn("nd", col("n_tokens").cast(DoubleType))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast(DoubleType) / col("nd"), 6).as("ttr"),
+        round(col("n_hapax").cast(DoubleType) / col("n_types").cast(DoubleType), 6)
+          .as("hapax_frac"),
+        round(lit(10000.0) * (col("s2").cast(DoubleType) - col("nd"))
+          / (col("nd") * col("nd")), 6).as("yule_k"))
+  }
+
+  def qLexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversity(Tables.documents(s, dir))
+
+  /** Train/eval split-leakage audit — the pre-training check that the
+    * holdout is actually held out, run AFTER a split is drawn and BEFORE
+    * anything trains on it: per source, how many eval documents leak from
+    * the training half either verbatim (exact content-hash match) or
+    * near-verbatim (≥ 1 shared n-token shingle — the q71 decontamination
+    * signal with the roles reversed: there a bounded benchmark set checks
+    * the corpus; here both halves are corpus-sized). Split-level leakage
+    * is how test-set contamination actually happens in practice — dedup
+    * ran before the split, or not at all.
+    *
+    * Scale shape: the exact tier is a semi-join on md5(text) — both
+    * sides corpus-sized, a shuffle equi-join on a uniform hash key, the
+    * q33 dedup contract. The near tier semi-joins the eval doc's
+    * 64-bit shingle hashes (graft_shingles — codegen'd, no explode until
+    * after the length filter) against the DISTINCT train shingle set;
+    * also a uniform-key shuffle equi-join, and the post-join distinct is
+    * doc-bounded. No window, no driver data. Output counts are exact
+    * integers; the two leak rates are single round-6 divisions. */
+  def splitLeakage(docs: DataFrame, evalPred: Column, n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tagged = graft.core.InternalCaches.persist(
+      withTokens(docs).withColumn("is_eval", evalPred)
+        .select(col("doc_id"), col("source"), col("text"), col("t"), col("is_eval")))
+    val trainHash = tagged.filter(!col("is_eval"))
+      .select(md5(col("text")).as("hh")).distinct()
+    val exact = tagged.filter(col("is_eval"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
+      .join(trainHash, Seq("hh"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("n_exact"))
+    val trainSh = tagged.filter(!col("is_eval") && size(col("t")) >= n)
+      .select(explode(expr(s"graft_shingles(t, $n)")).as("h")).distinct()
+    val near = tagged.filter(col("is_eval") && size(col("t")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"graft_shingles(t, $n)")).as("h"))
+      .join(trainSh, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("n_near"))
+    tagged.filter(col("is_eval"))
+      .groupBy(col("source")).agg(count(lit(1)).cast(LongType).as("n_eval"))
+      .join(exact, Seq("source"), "left")
+      .join(near, Seq("source"), "left")
+      .select(col("source"), col("n_eval"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .withColumn("exact_rate",
+        round(col("n_exact").cast(DoubleType) / col("n_eval").cast(DoubleType), 6))
+      .withColumn("near_rate",
+        round(col("n_near").cast(DoubleType) / col("n_eval").cast(DoubleType), 6))
+  }
+
+  /** Gate: 25% eval split by doc_id residue (corpus-PROPORTIONAL — not
+    * the bounded benchmark set, so the shuffle semi-join path is what's
+    * exercised; a production run would use the q65 content-hash split,
+    * same plan shape), 8-token shingles. The synthetic corpus has no
+    * verbatim duplicates, so the gate DERIVES one that does (the q138
+    * derived-corpus recipe): every doc_id ≡ 1 (mod 16) train document is
+    * re-keyed to 4·(doc_id + 10⁹) — an eval residue — and appended, so
+    * the exact tier fires on planted verbatim leaks while the near tier
+    * also catches the corpus's organic shared 8-grams. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val planted = d.filter(expr("doc_id % 16 = 1"))
+      .select((lit(4L) * (col("doc_id") + lit(1000000000L))).as("doc_id"),
+        col("source"), col("text"))
+    splitLeakage(d.unionByName(planted), expr("doc_id % 4 = 0"), n = 8)
+  }
+
   /** Per-source Heaps-law fit — the other half of the corpus-profiling
     * pair beside [[zipfSlope]]: vocabulary growth V(n) ≈ K·n^β against
     * tokens read (natural text sits near β ≈ 0.5; boilerplate-heavy or
@@ -4107,6 +4227,8 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_lexical_diversity" -> (qLexicalDiversity _),
+    "q167_split_leakage" -> (qSplitLeakage _),
     "q113_bm25"         -> (qBm25 _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
@@ -4435,6 +4557,63 @@ object Text {
          ORDER BY cnt DESC, sym ASC LIMIT $topK"""
 
   val oracles: Map[String, String] = Map(
+    // q165: one (source, token) count frame, one rollup; Σc² in HUGEINT
+    // (Spark: DECIMAL(38,0)) so both engines cast the same exact integer
+    // to DOUBLE, then the identical three pinned divisions
+    "q165_lexical_diversity" ->
+      """WITH c AS (
+           SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY source, w),
+         agg AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+           FROM c GROUP BY source)
+         SELECT source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac,
+           round(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
+         FROM agg""",
+    // q167: the derived corpus plants doc_id%16=1 train docs as re-keyed
+    // eval duplicates; STRING 8-gram shingles stand in for the engine's
+    // 64-bit hashes (the q71 empirical-discharge convention)
+    "q167_split_leakage" ->
+      """WITH d0 AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT 4 * (doc_id + 1000000000) AS doc_id, source, text
+           FROM documents WHERE doc_id % 16 = 1),
+         d AS MATERIALIZED (
+           SELECT doc_id, source, text, string_split(text, ' ') AS t,
+             doc_id % 4 = 0 AS ev
+           FROM d0),
+         th AS (SELECT DISTINCT md5(text) AS hh FROM d WHERE NOT ev),
+         ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+           FROM d WHERE ev AND md5(text) IN (SELECT hh FROM th)
+           GROUP BY source),
+         sh AS (SELECT doc_id, source, ev, unnest(list_transform(
+             range(1, greatest(len(t) - 7, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+           FROM d WHERE len(t) >= 8),
+         ts AS (SELECT DISTINCT g FROM sh WHERE NOT ev),
+         nr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_near FROM (
+             SELECT DISTINCT doc_id, source FROM sh
+             WHERE ev AND g IN (SELECT g FROM ts))
+           GROUP BY source),
+         ev_n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_eval
+           FROM d WHERE ev GROUP BY source)
+         SELECT e.source, e.n_eval,
+           CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near,
+           round(CAST(coalesce(ex.n_exact, 0) AS DOUBLE)
+             / CAST(e.n_eval AS DOUBLE), 6) AS exact_rate,
+           round(CAST(coalesce(nr.n_near, 0) AS DOUBLE)
+             / CAST(e.n_eval AS DOUBLE), 6) AS near_rate
+         FROM ev_n e LEFT JOIN ex ON ex.source = e.source
+           LEFT JOIN nr ON nr.source = e.source""",
     "q118_bpe_train" -> bpeTrainOracle(8),
     "q119_bpe_apply" -> bpeApplyOracle(8, 20),
     // q123: the SAME unrolled training oracle over the transliterated

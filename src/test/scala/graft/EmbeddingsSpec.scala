@@ -465,4 +465,70 @@ class EmbeddingsSpec extends SparkSpec {
       queryPred = col("vec_id") < 4).collect()
     assert(idq.length == 4 && idq.forall(_.getDouble(2) == 1.0), s"${idq.toSeq}")
   }
+
+  test("hits: planted hub/authority chain follows the exact integer sequence") {
+    import spark.implicits._
+    try {
+      // 1→3, 2→3, 3→4: nodes 1,2 are pure twin hubs, 3 the sole authority
+      // of the hub pair AND the only hub of 4. Integer halving per
+      // iteration: a(4) = h(3)·scale div 2·scale halves each round (max
+      // stays 2·scale on the a-side, scale on the h-side), so after 3
+      // iters a(4) = h(3) = scale/8 exactly — any drift in the
+      // max-normalize order or the div semantics moves these integers.
+      val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+      val got = graft.ops.Embeddings.hits(edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == Map(
+        1L -> ((1000000L, 0L)),
+        2L -> ((1000000L, 0L)),
+        3L -> ((125000L, 1000000L)),
+        4L -> ((0L, 125000L))), s"got $got")
+      // pure-star sanity: 1→3, 2→3 reaches its fixed point in one iter
+      val star = Seq((1L, 3L), (2L, 3L)).toDF("d1", "d2")
+      val s1 = graft.ops.Embeddings.hits(star, iters = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val s3 = graft.ops.Embeddings.hits(star, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(s1 == s3 && s1 == Set((1L, 1000000L, 0L), (2L, 1000000L, 0L),
+        (3L, 0L, 1000000L)), s"star: $s1 vs $s3")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("centroidAffinity: orthogonal and diagonal label centroids hit closed-form cosines") {
+    import spark.implicits._
+    try {
+      // identical vectors per label make the centroid the vector itself:
+      // label 0 = (1,0), label 1 = (0,1), label 2 = (1,1) ⇒ cos(0,1)=0,
+      // cos(0,2)=cos(1,2)=1/√2 — the decimal-mean and round-12 product
+      // paths are exact on these values, so the assert is equality.
+      val tiny = Seq(
+        (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+        (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 1.0f), 1),
+        (4L, Array(1.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+      val got = graft.ops.Embeddings.centroidAffinity(tiny)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(got == Map((0, 1) -> 0.0, (0, 2) -> 0.707107, (1, 2) -> 0.707107),
+        s"got $got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("thresholdSweep: planted margins produce exact confusion counts and guarded P/R/F1") {
+    import spark.implicits._
+    // w=(1,0), b=0 ⇒ margins +1, −1, +0.5, −0.5; even labels are the
+    // positive class ⇒ y = 1,0,1,0. Three operating points: all-keep
+    // (thr −2), the separator (thr 0), all-drop (thr 2) — the guards on
+    // zero predicted/actual positives are exercised by the last one.
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(-1.0f, 0.0f), 1),
+      (2L, Array(0.5f, 0.0f), 2), (3L, Array(-0.5f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Embeddings
+      .thresholdSweep(tiny, Array(1.0, 0.0), 0.0, Seq(-2.0, 0.0, 2.0))
+      .collect().map(r => r.getDouble(0) ->
+        (((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          (r.getDouble(5), r.getDouble(6), r.getDouble(7))))).toMap
+    assert(got(-2.0) == (((2L, 2L, 0L, 0L), (0.5, 1.0, 0.666667))), s"$got")
+    assert(got(0.0) == (((2L, 0L, 0L, 2L), (1.0, 1.0, 1.0))), s"$got")
+    assert(got(2.0) == (((0L, 0L, 2L, 2L), (0.0, 0.0, 0.0))), s"$got")
+  }
 }

@@ -336,4 +336,43 @@ class RelationalSpec extends SparkSpec {
       "s2" -> ((0L, 0L, 1L)),
       "s3" -> ((1L, 0L, 0L))), s"got $got")
   }
+
+  test("intervalOverlap: planted sessions meet windows with exact overlaps, across days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val day = 86400000L
+    val rows = Seq(
+      // type w, day 0: users 10/11 pin the window to [1000, 101000];
+      // user 1's two events 10 s apart form ONE session [50000, 60000]
+      // fully inside it → overlap exactly 10 000 ms
+      (1000L, ts(1000L), 10L, "w"),
+      (1001L, ts(101000L), 11L, "w"),
+      (1L, ts(50000L), 1L, "w"),
+      (2L, ts(60000L), 1L, "w"),
+      // type x: user 3's events straddle midnight 20 min apart (< the
+      // 30 min gap) → ONE session spanning days 0 and 1, which must meet
+      // BOTH single-point daily windows via the day explode
+      (3L, ts(day - 600000L), 3L, "x"),
+      (4L, ts(day + 600000L), 3L, "x"),
+      // type y, day 2 (clear of every other user's sessions — the join
+      // is deliberately type-agnostic, so co-day sessions WOULD meet
+      // this window): user 5's events sit 1 h apart (> gap) → TWO
+      // sessions, each touching the (y, day2) window at zero length
+      (5L, ts(2 * day), 5L, "y"),
+      (6L, ts(2 * day + 3600000L), 5L, "y")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.intervalOverlap(rows)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, "w")) == ((1L, 10000L, 10000L)), s"$got")
+    assert(got((3L, "x")) == ((2L, 0L, 0L)), s"$got")
+    assert(got((5L, "y")) == ((2L, 0L, 0L)), s"$got")
+    // window-pinning users only graze their own window edges
+    assert(got((10L, "w")) == ((1L, 0L, 0L)) && got((11L, "w")) == ((1L, 0L, 0L)),
+      s"$got")
+    // no cross-type phantom rows: sessions never meet windows they
+    // don't overlap in time
+    assert(got.size == 5, s"unexpected extra rows: $got")
+  }
 }

@@ -2103,4 +2103,44 @@ class TextSpec extends SparkSpec {
       assert(r2.getLong(m2("m2")) == 0L && r2.getDouble(m2("bleu")) == 0.0, s"$r2")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("lexicalDiversity: TTR, hapax fraction and Yule's K match hand counts") {
+    import spark.implicits._
+    // s1 token counts: a:2 b:2 c:1 → N=5, V=3, hapax=1, Σc²=9 ⇒
+    // TTR 0.6, hapax 1/3, K = 10⁴·(9−5)/25 = 1600. s2 is all-hapax:
+    // Σc²=N ⇒ K = 0 exactly — the repeat-free lower bound.
+    val docs = Seq(
+      (1L, "s1", "a a b"), (2L, "s1", "b c"),
+      (3L, "s2", "x y z")).toDF("doc_id", "source", "text")
+    val got = Text.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("s1") == (((5L, 3L, 1L, 0.6, 0.333333, 1600.0))), s"$got")
+    assert(got("s2") == (((3L, 3L, 3L, 1.0, 1.0, 0.0))), s"$got")
+  }
+
+  test("splitLeakage: verbatim, shared-shingle and clean eval docs are tiered exactly") {
+    import spark.implicits._
+    try {
+      // train: docs 1, 2. eval (id ≥ 100): 100 is a verbatim copy of 1
+      // (exact + near), 101 shares only the bigram "z w" (near only),
+      // 102 is clean. n=2 so every doc clears the length filter.
+      val docs = Seq(
+        (1L, "A", "x y z w"), (2L, "A", "p q r s"),
+        (100L, "A", "x y z w"), (101L, "A", "z w a b"),
+        (102L, "A", "m n o u")).toDF("doc_id", "source", "text")
+      val r = Text.splitLeakage(docs, org.apache.spark.sql.functions.col("doc_id") >= 100L, n = 2)
+        .collect().head
+      assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)) ==
+        (("A", 3L, 1L, 2L, 0.333333, 0.666667)), s"$r")
+      // sources with zero leaks coalesce to 0 counts, not NULL
+      val clean = Seq((1L, "B", "h i j k"), (100L, "B", "d e f g"))
+        .toDF("doc_id", "source", "text")
+      val rc = Text.splitLeakage(clean, org.apache.spark.sql.functions.col("doc_id") >= 100L, n = 2)
+        .collect().head
+      assert((rc.getString(0), rc.getLong(1), rc.getLong(2), rc.getLong(3)) ==
+        (("B", 1L, 0L, 0L)), s"$rc")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
