@@ -198,10 +198,62 @@ object Clustering {
   def qClusterSample(s: SparkSession, dir: String): DataFrame =
     clusterSample(Tables.embeddings(s, dir), k = 8, perCluster = 5)
 
+  /** Per-cluster CENTROID silhouette — the clustering-quality eval after
+    * assignment (the "simplified silhouette", Hruschka et al. 2004: a =
+    * distance to the OWN centroid, b = min distance to any OTHER
+    * centroid, s = (b−a)/max(a,b) ∈ [−1,1]) — O(n·k) where the classic
+    * Rousseeuw 1987 pairwise form is O(n²) and dead at corpus scale.
+    * Near-zero or negative cluster means flag a k that is splitting or
+    * merging real structure — the go/no-go read before the q87/q89
+    * downstream passes trust the clustering.
+    *
+    * Scale shape: ONE projection riding the scan — all k squared
+    * distances materialize per row as (naa − 2·dot_j) + ncc_j with the
+    * centroids as plan literals through the codegen'd graft_dot (the q85
+    * assignment parity shapes), own/other picked by array index, no
+    * join, no fan-out — then ONE k-key rollup with map-side partial
+    * decimal sums (≤ k·partitions wire rows, the q85 contract). Floats
+    * pinned: d² clamps at 0 (a vector equal to a float-degenerate
+    * centroid must not sqrt a −ε), per-row s rounds to 9, decimal sums,
+    * round-6 means; a=b=0 guards to 0. */
+  def silhouette(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val (cids, cents) = seedCentroids(emb, k)
+    def litArr(c: Array[Double]) =
+      c.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    def nccOf(c: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    val naa = expr("graft_dot(embedding, embedding)")
+    val d2s = cents.map { c =>
+      (naa - lit(2.0) * expr(s"graft_dot(embedding, ${litArr(c)})")) +
+        lit(nccOf(c))
+    }
+    val cidLookup = array(cids.toIndexedSeq.map(lit(_)): _*)
+    assign(emb, cents)
+      .withColumn("d2s", array(d2s.toIndexedSeq: _*))
+      .withColumn("a", sqrt(greatest(element_at(col("d2s"), col("cidx") + 1), lit(0.0))))
+      .withColumn("b", sqrt(greatest(
+        expr("array_min(filter(d2s, (x, i) -> i != cidx))"), lit(0.0))))
+      .withColumn("s", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 9)))
+      .groupBy(col("cidx"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("s").cast(DecimalType(28, 12))).cast(DoubleType).as("ssum"))
+      .select(element_at(cidLookup, col("cidx") + 1).as("cid"), col("n"),
+        round(col("ssum") / col("n"), 6).as("mean_sil"))
+  }
+
+  def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    silhouette(Tables.embeddings(s, dir), k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_kmeans_assign" -> (qKmeansAssign _),
     "q87_semantic_dedup" -> (qSemanticDedup _),
     "q89_cluster_sample" -> (qClusterSample _),
+    "q170_silhouette"   -> (qSilhouette _),
   )
 
   /** Shared assignment CTEs: d² recomputed with the exact NearestCells
@@ -271,5 +323,26 @@ object Clustering {
                ORDER BY nrm DESC, vec_id ASC) AS rk
            FROM nr) t
          WHERE rk <= 5""",
+    // q170: the d-table already holds every (vec_id, cid, d²) the engine
+    // materializes per row; own/other split by the assigned map, the
+    // identical clamp/sqrt/guard/round chain
+    "q170_silhouette" ->
+      s"""$AssignOracleCtes,
+         own AS (SELECT d.vec_id, s.cid, greatest(d.d2, 0.0) AS own
+                 FROM d JOIN assigned s
+                   ON d.vec_id = s.vec_id AND d.cid = s.cid),
+         oth AS (SELECT d.vec_id, greatest(min(d.d2), 0.0) AS oth
+                 FROM d JOIN assigned s
+                   ON d.vec_id = s.vec_id AND d.cid <> s.cid
+                 GROUP BY d.vec_id),
+         sv AS (SELECT o.cid,
+                  CASE WHEN greatest(sqrt(o.own), sqrt(t.oth)) = 0.0 THEN 0.0
+                       ELSE round((sqrt(t.oth) - sqrt(o.own))
+                         / greatest(sqrt(o.own), sqrt(t.oth)), 9) END AS s
+                FROM own o JOIN oth t USING (vec_id))
+         SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+             AS mean_sil
+         FROM sv GROUP BY cid""",
   )
 }

@@ -347,6 +347,69 @@ object Embeddings {
     calibrationReport(Tables.embeddings(s, dir), w, b)
   }
 
+  /** Murphy (1973) decomposition of the Brier score over the q146
+    * calibration bins — BS = REL − RES + UNC: reliability (how far bin
+    * confidence sits from bin accuracy — the calibration defect q146
+    * shows per-bin, here mass-weighted into one number), resolution (how
+    * much the bins separate the base rate — a model can be perfectly
+    * calibrated and useless), uncertainty (the base-rate entropy floor
+    * ȳ(1−ȳ) no model beats). The one-row scorecard a quality-filter
+    * deployment publishes beside AUC: AUC says it ranks, REL says the
+    * probabilities are honest, RES says they're informative.
+    *
+    * Scale shape: scoring is the q93 pure map stage + the q146
+    * bucketing, ONE 10-key rollup with map-side partial decimal sums;
+    * everything after runs on the 10-row bin frame and two broadcast
+    * 1-row totals. Floats pinned: p is the q146 round-9 sigmoid,
+    * per-row (p−y)² rounds to 9 into decimal sums, per-bin
+    * contributions round to 9 on the bounded frame, the four published
+    * statistics round to 6. */
+  def brierDecomposition(emb: DataFrame, weights: Array[Double],
+                         bias: Double): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val scored = classifierScores(emb, weights, bias)
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 9))
+      .withColumn("y", when(col("label") % 2 === 0, 1L).otherwise(0L))
+      .withColumn("bucket",
+        least(lit(9L), floor(col("p") * 10).cast(LongType)))
+      .withColumn("sq",
+        round((col("p") - col("y")) * (col("p") - col("y")), 9))
+    // bins feeds BOTH glob and the contribution join — persist the 10-row
+    // frame or the corpus rollup in its lineage runs twice (q113 contract)
+    val bins = graft.core.InternalCaches.persist(
+      scored.groupBy(col("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("y")).cast(LongType).as("n_pos"),
+          sum(col("p").cast(dec)).as("sp"),
+          sum(col("sq").cast(dec)).as("ssq")))
+    val glob = bins.agg(
+      sum(col("n")).cast(LongType).as("nn"),
+      sum(col("n_pos")).cast(LongType).as("npos"),
+      sum(col("ssq")).cast(DoubleType).as("ssq_all"))
+      .withColumn("ybar", col("npos").cast(DoubleType) / col("nn").cast(DoubleType))
+    val contribs = bins.crossJoin(broadcast(glob))
+      .withColumn("pbar", col("sp").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("yk", col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("rel_k", round(col("n").cast(DoubleType) *
+        (col("pbar") - col("yk")) * (col("pbar") - col("yk")), 9))
+      .withColumn("res_k", round(col("n").cast(DoubleType) *
+        (col("yk") - col("ybar")) * (col("yk") - col("ybar")), 9))
+    contribs
+      .agg(sum(col("rel_k").cast(dec)).cast(DoubleType).as("rel_s"),
+        sum(col("res_k").cast(dec)).cast(DoubleType).as("res_s"))
+      .crossJoin(broadcast(glob))
+      .select(col("nn").as("n"),
+        round(col("ssq_all") / col("nn").cast(DoubleType), 6).as("brier"),
+        round(col("rel_s") / col("nn").cast(DoubleType), 6).as("reliability"),
+        round(col("res_s") / col("nn").cast(DoubleType), 6).as("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
+  }
+
+  def qBrierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = q93Model
+    brierDecomposition(Tables.embeddings(s, dir), w, b)
+  }
+
   /** Full-batch logistic-regression TRAINING of the quality classifier —
     * the missing first act of the classifier lifecycle the engine already
     * serves (train HERE → broadcast inference q93 → calibration q146).
@@ -1090,6 +1153,7 @@ object Embeddings {
     "q164_threshold_sweep" -> (qThresholdSweep _),
     "q166_hits"          -> (qHits _),
     "q168_centroid_affinity" -> (qCentroidAffinity _),
+    "q171_brier_decomposition" -> (qBrierDecomposition _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -1162,6 +1226,52 @@ object Embeddings {
           round(abs(CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) / count(*)
                 - CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS gap
         FROM bkt GROUP BY bucket ORDER BY bucket"""
+  }
+
+  /** The q171 oracle: the q146 round-9 sigmoid and buckets, per-row
+    * round-9 (p−y)² into decimal sums, the identical bin/global/contrib
+    * chain with every division written in the same CAST form. */
+  private def brierOracle: String = {
+    val (w, b) = q93Model
+    val lst = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH scored AS (SELECT label,
+            round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-round(
+              list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $lst)
+                + CAST($b AS DOUBLE), 6))), 9) AS p
+          FROM embeddings),
+        bkt AS (SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bucket,
+            CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y, p,
+            round((p - (CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END))
+              * (p - (CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END)), 9) AS sq
+          FROM scored),
+        bins AS MATERIALIZED (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS n_pos,
+            sum(CAST(p AS DECIMAL(28,12))) AS sp,
+            sum(CAST(sq AS DECIMAL(28,12))) AS ssq
+          FROM bkt GROUP BY bucket),
+        gtot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(ssq) AS DOUBLE) AS ssq_all,
+            CAST(sum(n_pos) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ybar
+          FROM bins),
+        contrib AS (SELECT
+            round(CAST(n AS DOUBLE)
+              * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS rel_k,
+            round(CAST(n AS DOUBLE)
+              * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) - ybar)
+              * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) - ybar), 9) AS res_k
+          FROM bins CROSS JOIN gtot)
+        SELECT nn AS n,
+          round(ssq_all / CAST(nn AS DOUBLE), 6) AS brier,
+          round(CAST(sum(CAST(rel_k AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST(nn AS DOUBLE), 6) AS reliability,
+          round(CAST(sum(CAST(res_k AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST(nn AS DOUBLE), 6) AS resolution,
+          round(ybar * (1.0 - ybar), 6) AS uncertainty
+        FROM contrib CROSS JOIN gtot
+        GROUP BY nn, ssq_all, ybar"""
   }
 
   /** The q164 oracle: the q93 literal-model round-6 margin, a VALUES
@@ -1528,6 +1638,7 @@ object Embeddings {
     "q155_classifier_auc" -> aucOracle,
     "q164_threshold_sweep" -> thresholdSweepOracle,
     "q166_hits" -> hitsOracle,
+    "q171_brier_decomposition" -> brierOracle,
     // q168: the q42 decimal-mean centroids carried into a pos-keyed
     // self-join; identical round-12/DECIMAL(28,14)/sqrt·sqrt finish
     "q168_centroid_affinity" ->

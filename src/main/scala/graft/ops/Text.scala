@@ -1714,6 +1714,68 @@ object Text {
   def qBm25(s: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(s, dir), Seq("vector", "join", "scan"))
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001,
+    * SIGIR) — the language-modeling ranking function beside [[bm25]]'s
+    * probabilistic one, the OTHER default every IR stack ships (Lucene's
+    * `LMDirichletSimilarity`, Anserini's `-qld` flag):
+    *
+    *   score(d|Q) = Σ_{w∈Q} ln( (tf_{w,d} + μ·P(w|C)) / (|d| + μ) )
+    *
+    * decomposed the standard way so only MATCHED postings do corpus work:
+    * Σ_matched ln(1 + tf/(μ·P(w|C)))  +  Σ_{w∈Q} ln(μ·P(w|C))  −
+    * |Q|·ln(|d| + μ) — the middle term is a per-query constant, the last
+    * rides the posting row's dl. Candidates are docs matching ≥ 1 query
+    * term (the standard top-k serving choice; a no-match doc ranks by
+    * document length alone and never enters a bounded-k result in
+    * practice).
+    *
+    * Scale shape: identical to the audited q113 plan — the corpus explode
+    * filters to query terms BEFORE any shuffle so the tf agg is
+    * posting-list-sized; collection stats are one broadcast 1-row agg;
+    * the cf table is terms-bounded and broadcast; top-k is a bounded
+    * heap. Floats pinned: μ·P(w|C) rounds to 12 on the bounded term
+    * frame, per-posting and per-term ln's round to 9, per-doc sums are
+    * order-free decimals, one round-6 finish. */
+  def dirichletQL(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                  mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "dirichletQL needs at least one query term")
+    val tok = withTokens(docs).select(col("doc_id"), col("t"))
+    val stats = tok.agg(sum(size(col("t")).cast(LongType)).as("tot"))
+    val tf = graft.core.InternalCaches.persist(tok
+      .withColumn("dl", size(col("t")).cast(LongType))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast(LongType).as("tf")))
+    val mupc = tf.groupBy(col("tok"))
+      .agg(sum(col("tf")).cast(LongType).as("cf"))
+      .crossJoin(broadcast(stats))
+      .withColumn("mupc",
+        round(lit(mu) * col("cf").cast(DoubleType) / col("tot").cast(DoubleType), 12))
+      .select(col("tok"), col("mupc"))
+    // Σ_{w∈Q} ln(μ·P(w|C)) over the terms-bounded frame — a 1-row constant
+    val cq = mupc.agg(
+      sum(round(log(col("mupc")), 9).cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("cq"))
+    val nQ = terms.size
+    tf.join(broadcast(mupc), "tok")
+      .withColumn("term_s",
+        round(log(lit(1.0) + col("tf").cast(DoubleType) / col("mupc")), 9))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        sum(col("term_s").cast(DecimalType(28, 12))).cast(DoubleType).as("match_s"))
+      .crossJoin(broadcast(cq))
+      .select(col("doc_id"), col("n_hit"),
+        round(col("match_s") + col("cq") -
+          lit(nQ.toDouble) * round(log(col("dl").cast(DoubleType) + lit(mu)), 9),
+          6).as("ql"))
+      .orderBy(col("ql").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qDirichletQL(s: SparkSession, dir: String): DataFrame =
+    dirichletQL(Tables.documents(s, dir), Seq("vector", "join", "scan"))
+
   /** Graded retrieval-quality eval — nDCG@k (Järvelin & Kekäläinen 2002,
     * TOIS 20(4)) and average precision@k (the trec_eval "map" cut), the
     * two metrics every retrieval deployment publishes next to recall@k
@@ -4230,6 +4292,7 @@ object Text {
     "q165_lexical_diversity" -> (qLexicalDiversity _),
     "q167_split_leakage" -> (qSplitLeakage _),
     "q113_bm25"         -> (qBm25 _),
+    "q169_dirichlet_ql" -> (qDirichletQL _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -5467,6 +5530,31 @@ object Text {
                 round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
          FROM sc GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+    // q169: the q113 posting chain with the Dirichlet decomposition —
+    // matched-term ln(1 + tf/μp) round-9 decimal sums + the 1-row
+    // Σ ln(μp) constant − |Q|·ln(dl + μ)
+    "q169_dirichlet_ql" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tot FROM tok),
+         ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS tok,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ex WHERE w IN ('vector', 'join', 'scan')
+                GROUP BY doc_id, dl, w),
+         mupc AS (SELECT tok,
+                  round(2000.0 * CAST(sum(tf) AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                    AS mupc
+                FROM tf CROSS JOIN st GROUP BY tok, tot),
+         cq AS (SELECT CAST(sum(CAST(round(ln(mupc), 9) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS cq FROM mupc),
+         sc AS (SELECT doc_id, dl,
+                  round(ln(1.0 + CAST(tf AS DOUBLE) / mupc), 9) AS term_s
+                FROM tf JOIN mupc USING (tok))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+           round(CAST(sum(CAST(term_s AS DECIMAL(28,12))) AS DOUBLE) + cq
+             - 3.0 * round(ln(CAST(dl AS DOUBLE) + 2000.0), 9), 6) AS ql
+         FROM sc CROSS JOIN cq GROUP BY doc_id, dl, cq
+         ORDER BY ql DESC, doc_id ASC LIMIT 10""",
     // q114: integer scaled masses, exact integer normalizer, one double
     // division per row, integer div allocation
     "q114_temperature_mix" ->

@@ -241,4 +241,22 @@ class ClusteringSpec extends SparkSpec {
     assert(next(0).sameElements(Array(1.0, 2.0)))
     assert(next(1).sameElements(Array(10.0, 10.0)))
   }
+
+  test("silhouette: planted two-cluster geometry hits the closed-form means") {
+    // seeds = two lowest vec_ids: c0 = (0,0), c1 = (10,0). Members: vec 2
+    // sits ON c0 (a=0, b=10 → s=1), vec 3 ON c1 (s=1), vec 4 at (5,0) is
+    // EQUIDISTANT — NearestCells ties to the lower index, a=b=5 → s=0.
+    // The seeds themselves score s=1 (a=0). Means: c0 {1, 1, 0} → 2/3,
+    // c1 {1, 1} → 1.
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)),
+      (2L, Seq(0f, 0f)), (3L, Seq(10f, 0f)), (4L, Seq(5f, 0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    try {
+      val got = Clustering.silhouette(emb, k = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == Map(0L -> ((3L, 0.666667)), 1L -> ((2L, 1.0))), s"got $got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }

@@ -531,4 +531,33 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(0.0) == (((2L, 0L, 0L, 2L), (1.0, 1.0, 1.0))), s"$got")
     assert(got(2.0) == (((0L, 0L, 2L, 2L), (0.0, 0.0, 0.0))), s"$got")
   }
+
+  test("brierDecomposition: closed-form plant and the Murphy identity on the corpus") {
+    import spark.implicits._
+    try {
+      // w=(1,0), b=0, all margins 0 ⇒ p = 0.5 exactly, one bucket, half
+      // positives: BS = 0.25, REL = 0 (p̄ = ȳ_k), RES = 0 (one bin),
+      // UNC = 0.25 — the no-skill point, every statistic exact.
+      val flat = Seq(
+        (0L, Array(0.0f, 0.0f), 0), (1L, Array(0.0f, 0.0f), 1),
+        (2L, Array(0.0f, 0.0f), 2), (3L, Array(0.0f, 0.0f), 3))
+        .toDF("vec_id", "embedding", "label")
+      val r = Embeddings.brierDecomposition(flat, Array(1.0, 0.0), 0.0)
+        .collect().head
+      assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)) == ((4L, 0.25, 0.0, 0.0, 0.25)), s"$r")
+      // real corpus: BS = REL − RES + UNC holds up to the binning residual
+      // (within-bin variance of p) plus rounding — the identity is exact
+      // only when p is constant per bin, so assert the reconstruction gap
+      // is small and positively biased (BS ≥ REL − RES + UNC − ε)
+      val (w, b) = Embeddings.q93Model
+      val c = Embeddings.brierDecomposition(emb, w, b).collect().head
+      val (bs, rel, res, unc) =
+        (c.getDouble(1), c.getDouble(2), c.getDouble(3), c.getDouble(4))
+      assert(c.getLong(0) == emb.count(), "row coverage")
+      assert(math.abs(bs - (rel - res + unc)) < 0.02,
+        s"Murphy identity broke: bs=$bs rel=$rel res=$res unc=$unc")
+      assert(unc > 0.0 && unc <= 0.25 && rel >= 0.0 && res >= 0.0)
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }

@@ -2104,6 +2104,38 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("dirichletQL: planted corpus matches the driver twin; no-match docs never rank") {
+    import spark.implicits._
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(v: Double) = BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "cat dog cat"),           // dl 3, tf(cat)=2, tf(dog)=1
+      (2L, "cat mouse bird fish"),   // dl 4, tf(cat)=1
+      (3L, "tree rock")              // no query term → must not appear
+    ).toDF("doc_id", "text")
+    try {
+      val mu = 2000.0
+      val tot = 9.0
+      val mupc = Map("cat" -> r12(mu * 3 / tot), "dog" -> r12(mu * 1 / tot))
+      val cq = (BigDecimal(r9(math.log(mupc("cat")))) +
+        BigDecimal(r9(math.log(mupc("dog"))))).toDouble
+      def score(tf: Map[String, Long], dl: Long): Double = {
+        val ms = tf.map { case (w, c) =>
+          BigDecimal(r9(math.log(1.0 + c.toDouble / mupc(w)))) }.sum.toDouble
+        r6(ms + cq - 2.0 * r9(math.log(dl + mu)))
+      }
+      val want = Map(
+        1L -> ((2L, score(Map("cat" -> 2L, "dog" -> 1L), 3L))),
+        2L -> ((1L, score(Map("cat" -> 1L), 4L))))
+      val got = Text.dirichletQL(docs, Seq("cat", "dog"), k = 10)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == want, s"got $got want $want")
+      // more matched terms AND higher tf must outrank fewer/lower at equal-ish dl
+      assert(want(1L)._2 > want(2L)._2, s"ql ordering inverted: $want")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("lexicalDiversity: TTR, hapax fraction and Yule's K match hand counts") {
     import spark.implicits._
     // s1 token counts: a:2 b:2 c:1 → N=5, V=3, hapax=1, Σc²=9 ⇒
