@@ -650,8 +650,13 @@ object Embeddings {
     *
     * Scale shape: edges + nodes built once and cached; each iteration is
     * two edge-width shuffles (the two contribution aggs) plus two 1-row
-    * max frames broadcast back — no driver data beyond the maxes, and
-    * `iters` is a constant so the lineage stays bounded. */
+    * max frames broadcast back — no driver data beyond the maxes. Each
+    * half-step's raw-mass frame is consumed TWICE (its own max and the
+    * normalize), so it eagerly localCheckpoints (the q118 BPE-loop
+    * pattern): without the cut the plan QUADRUPLES per iteration — 4³
+    * copies of the edge join at the gate's 3 iterations, 4²⁰ at the cap
+    * — and with it plan depth and per-iteration cost stay flat by
+    * construction. */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
     val e = graft.core.InternalCaches.persist(
@@ -667,6 +672,7 @@ object Embeddings {
             .groupBy(col("dst")).agg(sum(col("h")).as("ar")),
           col("vec_id") === col("dst"), "left")
         .select(col("vec_id"), coalesce(col("ar"), lit(0L)).as("ar"))
+        .localCheckpoint(true)
       val am = ar.agg(greatest(max(col("ar")), lit(1L)).as("am"))
       auth = ar.crossJoin(broadcast(am))
         .select(col("vec_id"), expr(s"(ar * $scale) div am").as("a"))
@@ -675,6 +681,7 @@ object Embeddings {
             .groupBy(col("src")).agg(sum(col("a")).as("hr")),
           col("vec_id") === col("src"), "left")
         .select(col("vec_id"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .localCheckpoint(true)
       val hm = hr.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
       hub = hr.crossJoin(broadcast(hm))
         .select(col("vec_id"), expr(s"(hr * $scale) div hm").as("h"))

@@ -643,6 +643,93 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("q163: the interval join is a day-bucket equi-join — never a nested loop") {
+    // the whole point of the operator: a naive interval join is a cross
+    // product under a range predicate; the day explode makes it an
+    // equi-join with the calendar-bounded window frame broadcast
+    try {
+      val p = plan("q163_interval_overlap")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"q163 range join degenerated to a nested loop:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"q163 lost the broadcast window join:\n$p")
+      assert(!p.toLowerCase.contains("singlepartition"),
+        s"q163 planned a single-partition exchange:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q164/q171: classifier evals ride the scan — only bounded-frame crossJoins") {
+    // q164: the grid crossJoin is the ONE nested loop (a broadcast T-row
+    // literal frame — constant fan-out inside the scan stage); q171: the
+    // two 1-row totals crossJoins. Any SortMergeJoin means corpus rows
+    // started shuffling for a join — the shape that dies at 100 TB.
+    try {
+      val p164 = plan("q164_threshold_sweep")
+      assert(!p164.contains("SortMergeJoin") && !p164.contains("CartesianProduct"),
+        s"q164 shuffles corpus rows:\n$p164")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p164).length == 1,
+        s"q164 expected exactly the grid crossJoin:\n$p164")
+      val p171 = plan("q171_brier_decomposition")
+      assert(!p171.contains("SortMergeJoin") && !p171.contains("CartesianProduct"),
+        s"q171 shuffles corpus rows:\n$p171")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p171).length == 2,
+        s"q171 expected exactly the two 1-row totals crossJoins:\n$p171")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q165/q170: join-free — one scan into bounded rollups") {
+    try {
+      for (q <- Seq("q165_lexical_diversity", "q170_silhouette")) {
+        val p = plan(q)
+        assert(!p.contains("Join"), s"$q planned a join:\n$p")
+        assert("HashAggregate".r.findAllIn(p).length >= 2,
+          s"$q lost partial aggregation:\n$p")
+      }
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q166: HITS lineage is CUT per half-step — the plan stays constant-depth") {
+    // without the eager localCheckpoint the plan quadruples per iteration
+    // (the raw-mass frame feeds both its max and the normalize); with it
+    // the final plan reads checkpointed RDDs and carries exactly the two
+    // last-iteration 1-row max crossJoins
+    try {
+      val p = plan("q166_hits")
+      assert(p.contains("Scan ExistingRDD"),
+        s"q166 lineage cut not live (no checkpoint scan):\n$p")
+      assert(!p.contains("CartesianProduct"), s"q166 planned a cartesian:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2,
+        s"q166 expected the two 1-row max crossJoins only:\n$p")
+      assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+        .findAllIn(p).length <= 2,
+        s"q166 plan re-grew past the final join + residue:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q167: both leakage tiers stay semi-joins on uniform hash keys") {
+    try {
+      val p = plan("q167_split_leakage")
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"q167 planned a nested loop:\n$p")
+      assert("LeftSemi".r.findAllIn(p).length == 2,
+        s"q167 expected exactly the exact + near semi-joins:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q169: Dirichlet QL keeps the q113 posting shape — bounded heap, broadcast model") {
+    try {
+      val p = plan("q169_dirichlet_ql")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"q169 shuffles posting rows for a join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"q169 top-k not a bounded heap:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+        s"q169 expected the one broadcast term-model join:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 3,
+        s"q169 expected the stats/constant 1-row crossJoins:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("q133: duplicated spans — capped pair join, per-diagonal windows only") {
     // the q121 contract with the islands window on top: the pair join runs
     // AFTER the df cap (never a cartesian), and the only window partitions
