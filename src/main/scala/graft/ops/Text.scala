@@ -3652,6 +3652,44 @@ object Text {
     dsirWeights(docs.filter(col("lang") === "en"), docs, docs)
   }
 
+  /** Feature-hashing bucket health report — the collision audit published
+    * before the hashing trick (Weinberger et al. 2009, the
+    * vocabulary-free featurization behind every fastText/VW-style
+    * quality classifier, and q130's feature space) is trusted at a given
+    * width: per bucket, how many distinct token types collide into it,
+    * their total occurrence mass, and the SIGNED mass Σ ξ(w)·c(w) the
+    * trick actually aggregates — the sign hash is what makes collisions
+    * cancel in expectation (the paper's unbiasedness argument), so a
+    * signed mass far from zero in a loaded bucket is exactly the
+    * collision damage a wider table would avoid.
+    *
+    * Hashes are cross-engine-exact: h = the q130 31-ary code-point
+    * polynomial mod 2²⁰, bucket = h mod B, sign = 1 − 2·((h div B) mod 2)
+    * — bucket and sign draw on disjoint bit ranges of h, all integer.
+    *
+    * Scale shape: ONE corpus scan into the vocab-bounded (token, count)
+    * frame (map-side combine), the hash/sign projection rides that
+    * bounded frame, and the final rollup has exactly B keys. All-integer
+    * output — nothing to pin. */
+  def featureHashReport(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 19), s"bad bucket count $buckets")
+    val h = "aggregate(transform(sequence(1, length(w)), " +
+      "j -> ascii(substring(w, j, 1))), 0L, " +
+      s"(acc, c) -> (acc * 31L + c) % ${1 << 20})"
+    withTokens(docs).select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c"))
+      .withColumn("h", expr(h))
+      .select(expr(s"h % $buckets").as("b"),
+        expr(s"1L - 2L * ((h div $buckets) % 2L)").as("sgn"), col("c"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).cast(LongType).as("n_types"),
+        sum(col("c")).cast(LongType).as("n_occ"),
+        sum(col("sgn") * col("c")).cast(LongType).as("signed_sum"))
+  }
+
+  def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    featureHashReport(Tables.documents(s, dir))
+
   /** Span-level benchmark contamination report — the measurement half of
     * [[decontaminate]] (which only flags membership): for every training
     * document sharing at least one `n`-token shingle with the eval split,
@@ -4293,6 +4331,7 @@ object Text {
     "q167_split_leakage" -> (qSplitLeakage _),
     "q113_bm25"         -> (qBm25 _),
     "q169_dirichlet_ql" -> (qDirichletQL _),
+    "q172_feature_hash" -> (qFeatureHash _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -5256,6 +5295,22 @@ object Text {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
            round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_lw
          FROM lp GROUP BY doc_id""",
+    // q172: the q130 list_reduce polynomial mod 2^20, bucket/sign from
+    // disjoint bit ranges, all-integer rollup
+    "q172_feature_hash" ->
+      """WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         hb AS (SELECT c,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(w) + 1),
+                 i -> CAST(ascii(w[i]) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 1048576) AS h
+           FROM tc)
+         SELECT h % 64 AS b, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_occ,
+           CAST(sum((1 - 2 * ((h // 64) % 2)) * c) AS BIGINT) AS signed_sum
+         FROM hb GROUP BY b""",
     // q131: string shingles stand in for the Spark side's xxhash64 (the
     // q34/q71 recipe); islands-and-gaps via pos - row_number() per doc
     "q131_contamination_spans" ->

@@ -2136,6 +2136,21 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("featureHashReport: hand-computed buckets, signs and signed mass") {
+    import spark.implicits._
+    // h("a") = 97 → bucket 33, (97 div 64) % 2 = 1 → sign −1
+    // h("ab") = 97·31 + 98 = 3105 → bucket 33, (3105 div 64) = 48 → sign +1
+    // h("b") = 98 → bucket 34, sign −1
+    // counts: a×2, ab×3, b×1 ⇒ bucket 33 = (2 types, 5 occ, −2+3 = 1),
+    // bucket 34 = (1, 1, −1) — the signed collision cancellation is the
+    // thing being tested.
+    val docs = Seq((1L, "a ab a ab ab b")).toDF("doc_id", "text")
+    val got = Text.featureHashReport(docs, buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(33L -> ((2L, 5L, 1L)), 34L -> ((1L, 1L, -1L))), s"$got")
+  }
+
   test("lexicalDiversity: TTR, hapax fraction and Yule's K match hand counts") {
     import spark.implicits._
     // s1 token counts: a:2 b:2 c:1 → N=5, V=3, hapax=1, Σc²=9 ⇒
