@@ -675,7 +675,29 @@ object Bench {
           if (bad) throw new GoldenMismatch(
             s"pipeline 1M anchor MISMATCH: ${rows.mkString("; ")} " +
             "(want 4 x [lang, 250375, 250000, 500000, 1465])")
-          s""","reference_pipeline_1m":{$j}"""
+          // split_leakage_1m (round 13): both corpus-sized semi-join tiers
+          // at 1M train docs with leak ground truth BY CONSTRUCTION — the
+          // 1500 plants are the eval split, every plant shares its base
+          // doc's 8-gram shingles (one mid-doc swap leaves both flanks
+          // intact) so n_near = exactly 375 per language; the exact tier
+          // fires only on the ~1-in-5000 swapped-token collisions
+          // (bounded, not pinned). A missed leak or a phantom one fails
+          // loudly at 1M scale.
+          var leakRows = Array.empty[org.apache.spark.sql.Row]
+          val jLeak = coldWarm("reference_pipeline_1m", "split_leakage_1m",
+              warmReps = 3) {
+            leakRows = graft.ops.Text.splitLeakage(
+                docs.withColumnRenamed("lang", "source"),
+                org.apache.spark.sql.functions.col("doc_id") >= 1000000L,
+                n = 8)
+              .collect() }
+          val leakBad = leakRows.length != 4 || leakRows.exists { r =>
+            r.getLong(1) != 375L || r.getLong(3) != 375L ||
+            r.getLong(2) > 3L }
+          if (leakBad) throw new GoldenMismatch(
+            s"split leakage 1M anchor MISMATCH: ${leakRows.mkString("; ")} " +
+            "(want 4 x [lang, 375 eval, <=3 exact, 375 near])")
+          s""","reference_pipeline_1m":{$j,$jLeak}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -784,6 +806,20 @@ object Bench {
             throw new GoldenMismatch(
               s"bm25 1M anchor MISMATCH: ${hits.length} rows " +
               s"n_hit=${hits.map(_.getLong(1)).mkString(",")} (want 10 rows, hits in [1,3])")
+          // dirichlet_ql_1m (round 13): the LM-retrieval twin on the same
+          // posting plan — full k served, every hit matched >= 1 query
+          // term, and the ranking must be identical across reps (scoring
+          // is a pure function of the corpus)
+          var qlRows = Vector.empty[Seq[(Long, Long)]]
+          val qlJson = coldWarm("reference_tok_1m", "dirichlet_ql_1m", warmReps = 3) {
+            qlRows = qlRows :+ graft.ops.Text.dirichletQL(docs, Seq("t0", "t1", "t2"))
+              .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) }
+          if (qlRows.exists(t => t.size != 10 ||
+                t.exists { case (_, h) => h < 1L || h > 3L }) ||
+              qlRows.distinct.size != 1)
+            throw new GoldenMismatch(
+              s"dirichlet QL 1M anchor MISMATCH: sizes ${qlRows.map(_.size)} " +
+              "(want identical 10-row rankings, hits in [1,3])")
           // unigram_viterbi_1m (round 13): the FOURTH tokenizer family at
           // 1M docs — the Viterbi DP's cost is vocab-bounded stages, so
           // the corpus size only pays the one token scan; the report must
@@ -802,7 +838,7 @@ object Bench {
           if (vitBad) throw new GoldenMismatch(
             s"unigram viterbi 1M anchor MISMATCH: sizes ${vitReports.map(_.size)} " +
             "(want identical 100-row reports whose pieces rejoin the word)")
-          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$vitJson,""" +
+          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$qlJson,$vitJson,""" +
             f""""bpe_merge_scale_ratio":$mergeScale%.2f,""" +
             f""""bpe_merge_scale_ratio_4k":$mergeScale4k%.2f,"bpe_infer_chunks":64}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }

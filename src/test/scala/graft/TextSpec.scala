@@ -2151,6 +2151,27 @@ class TextSpec extends SparkSpec {
     assert(got == Map(33L -> ((2L, 5L, 1L)), 34L -> ((1L, 1L, -1L))), s"$got")
   }
 
+  test("splitLeakage on the planted synthetic corpus: every plant is a near leak") {
+    // the BIG split_leakage_1m anchor's ground truth at 1/100 scale: the
+    // plants (one mid-doc token swap) are the eval split — all of them
+    // leak at the 8-gram near tier (both flanks survive the swap), the
+    // exact tier fires only on ~1-in-5000 swapped-token collisions
+    try {
+      val docs = graft.sources.SyntheticDocs.planted(spark, nBase = 10000L,
+        nPlant = 100L)
+      val got = Text.splitLeakage(
+          docs.withColumnRenamed("lang", "source"),
+          org.apache.spark.sql.functions.col("doc_id") >= 10000L, n = 8)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got.size == 4, s"$got")
+      got.foreach { case (lang, (nEval, nExact, nNear)) =>
+        assert(nEval == 25L && nNear == 25L && nExact <= 1L,
+          s"$lang: ($nEval, $nExact, $nNear) want (25, <=1, 25)")
+      }
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("lexicalDiversity: TTR, hapax fraction and Yule's K match hand counts") {
     import spark.implicits._
     // s1 token counts: a:2 b:2 c:1 → N=5, V=3, hapax=1, Σc²=9 ⇒
