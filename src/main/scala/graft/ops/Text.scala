@@ -2980,6 +2980,72 @@ object Text {
   def qCorpusBleu(s: SparkSession, dir: String): DataFrame =
     corpusBleu(bleuDerivedPairs(Tables.documents(s, dir)))
 
+  /** Corpus-level ROUGE-L (Lin 2004 §3.2) — the LCS-based
+    * generation/summarization eval beside [[corpusBleu]]'s n-gram one:
+    * the longest common subsequence credits in-order coverage without
+    * requiring contiguity, which is why summarization evals lead with it.
+    * Per (reference r, candidate c) pair the token LCS length; per group,
+    * recall = Σ|LCS|/Σ|r|, precision = Σ|LCS|/Σ|c|, F from the unrounded
+    * pair (sums aggregate BEFORE any division — the corpus-BLEU
+    * convention, not a mean of per-doc ratios).
+    *
+    * The DP is the prefix-max LCS form, which has NO within-row
+    * dependency: row_i[j] = max(row_{i−1}[j], max_{k≤j, r[k]=c[i]}
+    * row_{i−1}[k−1]+1) — any LCS of c[1..i], r[1..j] either skips c_i or
+    * matches it at some k ≤ j. That makes each new row ONE independent
+    * transform over the previous row (a pure codegen'd expression in
+    * Spark; a recursive CTE over i in the DuckDB oracle), where the
+    * textbook recurrence needs new[j−1] and cannot parallelize across j.
+    * All-integer until the three output divisions — bit-exact on any
+    * engine.
+    *
+    * Scale shape: one scan of the PAIRS frame (generation evals score a
+    * bounded eval sample, never the crawl — the gate slices doc_id % 10),
+    * per-row O(|c|·|r|²) expression work with no join and no explode,
+    * then a group-key rollup of three integer sums. */
+  def rougeL(pairs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val lcsExpr = expr(
+      """element_at(
+           aggregate(c,
+             transform(sequence(0, size(r)), x -> 0L),
+             (row, ci) -> transform(sequence(0, size(r)), j ->
+               CASE WHEN j = 0 THEN 0L ELSE
+                 greatest(element_at(row, j + 1),
+                   aggregate(sequence(1, j), 0L, (mx, k) ->
+                     CASE WHEN element_at(r, k) = ci
+                            AND element_at(row, k) + 1L > mx
+                          THEN element_at(row, k) + 1L ELSE mx END))
+               END)),
+           size(r) + 1)""")
+    pairs
+      .select(col(groupCol), lcsExpr.as("lcs"),
+        size(col("r")).cast(LongType).as("nr"),
+        size(col("c")).cast(LongType).as("nc"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("lcs")).cast(LongType).as("lcs_sum"),
+        sum(col("nr")).cast(LongType).as("ref_tokens"),
+        sum(col("nc")).cast(LongType).as("cand_tokens"))
+      .withColumn("r_raw", when(col("ref_tokens") > 0L,
+        col("lcs_sum").cast(DoubleType) / col("ref_tokens").cast(DoubleType))
+        .otherwise(lit(0.0)))
+      .withColumn("p_raw", when(col("cand_tokens") > 0L,
+        col("lcs_sum").cast(DoubleType) / col("cand_tokens").cast(DoubleType))
+        .otherwise(lit(0.0)))
+      .select(col(groupCol), col("lcs_sum"), col("ref_tokens"), col("cand_tokens"),
+        round(col("r_raw"), 6).as("rouge_r"),
+        round(col("p_raw"), 6).as("rouge_p"),
+        when(col("r_raw") + col("p_raw") > 0.0,
+          round(lit(2.0) * col("p_raw") * col("r_raw") /
+            (col("p_raw") + col("r_raw")), 6)).otherwise(lit(0.0)).as("rouge_f"))
+  }
+
+  /** Gate: the q138 derived candidate corpus (drop every 7th token, UNK
+    * every 11th) on a doc_id % 10 eval slice — bounded, as generation
+    * evals are. */
+  def qRougeL(s: SparkSession, dir: String): DataFrame =
+    rougeL(bleuDerivedPairs(
+      Tables.documents(s, dir).filter(expr("doc_id % 10 = 0"))))
+
   /** Held-out LM scoring — train the q100 bigram model on one corpus
     * half and score the OTHER half with add-1 smoothing: the
     * train/apply split q88's self-scored unigram filter lacks, and the
@@ -4332,6 +4398,7 @@ object Text {
     "q113_bm25"         -> (qBm25 _),
     "q169_dirichlet_ql" -> (qDirichletQL _),
     "q172_feature_hash" -> (qFeatureHash _),
+    "q173_rouge_l" -> (qRougeL _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -4973,6 +5040,55 @@ object Text {
     // q138: same derived candidate (drop 7th, UNK 11th); clip join keyed
     // (doc_id, n, g); every p_n is ONE double division of BIGINT sums,
     // ln/exp round 9, fixed 4-term mean, final product round 6
+    // q173: the q138 derived pairs on the doc_id % 10 slice; the LCS DP
+    // as a recursive CTE over candidate position i, each step ONE
+    // list_transform of the previous row (the prefix-max form has no
+    // within-row dependency), all-integer until the three divisions
+    "q173_rouge_l" ->
+      """WITH RECURSIVE base AS (SELECT source, doc_id,
+           string_split(text, ' ') AS r,
+           list_transform(
+             list_filter(range(1, len(string_split(text, ' ')) + 1),
+                         i -> i % 7 <> 0),
+             i -> CASE WHEN i % 11 = 0 THEN 'UNK'
+                       ELSE string_split(text, ' ')[i] END) AS c
+           FROM documents WHERE doc_id % 10 = 0),
+         dp AS (
+           SELECT source, doc_id, r, c, len(r) AS n, len(c) AS m, 0 AS i,
+             list_transform(range(0, len(r) + 1), x -> CAST(0 AS BIGINT)) AS row
+           FROM base
+           UNION ALL
+           SELECT source, doc_id, r, c, n, m, i + 1,
+             list_transform(range(0, n + 1), j ->
+               CASE WHEN j = 0 THEN CAST(0 AS BIGINT) ELSE
+                 greatest(row[j + 1],
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, j + 1), k ->
+                       CASE WHEN r[k] = c[i + 1] THEN row[k] + 1
+                            ELSE CAST(0 AS BIGINT) END)),
+                     (a, b) -> greatest(a, b)))
+               END) AS row
+           FROM dp WHERE i < m),
+         lcs AS (SELECT source, row[n + 1] AS lcs, n, m
+           FROM dp WHERE i = m),
+         agg AS (SELECT source, CAST(sum(lcs) AS BIGINT) AS lcs_sum,
+             CAST(sum(n) AS BIGINT) AS ref_tokens,
+             CAST(sum(m) AS BIGINT) AS cand_tokens
+           FROM lcs GROUP BY source),
+         pr AS (SELECT source, lcs_sum, ref_tokens, cand_tokens,
+             CASE WHEN ref_tokens > 0
+               THEN CAST(lcs_sum AS DOUBLE) / CAST(ref_tokens AS DOUBLE)
+               ELSE 0.0 END AS r_raw,
+             CASE WHEN cand_tokens > 0
+               THEN CAST(lcs_sum AS DOUBLE) / CAST(cand_tokens AS DOUBLE)
+               ELSE 0.0 END AS p_raw
+           FROM agg)
+         SELECT source, lcs_sum, ref_tokens, cand_tokens,
+           round(r_raw, 6) AS rouge_r, round(p_raw, 6) AS rouge_p,
+           CASE WHEN r_raw + p_raw > 0.0
+             THEN round(2.0 * p_raw * r_raw / (p_raw + r_raw), 6)
+             ELSE 0.0 END AS rouge_f
+         FROM pr""",
     "q138_corpus_bleu" ->
       """WITH base AS (SELECT source AS grp, doc_id,
            string_split(text, ' ') AS r,

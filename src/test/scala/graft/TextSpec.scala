@@ -2136,6 +2136,29 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("rougeL: hand-computed LCS cases, identity pair scores 1.0") {
+    import spark.implicits._
+    // g1: r="a b c d", c="a x c" → LCS {a,c} = 2; R=2/4, P=2/3,
+    //     F = 2·(1/2)·(2/3)/(7/6) = 4/7
+    // g2: r="a b a", c="a a" → LCS 2 (subsequence, not substring)
+    // g3: identity → LCS = |r|, R = P = F = 1
+    val pairs = Seq(
+      ("g1", Seq("a", "b", "c", "d"), Seq("a", "x", "c")),
+      ("g2", Seq("a", "b", "a"), Seq("a", "a")),
+      ("g3", Seq("p", "q", "r"), Seq("p", "q", "r"))
+    ).toDF("source", "r", "c")
+    val got = Text.rougeL(pairs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(got("g1") == ((2L, 4L, 3L, 0.5, 0.666667, 0.571429)), s"$got")
+    assert(got("g2") == ((2L, 3L, 2L, 0.666667, 1.0, 0.8)), s"$got")
+    assert(got("g3") == ((3L, 3L, 3L, 1.0, 1.0, 1.0)), s"$got")
+    // empty candidate: LCS 0, precision guard → all zeros
+    val empty = Seq(("e", Seq("a", "b"), Seq.empty[String])).toDF("source", "r", "c")
+    val e = Text.rougeL(empty).collect().head
+    assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
+  }
+
   test("featureHashReport: hand-computed buckets, signs and signed mass") {
     import spark.implicits._
     // h("a") = 97 → bucket 33, (97 div 64) % 2 = 1 → sign −1
