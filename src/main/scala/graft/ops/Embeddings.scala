@@ -697,6 +697,59 @@ object Embeddings {
       cosineNearDup(Tables.embeddings(s, dir), 0.4).select(col("d1"), col("d2"))),
       iters = 3)
 
+  /** Degree assortativity of an undirected graph (Newman 2002, PRL
+    * 89.208701) — the graph-health scalar beside the triangle counts
+    * (q86) and the two centrality gates (q94/q166): the Pearson
+    * correlation of endpoint degrees over edges. A near-dup graph with
+    * strongly positive assortativity is clique-y (template families —
+    * canonical-pick per component is safe); negative means hub-and-spoke
+    * (one canonical doc with many orbiting variants — component-wide
+    * dedup would over-merge). Over the symmetrized edge list,
+    *
+    *   r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)
+    *
+    * with j,k the endpoint degrees and M the directed edge count —
+    * integer sums in DECIMAL(38,0) (Σjk overflows Long on crawl-scale
+    * graphs), numerator and denominator formed EXACTLY, ONE double
+    * division rounded to 6. A degree-regular graph has zero denominator
+    * → 0.0 by guard (no correlation is measurable, not NaN).
+    *
+    * Scale shape: degrees are one edge-width agg; the two degree
+    * lookups are shuffle equi-joins on the node key (uniform — a hub
+    * key repeats at most deg times on the EDGE side, the degree frame
+    * itself is distinct-keyed); the rollup is 1-row. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = graft.core.InternalCaches.persist(
+      sym.groupBy(col("src")).agg(count(lit(1)).cast(LongType).as("deg")))
+    val ej = sym
+      .join(deg.select(col("src"), col("deg").as("j")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("k")), "dst")
+    val sums = ej.agg(
+      count(lit(1)).cast(LongType).as("m"),
+      sum(col("j").cast(dec)).as("sj"),
+      sum((col("j").cast(dec) * col("k"))).as("sjk"),
+      sum((col("j").cast(dec) * col("j"))).as("sj2"))
+    val degStats = deg.agg(
+      count(lit(1)).cast(LongType).as("n_nodes"),
+      max(col("deg")).cast(LongType).as("max_degree"))
+    sums.crossJoin(broadcast(degStats))
+      .withColumn("num", col("m").cast(dec) * col("sjk") - col("sj") * col("sj"))
+      .withColumn("den", col("m").cast(dec) * col("sj2") - col("sj") * col("sj"))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        col("max_degree"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise(round(col("num").cast(DoubleType) / col("den").cast(DoubleType),
+            6)).as("assortativity"))
+  }
+
+  /** Gate: assortativity of the q41 cosine near-dup graph. */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame =
+    assortativity(cosineNearDup(Tables.embeddings(s, dir), 0.4)
+      .select(col("d1"), col("d2")))
+
   /** Label-centroid affinity matrix — pairwise cosine between the
     * per-label centroids (q42's vectors, carried past the norm): the
     * domain-similarity table a mixture designer reads before merging or
@@ -1161,6 +1214,7 @@ object Embeddings {
     "q166_hits"          -> (qHits _),
     "q168_centroid_affinity" -> (qCentroidAffinity _),
     "q171_brier_decomposition" -> (qBrierDecomposition _),
+    "q174_assortativity" -> (qAssortativity _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -1490,6 +1544,35 @@ object Embeddings {
         SELECT h3.vec_id, h3.h AS hub_units, a3.a AS auth_units
         FROM h3 JOIN a3 USING (vec_id)"""
 
+  /** q174: symmetrized q41 edges, HUGEINT degree-moment sums (Spark:
+    * DECIMAL(38,0)), exact integer numerator/denominator, one round-6
+    * division with the zero-denominator guard. */
+  private def assortativityOracle: String =
+    s"""WITH e AS MATERIALIZED (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round($CosSql, 6) >= 0.4),
+        sym AS (SELECT d1 AS src, d2 AS dst FROM e
+                UNION ALL SELECT d2, d1 FROM e),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+        ej AS (SELECT dj.deg AS j, dk.deg AS k
+               FROM sym s JOIN deg dj ON dj.src = s.src
+                 JOIN deg dk ON dk.src = s.dst),
+        sums AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            sum(CAST(j AS HUGEINT)) AS sj,
+            sum(CAST(j AS HUGEINT) * k) AS sjk,
+            sum(CAST(j AS HUGEINT) * j) AS sj2
+          FROM ej),
+        ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(max(deg) AS BIGINT) AS max_degree FROM deg)
+        SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges, max_degree,
+          CASE WHEN CAST(m AS HUGEINT) * sj2 - sj * sj = 0 THEN 0.0
+            ELSE round(CAST(CAST(m AS HUGEINT) * sjk - sj * sj AS DOUBLE)
+              / CAST(CAST(m AS HUGEINT) * sj2 - sj * sj AS DOUBLE), 6)
+          END AS assortativity
+        FROM sums CROSS JOIN ds"""
+
   private def pageRankOracle: String =
     s"""WITH e AS MATERIALIZED (
           SELECT a.vec_id AS d1, b.vec_id AS d2
@@ -1646,6 +1729,7 @@ object Embeddings {
     "q164_threshold_sweep" -> thresholdSweepOracle,
     "q166_hits" -> hitsOracle,
     "q171_brier_decomposition" -> brierOracle,
+    "q174_assortativity" -> assortativityOracle,
     // q168: the q42 decimal-mean centroids carried into a pos-keyed
     // self-join; identical round-12/DECIMAL(28,14)/sqrt·sqrt finish
     "q168_centroid_affinity" ->

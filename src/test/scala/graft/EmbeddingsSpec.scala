@@ -532,6 +532,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(2.0) == (((0L, 0L, 2L, 2L), (0.0, 0.0, 0.0))), s"$got")
   }
 
+  test("assortativity: star is exactly -1, regular graphs guard to 0") {
+    import spark.implicits._
+    try {
+      // K1,3 star: hub degree 3, leaves 1. Over the 6 directed edges
+      // Σj=12, Σjk=18, Σj²=30 → r = (6·18−144)/(6·30−144) = −1 exactly —
+      // the perfectly disassortative hub-and-spoke shape.
+      val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")
+      val s = graft.ops.Embeddings.assortativity(star).collect().head
+      assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3)) ==
+        ((4L, 3L, 3L, -1.0)), s"$s")
+      // triangle: 2-regular → zero denominator → 0.0 by guard, never NaN
+      val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("d1", "d2")
+      val t = graft.ops.Embeddings.assortativity(tri).collect().head
+      assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getDouble(3)) ==
+        ((3L, 3L, 2L, 0.0)), s"$t")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("brierDecomposition: closed-form plant and the Murphy identity on the corpus") {
     import spark.implicits._
     try {
