@@ -750,6 +750,46 @@ object Embeddings {
     assortativity(cosineNearDup(Tables.embeddings(s, dir), 0.4)
       .select(col("d1"), col("d2")))
 
+  /** Bounded k-core peeling (Seidman 1983's coreness, the iterated-peel
+    * formulation) — the cohesion filter completing the near-dup-graph
+    * suite (components q58, triangles q86, PageRank q94, HITS q166,
+    * assortativity q174): repeatedly drop nodes of degree < k with their
+    * incident edges. What survives `iters` peels is the dense template
+    * family a canonical-pick should collapse; the first peel alone
+    * separates genuine clusters from chains of borderline matches.
+    * Fixed `iters` (not to-convergence) keeps the gate
+    * oracle-unrollable; at the gate's scale three peels converge.
+    *
+    * Scale shape: each peel is one degree aggregation (explode of the
+    * edge pair — edge-width, uniform keys) + two semi-joins of the edge
+    * list against the surviving-node frame, with the shrinking edge list
+    * eagerly localCheckpointed per round (the q166 pattern — the edge
+    * frame is consumed by both the degree agg and the filter, and the
+    * peel count bounds the lineage). Output is the survivors' degree
+    * table — all integers. */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1 && iters <= 20, s"bad k=$k/iters=$iters")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("d1"), col("d2"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).cast(LongType).as("deg"))
+    var e = edges.select(col("d1"), col("d2")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val keep = degrees(e).filter(col("deg") >= k.toLong)
+        .select(col("vec_id"))
+      e = e
+        .join(keep.withColumnRenamed("vec_id", "d1"), Seq("d1"), "left_semi")
+        .join(keep.withColumnRenamed("vec_id", "d2"), Seq("d2"), "left_semi")
+        .select(col("d1"), col("d2"))
+        .localCheckpoint(true)
+    }
+    degrees(e)
+  }
+
+  /** Gate: 3 peels at k = 2 over the q41 near-dup graph. */
+  def qKCore(s: SparkSession, dir: String): DataFrame =
+    kCore(cosineNearDup(Tables.embeddings(s, dir), 0.4)
+      .select(col("d1"), col("d2")), k = 2, iters = 3)
+
   /** Label-centroid affinity matrix — pairwise cosine between the
     * per-label centroids (q42's vectors, carried past the norm): the
     * domain-similarity table a mixture designer reads before merging or
@@ -1215,6 +1255,7 @@ object Embeddings {
     "q168_centroid_affinity" -> (qCentroidAffinity _),
     "q171_brier_decomposition" -> (qBrierDecomposition _),
     "q174_assortativity" -> (qAssortativity _),
+    "q175_kcore" -> (qKCore _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -1573,6 +1614,29 @@ object Embeddings {
           END AS assortativity
         FROM sums CROSS JOIN ds"""
 
+  /** One k-core peel as CTEs: degrees of the current edge list, the
+    * ≥ k survivors, edges restricted to survivor×survivor. */
+  private def kCorePeelSql(ePrev: String, r: Int): String =
+    s"""dg$r AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT d1 AS vec_id FROM $ePrev
+          UNION ALL SELECT d2 FROM $ePrev) GROUP BY vec_id),
+        kp$r AS (SELECT vec_id FROM dg$r WHERE deg >= 2),
+        e$r AS (SELECT d1, d2 FROM $ePrev
+          WHERE d1 IN (SELECT vec_id FROM kp$r)
+            AND d2 IN (SELECT vec_id FROM kp$r))"""
+
+  private def kCoreOracle: String =
+    s"""WITH e0 AS MATERIALIZED (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round($CosSql, 6) >= 0.4),
+        ${kCorePeelSql("e0", 1)},
+        ${kCorePeelSql("e1", 2)},
+        ${kCorePeelSql("e2", 3)}
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT d1 AS vec_id FROM e3 UNION ALL SELECT d2 FROM e3)
+        GROUP BY vec_id"""
+
   private def pageRankOracle: String =
     s"""WITH e AS MATERIALIZED (
           SELECT a.vec_id AS d1, b.vec_id AS d2
@@ -1730,6 +1794,7 @@ object Embeddings {
     "q166_hits" -> hitsOracle,
     "q171_brier_decomposition" -> brierOracle,
     "q174_assortativity" -> assortativityOracle,
+    "q175_kcore" -> kCoreOracle,
     // q168: the q42 decimal-mean centroids carried into a pos-keyed
     // self-join; identical round-12/DECIMAL(28,14)/sqrt·sqrt finish
     "q168_centroid_affinity" ->

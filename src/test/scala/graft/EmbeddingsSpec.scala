@@ -550,6 +550,26 @@ class EmbeddingsSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("kCore: the triangle survives, the tail peels off round by round") {
+    import spark.implicits._
+    try {
+      // triangle {1,2,3} + tail 3-4-5: peel 1 drops 5 (deg 1) and edge
+      // (4,5); peel 2 drops 4; peel 3 is stable — the 2-core is exactly
+      // the triangle, every survivor at degree 2
+      val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("d1", "d2")
+      val got3 = graft.ops.Embeddings.kCore(g, k = 2, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"$got3")
+      // one peel only: 4 still present (its degree was 2 before the peel)
+      val got1 = graft.ops.Embeddings.kCore(g, k = 2, iters = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L), s"$got1")
+      // k above the max degree: everything peels, empty result
+      assert(graft.ops.Embeddings.kCore(g, k = 4, iters = 2).count() == 0L)
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("brierDecomposition: closed-form plant and the Murphy identity on the corpus") {
     import spark.implicits._
     try {
