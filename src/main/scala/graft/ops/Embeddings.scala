@@ -720,8 +720,12 @@ object Embeddings {
     * itself is distinct-keyed); the rollup is 1-row. */
   def assortativity(edges: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+    // sym feeds the degree agg AND the endpoint join; the edge input
+    // appears twice inside it — persist, or the upstream edge build
+    // (q41's block product at the gate) runs four times
+    val sym = graft.core.InternalCaches.persist(
+      edges.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(edges.select(col("d2").as("src"), col("d1").as("dst"))))
     val deg = graft.core.InternalCaches.persist(
       sym.groupBy(col("src")).agg(count(lit(1)).cast(LongType).as("deg")))
     val ej = sym

@@ -730,6 +730,24 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("q174/q175: graph ops stay equi/semi-joins; the k-core peel lineage is cut") {
+    try {
+      val p174 = plan("q174_assortativity")
+      assert(!p174.contains("CartesianProduct"), s"q174 planned a cartesian:\n$p174")
+      // nested loops allowed: the 1-row stats crossJoin + q41's audited
+      // block-pair table inside the (persisted, so single) edge build;
+      // the degree lookups are shuffle equi-joins by design — what must
+      // never appear is a row-pair product
+      assert(p174.contains("InMemoryTableScan") || p174.contains("Scan ExistingRDD"),
+        s"q174 symmetrized edge persist not live (edge build would run 4x):\n$p174")
+      val p175 = plan("q175_kcore")
+      assert(!p175.contains("BroadcastNestedLoop") && !p175.contains("CartesianProduct"),
+        s"q175 planned a nested loop:\n$p175")
+      assert(p175.contains("Scan ExistingRDD"),
+        s"q175 per-peel lineage cut not live:\n$p175")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("q133: duplicated spans — capped pair join, per-diagonal windows only") {
     // the q121 contract with the islands window on top: the pair join runs
     // AFTER the df cap (never a cartesian), and the only window partitions
