@@ -754,6 +754,47 @@ object Embeddings {
     assortativity(cosineNearDup(Tables.embeddings(s, dir), 0.4)
       .select(col("d1"), col("d2")))
 
+  /** Global clustering coefficient (transitivity) — C = 3·triangles /
+    * wedges, the one-number cohesion summary completing the graph-health
+    * pair with [[assortativity]]: a near-dup graph at high transitivity
+    * is closed template families (neighbors of neighbors are duplicates
+    * too — component-collapse is safe); low transitivity with the same
+    * edge count is chains of borderline matches that components would
+    * over-merge. Wedges = Σ_v deg(v)·(deg(v)−1)/2 from one degree pass;
+    * triangles reuse the q86 oriented two-join count (Σ per-node
+    * participation = 3T, so the identity C = Σtri/Σwedge needs no ×3).
+    * All integer — DECIMAL(38,0) wedge sums (a crawl-scale hub's deg²
+    * breaks Long) — one round-6 division, zero wedges guard to 0.0.
+    *
+    * Scale shape: the q86 triangle joins (two hash equi-joins on the
+    * oriented edge list) + one edge-width degree agg; both finish as
+    * 1-row frames crossJoined. */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val e = graft.core.InternalCaches.persist(
+      edges.select(col("d1"), col("d2")))
+    val triTotal = triangleCounts(e)
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).cast(LongType).as("tri3"))
+    val deg = e.select(explode(array(col("d1"), col("d2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).cast(LongType).as("deg"))
+    val stats = deg.agg(
+      count(lit(1)).cast(LongType).as("n_nodes"),
+      sum(expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1)")).as("wedges2"))
+    val edgeCount = e.agg(count(lit(1)).cast(LongType).as("n_edges"))
+    triTotal.crossJoin(broadcast(stats)).crossJoin(broadcast(edgeCount))
+      .select(col("n_nodes"), col("n_edges"),
+        expr("tri3 div 3").as("n_triangles"),
+        expr("CAST(wedges2 div 2 AS BIGINT)").as("n_wedges"),
+        when(col("wedges2") === 0, lit(0.0))
+          .otherwise(round(col("tri3").cast(DoubleType) /
+            col("wedges2").cast(DoubleType) * lit(2.0), 6))
+          .as("transitivity"))
+  }
+
+  /** Gate: transitivity of the q41 cosine near-dup graph. */
+  def qTransitivity(s: SparkSession, dir: String): DataFrame =
+    transitivity(cosineNearDup(Tables.embeddings(s, dir), 0.4)
+      .select(col("d1"), col("d2")))
+
   /** Bounded k-core peeling (Seidman 1983's coreness, the iterated-peel
     * formulation) — the cohesion filter completing the near-dup-graph
     * suite (components q58, triangles q86, PageRank q94, HITS q166,
@@ -1260,6 +1301,7 @@ object Embeddings {
     "q171_brier_decomposition" -> (qBrierDecomposition _),
     "q174_assortativity" -> (qAssortativity _),
     "q175_kcore" -> (qKCore _),
+    "q176_transitivity" -> (qTransitivity _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -1641,6 +1683,30 @@ object Embeddings {
           SELECT d1 AS vec_id FROM e3 UNION ALL SELECT d2 FROM e3)
         GROUP BY vec_id"""
 
+  /** q176: the q86 triangle joins + degree moments over the same edges;
+    * Σ per-node participation = 3T so C = 2·Σtri/Σdeg(deg−1), mirrored
+    * as the identical double chain. */
+  private def transitivityOracle: String =
+    s"""WITH e AS MATERIALIZED (
+          SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round($CosSql, 6) >= 0.4),
+        tri AS (SELECT CAST(count(*) AS BIGINT) * 3 AS tri3 FROM (
+          SELECT e1.d1 FROM e e1 JOIN e e2 ON e1.d2 = e2.d1
+                       JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY v),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+            sum(CAST(deg AS HUGEINT) * (deg - 1)) AS wedges2 FROM deg),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_nodes, n_edges,
+          CAST(tri3 // 3 AS BIGINT) AS n_triangles,
+          CAST(wedges2 // 2 AS BIGINT) AS n_wedges,
+          CASE WHEN wedges2 = 0 THEN 0.0
+            ELSE round(CAST(tri3 AS DOUBLE) / CAST(wedges2 AS DOUBLE) * 2.0, 6)
+          END AS transitivity
+        FROM tri CROSS JOIN st CROSS JOIN ec"""
+
   private def pageRankOracle: String =
     s"""WITH e AS MATERIALIZED (
           SELECT a.vec_id AS d1, b.vec_id AS d2
@@ -1799,6 +1865,7 @@ object Embeddings {
     "q171_brier_decomposition" -> brierOracle,
     "q174_assortativity" -> assortativityOracle,
     "q175_kcore" -> kCoreOracle,
+    "q176_transitivity" -> transitivityOracle,
     // q168: the q42 decimal-mean centroids carried into a pos-keyed
     // self-join; identical round-12/DECIMAL(28,14)/sqrt·sqrt finish
     "q168_centroid_affinity" ->

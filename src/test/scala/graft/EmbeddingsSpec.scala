@@ -570,6 +570,24 @@ class EmbeddingsSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("transitivity: triangle-plus-tail is exactly 0.5, stars are 0") {
+    import spark.implicits._
+    try {
+      // triangle {1,2,3} + tail 3-4-5: T=1, wedges = 1+1+3+1+0 = 6 ⇒
+      // C = 3·1/6 = 0.5 exactly
+      val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("d1", "d2")
+      val r = graft.ops.Embeddings.transitivity(g).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)) == ((5L, 5L, 1L, 6L, 0.5)), s"$r")
+      // K1,3 star: 3 wedges through the hub, zero triangles → 0.0
+      val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")
+      val sR = graft.ops.Embeddings.transitivity(star).collect().head
+      assert((sR.getLong(2), sR.getLong(3), sR.getDouble(4)) == ((0L, 3L, 0.0)),
+        s"$sR")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("brierDecomposition: closed-form plant and the Murphy identity on the corpus") {
     import spark.implicits._
     try {
