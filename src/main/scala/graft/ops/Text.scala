@@ -1870,6 +1870,60 @@ object Text {
   def qNdcg(s: SparkSession, dir: String): DataFrame =
     ndcgEval(Tables.documents(s, dir), Seq("vector", "join", "scan"))
 
+  /** Mean-reciprocal-rank eval — the third metric of the trec_eval triad
+    * beside [[ndcgEval]]'s nDCG@k and AP@k (Voorhees 1999, the TREC-8
+    * QA track metric): per query, 1/rank of the FIRST relevant document
+    * in the served top-k (0 if none surfaces) — the "how far does the
+    * user scroll" statistic that nDCG's graded sum hides. Same q113
+    * per-term BM25 ranking, same corpus-derived binary relevance
+    * (tf ≥ 2), same bounded-heap cuts, so the three metrics are
+    * computed over the IDENTICAL ranking and publishable side by side.
+    *
+    * Scale shape: the q113/q161 posting plan verbatim; everything after
+    * the bounded-heap top-k runs on ≤ k rows per term. rr is a max over
+    * the k-row frame (1/rk is monotone — the first relevant row has the
+    * largest reciprocal), never a scan-order dependency. */
+  def mrrEval(docs: DataFrame, terms: Seq[String], k: Int = 10,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "mrrEval needs at least one query term")
+    val tok = withTokens(docs).select(col("doc_id"), col("t"))
+    val stats = tok.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(size(col("t")).cast(LongType)).as("sum_dl"))
+    val tf = graft.core.InternalCaches.persist(tok
+      .withColumn("dl", size(col("t")).cast(LongType))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("tf")))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast(LongType).as("df"))
+    val scored = tf
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast(DoubleType) * col("n_docs") / col("sum_dl"))))), 9))
+      .withColumn("relb", (col("tf") >= 2L).cast(LongType))
+      .select(col("term"), col("doc_id"), col("score"), col("relb"))
+    graft.plans.TopK.perKey(scored, Seq("term"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("doc_id")), k)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+      .groupBy(col("term"))
+      .agg(sum(col("relb")).cast(LongType).as("n_rel_topk"),
+        coalesce(min(when(col("relb") === 1L, col("rk"))), lit(0L))
+          .cast(LongType).as("first_rel_rank"),
+        coalesce(max(when(col("relb") === 1L,
+          round(lit(1.0) / col("rk").cast(DoubleType), 9))), lit(0.0)).as("rr"))
+  }
+
+  def qMrr(s: SparkSession, dir: String): DataFrame =
+    mrrEval(Tables.documents(s, dir), Seq("vector", "join", "scan"))
+
   /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
     * 2001; the Anserini/Lucene default feedback model) — the classic
     * recall lever on top of [[bm25]]: score the original query, treat the
@@ -4399,6 +4453,7 @@ object Text {
     "q169_dirichlet_ql" -> (qDirichletQL _),
     "q172_feature_hash" -> (qFeatureHash _),
     "q173_rouge_l" -> (qRougeL _),
+    "q177_mrr" -> (qMrr _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -6293,6 +6348,36 @@ object Text {
     // rankings pin (score desc, doc_id) / (rel desc, doc_id) tie-breaks,
     // gains are CASE integers (no pow), discounts/precisions round to 9
     // and sum as decimals, finals round to 6
+    // q177: the q161 scoring CTEs cut to the binary-relevance top-k;
+    // rr as max of round-9 reciprocals (monotone in rank)
+    "q177_mrr" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tok),
+         ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, w AS term,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ex WHERE w IN ('vector', 'join', 'scan')
+                GROUP BY doc_id, dl, w),
+         dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         sc AS (SELECT term, doc_id,
+                  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * ((tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * ((1.0 - 0.75) +
+                          0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))), 9) AS score,
+                  CASE WHEN tf >= 2 THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS relb
+                FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         sys AS (SELECT term, relb, rk FROM (
+             SELECT term, relb, CAST(row_number() OVER (
+                 PARTITION BY term ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+             FROM sc) WHERE rk <= 10)
+         SELECT term, CAST(sum(relb) AS BIGINT) AS n_rel_topk,
+           CAST(coalesce(min(CASE WHEN relb = 1 THEN rk END), 0) AS BIGINT)
+             AS first_rel_rank,
+           coalesce(max(CASE WHEN relb = 1
+             THEN round(1.0 / CAST(rk AS DOUBLE), 9) END), 0.0) AS rr
+         FROM sys GROUP BY term""",
     "q161_ndcg" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -2159,6 +2159,22 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("mrrEval: rank-1 relevant scores rr=1, no-relevant terms guard to 0") {
+    import spark.implicits._
+    try {
+      // "cat": doc 1 (tf 2, dl 3) is relevant and outranks doc 2 (tf 1,
+      // dl 4) on both tf and length → first_rel_rank 1, rr 1.0.
+      // "dog": appears once → retrieved but never relevant → all zeros.
+      val docs = Seq((1L, "cat cat dog"), (2L, "cat y z w"))
+        .toDF("doc_id", "text")
+      val got = Text.mrrEval(docs, Seq("cat", "dog"), k = 10)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == Map("cat" -> ((1L, 1L, 1.0)), "dog" -> ((0L, 0L, 0.0))),
+        s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("featureHashReport: hand-computed buckets, signs and signed mass") {
     import spark.implicits._
     // h("a") = 97 → bucket 33, (97 div 64) % 2 = 1 → sign −1
