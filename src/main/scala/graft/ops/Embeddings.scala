@@ -1180,6 +1180,61 @@ object Embeddings {
   def qTruncationRecall(s: SparkSession, dir: String): DataFrame =
     truncationRecall(Tables.embeddings(s, dir))
 
+  /** Johnson–Lindenstrauss random-projection retrieval recall — the OTHER
+    * dimensionality-reduction serving path beside [[truncationRecall]]'s
+    * Matryoshka prefix slice (Achlioptas 2003's database-friendly ±1
+    * projection: R_ji ∈ {±1} needs no gaussian sampling and the dot
+    * products stay exact integer-sign sums): project every embedding to
+    * d′ dims through a DETERMINISTIC seeded sign matrix (splitmix64
+    * parity — bit-identical on any engine, no RNG state), rank by cosine
+    * in the projected space, and report per-query top-k overlap vs the
+    * exact full-dimension ranking. The offline eval that decides whether
+    * a projection index can serve before anything ships.
+    *
+    * Scale shape: the projection is ONE map stage — d′ codegen'd
+    * graft_dot's with the sign rows as plan literals (the q93 model
+    * contract) — and both rankings are the audited [[bruteForceKnn]]
+    * bounded-query shape; the overlap join runs on two k-row-per-query
+    * frames. Floats pinned: float→double is exact, ±1 sums fold
+    * left-to-right identically on both engines, cosine rounds to 6 with
+    * id tie-breaks. */
+  def jlProjectionRecall(emb: DataFrame, dPrime: Int = 16, k: Int = 10,
+                         queryPred: Column = expr("vec_id % 50 = 0"),
+                         dim: Int = 64, seed: Long = 7L): DataFrame = {
+    require(dPrime >= 1 && k >= 1 && dim >= 1, s"bad params ($dPrime, $k, $dim)")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val signs = jlSigns(dPrime, dim, seed)
+    val rows = signs.map(r =>
+      r.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")"))
+    val projExpr = expr(rows.map(r => s"graft_dot(embedding, $r)")
+      .mkString("array(", ", ", ")"))
+    val full = bruteForceKnn(emb, queryPred, k)
+      .select(col("qid"), col("nid"))
+    val proj = bruteForceKnn(
+      emb.withColumn("embedding", projExpr), queryPred, k)
+      .select(col("qid"), col("nid"))
+    val overlap = full.join(proj, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).cast(LongType).as("n_overlap"))
+    full.select(col("qid")).distinct()
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast(DoubleType) /
+          lit(k).cast(DoubleType), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  /** The seeded ±1 sign matrix (splitmix64 parity) shared by the
+    * operator and the oracle generator. */
+  private[graft] def jlSigns(dPrime: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(dPrime, dim) { (j, i) =>
+      if ((graft.functions.BitMix.splitmix64(seed + j.toLong * dim + i) & 1L) == 0L)
+        1.0 else -1.0
+    }
+
+  def qJlRecall(s: SparkSession, dir: String): DataFrame =
+    jlProjectionRecall(Tables.embeddings(s, dir))
+
   def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
     cosineNearDup(Tables.embeddings(s, dir), 0.4)
 
@@ -1302,6 +1357,7 @@ object Embeddings {
     "q174_assortativity" -> (qAssortativity _),
     "q175_kcore" -> (qKCore _),
     "q176_transitivity" -> (qTransitivity _),
+    "q178_jl_recall" -> (qJlRecall _),
     "q94_pagerank"       -> (qPageRank _),
     "q103_quantize_int8" -> (qQuantize _),
     "q105_ann_recall"    -> (qAnnRecall _),
@@ -1707,6 +1763,49 @@ object Embeddings {
           END AS transitivity
         FROM tri CROSS JOIN st CROSS JOIN ec"""
 
+  /** q178: the q143 two-ranking overlap with the projected side built
+    * from the SAME seeded sign lists as the operator (jlSigns). */
+  private def jlRecallOracle: String = {
+    val signs = jlSigns(16, 64, 7L)
+    val projCols = signs.map(r =>
+      "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), " +
+        r.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]") + ")")
+      .mkString("[", ", ", "]")
+    s"""WITH nf AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         pf AS MATERIALIZED (SELECT vec_id, $projCols AS v
+           FROM embeddings),
+         g AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rk
+             FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+                   FROM nf a JOIN nf b
+                     ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id))
+           WHERE rk <= 10),
+         t AS (SELECT qid, nid FROM (
+             SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rk
+             FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+                   FROM pf a JOIN pf b
+                     ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id))
+           WHERE rk <= 10),
+         ov AS (SELECT g.qid, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM g JOIN t ON g.qid = t.qid AND g.nid = t.nid GROUP BY g.qid)
+         SELECT q.qid, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 10.0, 6) AS recall
+         FROM (SELECT DISTINCT qid FROM g) q LEFT JOIN ov ON ov.qid = q.qid
+         ORDER BY q.qid"""
+  }
+
   private def pageRankOracle: String =
     s"""WITH e AS MATERIALIZED (
           SELECT a.vec_id AS d1, b.vec_id AS d2
@@ -1866,6 +1965,7 @@ object Embeddings {
     "q174_assortativity" -> assortativityOracle,
     "q175_kcore" -> kCoreOracle,
     "q176_transitivity" -> transitivityOracle,
+    "q178_jl_recall" -> jlRecallOracle,
     // q168: the q42 decimal-mean centroids carried into a pos-keyed
     // self-join; identical round-12/DECIMAL(28,14)/sqrt·sqrt finish
     "q168_centroid_affinity" ->

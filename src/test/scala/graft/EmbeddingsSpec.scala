@@ -570,6 +570,31 @@ class EmbeddingsSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("jlProjectionRecall: identical-vector clusters survive any projection; signs are reproducible") {
+    import spark.implicits._
+    try {
+      // two clusters of IDENTICAL vectors (e1 and e2): linear projection
+      // maps equal vectors to equal vectors, so the within-cluster top-k
+      // (cosine exactly 1, id tie-break) is invariant → recall 1.0; the
+      // cross-cluster projected cosine would need all 16 sign rows to
+      // align to reach 1.0 (it doesn't at this seed).
+      val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+      val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+      val emb2 = ((0L until 10L).map(id => (id, e1, 0)) ++
+        (10L until 20L).map(id => (id, e2, 1))).toDF("vec_id", "embedding", "label")
+      val r = Embeddings.jlProjectionRecall(emb2, dPrime = 16, k = 5,
+        queryPred = col("vec_id") === 0L).collect()
+      assert(r.length == 1 && r.head.getLong(1) == 5L && r.head.getDouble(2) == 1.0,
+        s"${r.toSeq}")
+      // the sign matrix is a pure function of (dPrime, dim, seed)
+      val a = Embeddings.jlSigns(4, 8, 7L)
+      val b = Embeddings.jlSigns(4, 8, 7L)
+      assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+      assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+      assert(a.flatten.toSet.size == 2, "degenerate all-equal sign matrix")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("transitivity: triangle-plus-tail is exactly 0.5, stars are 0") {
     import spark.implicits._
     try {
