@@ -3276,6 +3276,70 @@ object Text {
       docs.filter(expr("doc_id % 2 = 1")))
   }
 
+  /** Jelinek–Mercer interpolated bigram scoring (Jelinek & Mercer 1980;
+    * Chen & Goodman 1999 §2.3) — the FIXED-weight member completing the
+    * engine's smoothing family: add-1 (q120), stupid backoff
+    * (q122/q127), Kneser–Ney (q156), Witten–Bell (q162) and now
+    *
+    *   P(w₂|w₁) = λ·ML(w₂|w₁) + (1−λ)·P_add1(w₂)
+    *
+    * with λ AND 1−λ pinned literals (the q153 convention — deriving 1−λ
+    * at runtime bakes 0.30000000000000004 into one engine only).
+    * Against Witten–Bell's λ(w₁) = c₁/(c₁+N₁₊), JM is the ablation
+    * baseline every smoothing comparison runs first: one global mixing
+    * weight, tuned not derived. Unseen histories fall through to the
+    * add-1 unigram exactly as q162 does.
+    *
+    * Scale shape: identical to q162 — all model tables train-vocab-
+    * bounded and broadcast onto the eval bigram explode; zero eval-row
+    * shuffles before the per-doc rollup. */
+  def jelinekMercerScore(train: DataFrame, eval: DataFrame,
+                         lambda: Double = 0.7,
+                         oneMinusLambda: Double = 0.3): DataFrame = {
+    val bigramExpr = expr(
+      "transform(sequence(2, size(t)), i -> " +
+        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
+    val trainTok = graft.core.InternalCaches.persist(
+      withTokens(train).select(col("t")))
+    val n12 = graft.core.InternalCaches.persist(
+      trainTok.filter(size(col("t")) >= 2)
+        .select(explode(bigramExpr).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast(LongType).as("c12")))
+    val n1 = n12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast(LongType).as("c1"))
+    val uniT = graft.core.InternalCaches.persist(
+      trainTok.select(explode(col("t")).as("w2"))
+        .groupBy(col("w2")).agg(count(lit(1)).cast(LongType).as("cu")))
+    val tot = uniT.agg(sum(col("cu")).cast(LongType).as("nn"),
+      count(lit(1)).cast(LongType).as("v"))
+    withTokens(eval).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(bigramExpr).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .join(broadcast(n12), Seq("w1", "w2"), "left")
+      .join(broadcast(n1), Seq("w1"), "left")
+      .join(broadcast(uniT), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pu",
+        expr("(coalesce(cu, 0) + 1.0) / CAST(nn + v AS DOUBLE)"))
+      .withColumn("p", expr(
+        "CASE WHEN c1 IS NULL THEN pu ELSE " +
+          s"CAST($lambda AS DOUBLE) " +
+          "* (CAST(coalesce(c12, 0) AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
+          s"+ CAST($oneMinusLambda AS DOUBLE) * pu END"))
+      .withColumn("lp", round(log(col("p")), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_lp"))
+  }
+
+  def qJelinekMercer(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    jelinekMercerScore(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** Held-out OOV-rate report — the vocabulary-coverage metric a
     * tokenizer/vocab deployment publishes before freezing: build the
     * frequency vocabulary (top `cap` by freq desc, token asc — the q99
@@ -4454,6 +4518,7 @@ object Text {
     "q172_feature_hash" -> (qFeatureHash _),
     "q173_rouge_l" -> (qRougeL _),
     "q177_mrr" -> (qMrr _),
+    "q179_jelinek_mercer" -> (qJelinekMercer _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -6436,6 +6501,45 @@ object Text {
     // q162: Witten–Bell — the q156 CTE scaffold with a unigram-count table
     // in place of the continuation table; λ and 1−λ are spelled as the two
     // explicit c1+n1f ratios so both engines run the identical double chain
+    // q179: the q162 CTE skeleton with the fixed λ/1−λ literal mix —
+    // both weights pinned, unseen histories fall to the add-1 unigram
+    "q179_jelinek_mercer" ->
+      """WITH tr AS MATERIALIZED (
+           SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),
+         bg AS MATERIALIZED (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+             SELECT t[i - 1] AS w1, t[i] AS w2 FROM (
+               SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tr
+               WHERE len(t) >= 2))
+           GROUP BY w1, w2),
+         n1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+         uni AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS cu
+             FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS v FROM uni),
+         ev AS (SELECT doc_id, t[i - 1] AS w1, t[i] AS w2 FROM (
+             SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM (
+               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE doc_id % 2 = 1)
+             WHERE len(t) >= 2)),
+         j AS (SELECT e.doc_id, bg.c12, n1.c1, uni.cu, tot.nn, tot.v
+           FROM ev e LEFT JOIN bg ON bg.w1 = e.w1 AND bg.w2 = e.w2
+           LEFT JOIN n1 ON n1.w1 = e.w1
+           LEFT JOIN uni ON uni.w2 = e.w2
+           CROSS JOIN tot),
+         lp AS (SELECT doc_id, round(ln(
+             CASE WHEN c1 IS NULL
+               THEN (coalesce(cu, 0) + 1.0) / CAST(nn + v AS DOUBLE)
+               ELSE CAST(0.7 AS DOUBLE)
+                   * (CAST(coalesce(c12, 0) AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE)
+                   * ((coalesce(cu, 0) + 1.0) / CAST(nn + v AS DOUBLE))
+             END), 9) AS lp
+           FROM j)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(28, 12))) AS DOUBLE)
+             / count(*), 6) AS avg_lp
+         FROM lp GROUP BY doc_id""",
     "q162_witten_bell" ->
       """WITH tr AS MATERIALIZED (
            SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0),

@@ -2159,6 +2159,24 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("jelinekMercerScore: closed-form mixture and the unseen-history fallback") {
+    import spark.implicits._
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    try {
+      // train "a b a b": ML(b|a) = 2/2 = 1, add-1 unigram P(b) = 3/6.
+      // eval "a b": p = 0.7·1 + 0.3·0.5 = 0.85.
+      // eval "z q": unseen history z → pure unigram fallback (0+1)/6.
+      val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+      val eval_ = Seq((1L, "a b"), (3L, "z q")).toDF("doc_id", "text")
+      val got = Text.jelinekMercerScore(train, eval_)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == Map(
+        1L -> ((1L, r6(r9(math.log(0.7 * 1.0 + 0.3 * 0.5))))),
+        3L -> ((1L, r6(r9(math.log(1.0 / 6.0)))))), s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("mrrEval: rank-1 relevant scores rr=1, no-relevant terms guard to 0") {
     import spark.implicits._
     try {
