@@ -277,6 +277,62 @@ object Text {
   def qMinhashError(s: SparkSession, dir: String): DataFrame =
     minhashErrorReport(Tables.documents(s, dir))
 
+  /** Count-min-sketch error calibration (Cormode & Muthukrishnan 2005) —
+    * the q149 treatment applied to the OTHER workhorse sketch: build a
+    * d×w CMS over the token stream with the engine's own cross-engine
+    * hash family (the q149 affine-over-31-ary-polynomial maps, so —
+    * unlike the q67 library sketches, which stay rows-only — the ENTIRE
+    * sketch is oracle-reproducible and the gate hash-matches the
+    * estimates, not just the exact side), then serve the top-K exact
+    * heavy hitters back through it and report est − exact per token.
+    * CMS guarantees est ≥ exact with overcount < εN at depth-many
+    * chances; this gate MEASURES that overcount where a deployment would
+    * otherwise trust the ε·N bound blindly.
+    *
+    * Scale shape: one corpus scan into the vocab-bounded count frame;
+    * the d-row-per-token bucket explode rides that bounded frame into a
+    * (d·w)-key rollup (the sketch itself — 1024 cells here); the top-K
+    * cut is a bounded heap and the serve join is top-K×d rows against
+    * the broadcast cell table. All integer end-to-end. */
+  def cmsErrorReport(docs: DataFrame, depth: Int = 4, width: Int = 256,
+                     topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 1, s"bad CMS ($depth x $width)")
+    val m = 1 << 20
+    val p = 1048573L
+    val ph = "aggregate(transform(sequence(1, length(w)), j -> ascii(substring(w, j, 1))), " +
+      s"0L, (acc, c) -> (acc * 31L + c) % $m)"
+    val bucketsExpr = expr(
+      s"transform(sequence(0, ${depth - 1}), i -> " +
+        s"struct(CAST(i AS BIGINT) AS d, " +
+        s"(((2 * CAST(i AS BIGINT) + 1) * ($ph) + (1000 * CAST(i AS BIGINT) + 7)) % $p) % $width AS b))")
+    val counts = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c")))
+    val cells = counts
+      .select(col("c"), explode(bucketsExpr).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(sum(col("c")).cast(LongType).as("cell"))
+    val top = graft.plans.TopK.perKey(
+        counts.withColumn("g", lit(1)), Seq("g"),
+        Seq(graft.plans.TopK.desc("c"), graft.plans.TopK.asc("w")), topK)
+      .select(col("w"), col("c"))
+    top
+      .select(col("w"), col("c"), explode(bucketsExpr).as("db"))
+      .join(broadcast(cells),
+        col("db.d") === col("d") && col("db.b") === col("b"))
+      .groupBy(col("w"), col("c"))
+      .agg(min(col("cell")).cast(LongType).as("est"))
+      .select(col("w"), col("c").as("exact"), col("est"),
+        (col("est") - col("c")).cast(LongType).as("overcount"))
+  }
+
+  /** Gate: width 16 — the synthetic corpus has ~31 token types, so a
+    * 256-wide sketch measures nothing (zero collisions); at width 16 the
+    * pigeonhole forces real collisions and the overcount column earns
+    * its keep. */
+  def qCmsError(s: SparkSession, dir: String): DataFrame =
+    cmsErrorReport(Tables.documents(s, dir), depth = 4, width = 16)
+
   /** Edit-distance verification of near-dup candidates — the final verify
     * stage of a fuzzy-dedup pipeline: the q35 LSH+Jaccard layer proposes
     * pairs, exact Levenshtein over a bounded text PREFIX confirms them at
@@ -4519,6 +4575,7 @@ object Text {
     "q173_rouge_l" -> (qRougeL _),
     "q177_mrr" -> (qMrr _),
     "q179_jelinek_mercer" -> (qJelinekMercer _),
+    "q180_cms_error" -> (qCmsError _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -5531,6 +5588,31 @@ object Text {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
            round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_lw
          FROM lp GROUP BY doc_id""",
+    // q180: the whole CMS is rebuilt cell-for-cell from the q149 affine
+    // hash family — estimates hash-match, not just the exact side
+    "q180_cms_error" ->
+      """WITH tc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         hh AS MATERIALIZED (SELECT w, c,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(w) + 1),
+                 j -> CAST(ascii(w[j]) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 1048576) AS h
+           FROM tc),
+         ds AS (SELECT unnest(range(0, 4)) AS i),
+         cells AS MATERIALIZED (SELECT i AS d,
+             (((2 * i + 1) * h + (1000 * i + 7)) % 1048573) % 16 AS b,
+             CAST(sum(c) AS BIGINT) AS cell
+           FROM hh CROSS JOIN ds GROUP BY 1, 2),
+         top AS (SELECT w, c FROM tc ORDER BY c DESC, w ASC LIMIT 20),
+         tb AS (SELECT t.w, t.c, ds.i,
+             (((2 * ds.i + 1) * hh.h + (1000 * ds.i + 7)) % 1048573) % 16 AS b
+           FROM top t JOIN hh ON hh.w = t.w CROSS JOIN ds)
+         SELECT tb.w, tb.c AS exact, CAST(min(cell) AS BIGINT) AS est,
+           CAST(min(cell) - tb.c AS BIGINT) AS overcount
+         FROM tb JOIN cells ON cells.d = tb.i AND cells.b = tb.b
+         GROUP BY tb.w, tb.c""",
     // q172: the q130 list_reduce polynomial mod 2^20, bucket/sign from
     // disjoint bit ranges, all-integer rollup
     "q172_feature_hash" ->

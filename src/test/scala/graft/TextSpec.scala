@@ -2159,6 +2159,28 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("cmsErrorReport: width-1 collapses to N, wide sketches are exact, est >= exact always") {
+    import spark.implicits._
+    try {
+      val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+      // width 1: every token shares the one cell per row → est = N = 4
+      val w1 = Text.cmsErrorReport(docs, depth = 4, width = 1, topK = 10)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(w1 == Map("a" -> ((2L, 4L, 2L)), "b" -> ((1L, 4L, 3L)),
+        "c" -> ((1L, 4L, 3L))), s"$w1")
+      // width 256 over 3 types: no collisions → est = exact, overcount 0
+      val w256 = Text.cmsErrorReport(docs, depth = 4, width = 256, topK = 10)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(w256.forall { case (c, est, over) => est == c && over == 0L },
+        s"${w256.toSeq}")
+      // CMS invariant on the real corpus at the gate width: est >= exact
+      val gate = Text.qCmsError(spark, sfDir).collect()
+      assert(gate.nonEmpty && gate.forall(r => r.getLong(2) >= r.getLong(1)),
+        "CMS one-sided error violated")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("jelinekMercerScore: closed-form mixture and the unseen-history fallback") {
     import spark.implicits._
     def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
