@@ -333,6 +333,60 @@ object Text {
   def qCmsError(s: SparkSession, dir: String): DataFrame =
     cmsErrorReport(Tables.documents(s, dir), depth = 4, width = 16)
 
+  /** Bloom-filter false-positive-rate calibration (Bloom 1970) — the
+    * third measured-sketch gate beside MinHash (q149) and CMS (q180),
+    * and the validation step behind the engine's bloom-pruned
+    * decontamination path (whose library filter stays rows-only): build
+    * an m-bit/k-hash Bloom over the TRAIN content hashes with the
+    * cross-engine affine hash family, probe it with the eval half's
+    * TRUE non-members (anti-joined exactly, so ground truth is exact),
+    * and report the measured FPR a deployment otherwise takes on faith
+    * from (1−e^(−kn/m))^k. All integer counts, one round-6 division.
+    *
+    * Scale shape: the bit array IS a ≤ m-row distinct frame (bounded by
+    * construction, broadcast); membership = all k probe buckets present,
+    * counted by a bounded join + per-key hit count. Train and probe
+    * sides are one distinct/anti-join each on uniform md5 keys — the
+    * q33/q167 contract. */
+  def bloomFprReport(train: DataFrame, probe: DataFrame,
+                     mBits: Int = 1024, k: Int = 4): DataFrame = {
+    require(mBits >= 2 && k >= 1 && k <= 16, s"bad Bloom ($mBits bits, $k hashes)")
+    val m = 1 << 20
+    val p = 1048573L
+    val ph = "aggregate(transform(sequence(1, length(s)), j -> ascii(substring(s, j, 1))), " +
+      s"0L, (acc, c) -> (acc * 31L + c) % $m)"
+    val bucketsExpr = expr(
+      s"transform(sequence(0, ${k - 1}), i -> " +
+        s"(((2 * CAST(i AS BIGINT) + 1) * ($ph) + (1000 * CAST(i AS BIGINT) + 7)) % $p) % $mBits)")
+    val members = graft.core.InternalCaches.persist(
+      train.select(md5(col("text")).as("s")).distinct())
+    val bits = graft.core.InternalCaches.persist(
+      members.select(explode(bucketsExpr).as("b")).distinct())
+    val probes = graft.core.InternalCaches.persist(
+      probe.select(md5(col("text")).as("s")).distinct()
+        .join(members, Seq("s"), "left_anti"))
+    val claims = probes
+      .select(col("s"), explode(bucketsExpr).as("b"))
+      .join(broadcast(bits), Seq("b"), "left_semi")
+      .groupBy(col("s")).agg(count(lit(1)).cast(LongType).as("hits"))
+      .filter(col("hits") === k.toLong)
+    members.agg(count(lit(1)).cast(LongType).as("n_members"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).cast(LongType).as("n_bits_set"))))
+      .crossJoin(broadcast(probes.agg(count(lit(1)).cast(LongType).as("n_probes"))))
+      .crossJoin(broadcast(claims.agg(count(lit(1)).cast(LongType).as("n_false_pos"))))
+      .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("n_members"), col("n_bits_set"), col("n_probes"), col("n_false_pos"),
+        when(col("n_probes") > 0L,
+          round(col("n_false_pos").cast(DoubleType) / col("n_probes").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("fpr"))
+  }
+
+  def qBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    bloomFprReport(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** Edit-distance verification of near-dup candidates — the final verify
     * stage of a fuzzy-dedup pipeline: the q35 LSH+Jaccard layer proposes
     * pairs, exact Levenshtein over a bounded text PREFIX confirms them at
@@ -4576,6 +4630,7 @@ object Text {
     "q177_mrr" -> (qMrr _),
     "q179_jelinek_mercer" -> (qJelinekMercer _),
     "q180_cms_error" -> (qCmsError _),
+    "q181_bloom_fpr" -> (qBloomFpr _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -5588,6 +5643,49 @@ object Text {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
            round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_lw
          FROM lp GROUP BY doc_id""",
+    // q181: the bit array rebuilt from the same affine family over md5
+    // strings; membership = all k buckets present; exact anti-joined
+    // non-member ground truth
+    "q181_bloom_fpr" ->
+      """WITH mh AS MATERIALIZED (
+           SELECT DISTINCT md5(text) AS s FROM documents WHERE doc_id % 2 = 0),
+         ph AS MATERIALIZED (SELECT s,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(s) + 1),
+                 j -> CAST(ascii(s[j]) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 1048576) AS h
+           FROM mh),
+         ds AS (SELECT unnest(range(0, 4)) AS i),
+         bits AS MATERIALIZED (SELECT DISTINCT
+             (((2 * i + 1) * h + (1000 * i + 7)) % 1048573) % 1024 AS b
+           FROM ph CROSS JOIN ds),
+         pr AS MATERIALIZED (
+           SELECT DISTINCT md5(text) AS s FROM documents WHERE doc_id % 2 = 1),
+         npr AS MATERIALIZED (
+           SELECT s FROM pr WHERE s NOT IN (SELECT s FROM mh)),
+         nph AS (SELECT s,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(s) + 1),
+                 j -> CAST(ascii(s[j]) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 1048576) AS h
+           FROM npr),
+         fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+             SELECT s FROM (
+               SELECT n.s,
+                 (((2 * ds.i + 1) * n.h + (1000 * ds.i + 7)) % 1048573) % 1024 AS b
+               FROM nph n CROSS JOIN ds) t
+             WHERE b IN (SELECT b FROM bits)
+             GROUP BY s HAVING count(*) = 4))
+         SELECT CAST(1024 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM npr) AS n_probes,
+           n_false_pos,
+           CASE WHEN (SELECT count(*) FROM npr) > 0
+             THEN round(CAST(n_false_pos AS DOUBLE)
+               / CAST((SELECT count(*) FROM npr) AS DOUBLE), 6)
+             ELSE 0.0 END AS fpr
+         FROM fp""",
     // q180: the whole CMS is rebuilt cell-for-cell from the q149 affine
     // hash family — estimates hash-match, not just the exact side
     "q180_cms_error" ->

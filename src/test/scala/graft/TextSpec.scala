@@ -2159,6 +2159,31 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("bloomFprReport: full parity with a driver twin on the corpus split") {
+    try {
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def poly(s: String): Long =
+        s.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % (1L << 20))
+      def bucket(i: Long, h: Long): Long =
+        ((2 * i + 1) * h + (1000 * i + 7)) % 1048573L % 1024L
+      val texts = graft.core.Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val members = texts.filter(_._1 % 2 == 0).map(t => md5hex(t._2)).distinct
+      val bits = members.flatMap(s => (0L until 4L).map(i => bucket(i, poly(s)))).distinct.toSet
+      val probes = texts.filter(_._1 % 2 == 1).map(t => md5hex(t._2)).distinct
+        .filterNot(members.toSet)
+      val fp = probes.count(s => (0L until 4L).forall(i => bits(bucket(i, poly(s)))))
+      val r = Text.qBloomFpr(spark, sfDir).collect().head
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((members.length.toLong, bits.size.toLong, probes.length.toLong, fp.toLong)),
+        s"driver twin diverged: $r vs (${members.length}, ${bits.size}, ${probes.length}, $fp)")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("cmsErrorReport: width-1 collapses to N, wide sketches are exact, est >= exact always") {
     import spark.implicits._
     try {
