@@ -2156,6 +2156,56 @@ object Text {
   def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.documents(s, dir))
 
+  /** UniMax/multilingual temperature SWEEP — the q114 α = 1/2 mixing
+    * computed at every operating point of a pinned α grid
+    * {1/4, 1/2, 3/4, 1} in one pass, the table a mixture designer reads
+    * to pick the flattening temperature (Chung et al. 2023 publish
+    * exactly this sweep; α = 1 is proportional sampling, α → 0 uniform).
+    * Every exponent is composed from CORRECTLY-ROUNDED IEEE sqrts so the
+    * scaled masses are bit-identical on any engine — no libm pow
+    * anywhere: n^(1/2) = √n (q114), n^(1/4) = √√n, n^(3/4) = √(x·√x)
+    * (the q160 trick), n^1 exact. Per α the masses floor to integers, the
+    * normalizer is an exact integer sum, and allocation is integer div —
+    * the q112/q114 remainder contract at each grid point.
+    *
+    * Scale shape: ONE corpus scan into the K-row source token counts;
+    * the ×4 grid fan-out and the per-α windows run on the 4·K-row
+    * bounded frame. */
+  def temperatureSweep(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val perAlpha = Window.partitionBy(col("alpha"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withTokens(docs)
+      .groupBy(col("source"))
+      .agg(sum(size(col("t")).cast(LongType)).as("n_tokens"))
+      .withColumn("alpha", explode(expr(
+        "array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), " +
+          "CAST(0.75 AS DOUBLE), CAST(1.0 AS DOUBLE))")))
+      .withColumn("s_scaled", expr(
+        """CASE alpha
+             WHEN 0.25 THEN CAST(floor(sqrt(sqrt(
+               CAST(n_tokens AS DOUBLE) * 1000000000000.0))) AS BIGINT)
+             WHEN 0.5 THEN CAST(floor(sqrt(
+               CAST(n_tokens AS DOUBLE) * 1000000.0)) AS BIGINT)
+             WHEN 0.75 THEN CAST(floor(sqrt(
+               (CAST(n_tokens AS DOUBLE) * 10000.0) *
+               sqrt(CAST(n_tokens AS DOUBLE) * 10000.0))) AS BIGINT)
+             ELSE n_tokens
+           END"""))
+      .withColumn("s_total", sum(col("s_scaled")).over(perAlpha))
+      .withColumn("weight", when(col("s_total") > 0,
+        round(col("s_scaled").cast(DoubleType) / col("s_total"), 9))
+        .otherwise(lit(0.0)))
+      .withColumn("alloc_tokens", when(col("s_total") > 0,
+        expr(s"(${budget}L * s_scaled) div s_total")).otherwise(lit(0L)))
+      .select(col("alpha"), col("source"), col("n_tokens"), col("s_scaled"),
+        col("weight"), col("alloc_tokens"))
+  }
+
+  def qTemperatureSweep(s: SparkSession, dir: String): DataFrame =
+    temperatureSweep(Tables.documents(s, dir))
+
   /** Windowed PMI co-occurrence (Church & Hanks 1990) — the collocation
     * statistic behind word-vector objectives and topic coherence, and the
     * ±w generalization of q102's adjacent-bigram score. Pairs come out of
@@ -4631,6 +4681,7 @@ object Text {
     "q179_jelinek_mercer" -> (qJelinekMercer _),
     "q180_cms_error" -> (qCmsError _),
     "q181_bloom_fpr" -> (qBloomFpr _),
+    "q182_temperature_sweep" -> (qTemperatureSweep _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -5643,6 +5694,36 @@ object Text {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
            round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_lw
          FROM lp GROUP BY doc_id""",
+    // q182: the q114 integer-mass recipe at each grid point; every
+    // exponent composed from correctly-rounded sqrts, no libm pow
+    "q182_temperature_sweep" ->
+      """WITH t AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         g(alpha) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                             (CAST(0.75 AS DOUBLE)), (CAST(1.0 AS DOUBLE))),
+         s AS (SELECT alpha, source, n_tokens,
+             CASE alpha
+               WHEN 0.25 THEN CAST(floor(sqrt(sqrt(
+                 CAST(n_tokens AS DOUBLE) * 1000000000000.0))) AS BIGINT)
+               WHEN 0.5 THEN CAST(floor(sqrt(
+                 CAST(n_tokens AS DOUBLE) * 1000000.0)) AS BIGINT)
+               WHEN 0.75 THEN CAST(floor(sqrt(
+                 (CAST(n_tokens AS DOUBLE) * 10000.0) *
+                 sqrt(CAST(n_tokens AS DOUBLE) * 10000.0))) AS BIGINT)
+               ELSE n_tokens
+             END AS s_scaled
+           FROM t CROSS JOIN g),
+         tot AS (SELECT alpha, CAST(sum(s_scaled) AS BIGINT) AS s_total
+           FROM s GROUP BY alpha)
+         SELECT s.alpha, source, n_tokens, s_scaled,
+           CASE WHEN s_total > 0
+             THEN round(CAST(s_scaled AS DOUBLE) / s_total, 9) ELSE 0.0 END
+             AS weight,
+           CASE WHEN s_total > 0
+             THEN CAST((1000000 * s_scaled) // s_total AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS alloc_tokens
+         FROM s JOIN tot USING (alpha)""",
     // q181: the bit array rebuilt from the same affine family over md5
     // strings; membership = all k buckets present; exact anti-joined
     // non-member ground truth

@@ -2159,6 +2159,31 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("temperatureSweep: grid endpoints bracket the mix, powers-of-sqrt are exact") {
+    import spark.implicits._
+    try {
+      // sources with 4^k token counts make every composed-sqrt power an
+      // exact integer: n = 16 → n^(1/4)·10³ = 2000, n^(1/2)·10³ = 4000,
+      // n^(3/4)·10³ = 8000, n = 16; n = 256 → 4000, 16000, 64000, 256.
+      val docs = Seq(
+        (1L, "A", ("x " * 16).trim), (2L, "B", ("y " * 256).trim)
+      ).toDF("doc_id", "source", "text")
+      val got = Text.temperatureSweep(docs, budget = 1000L)
+        .collect().map(r => (r.getDouble(0), r.getString(1)) ->
+          ((r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+      assert(got((0.25, "A"))._1 == 2000L && got((0.25, "B"))._1 == 4000L, s"$got")
+      assert(got((0.5, "A"))._1 == 4000L && got((0.5, "B"))._1 == 16000L, s"$got")
+      assert(got((0.75, "A"))._1 == 8000L && got((0.75, "B"))._1 == 64000L, s"$got")
+      assert(got((1.0, "A"))._1 == 16L && got((1.0, "B"))._1 == 256L, s"$got")
+      // flattening monotonicity: the minority source's share grows as α falls
+      val shareA = Seq(1.0, 0.75, 0.5, 0.25).map(a => got((a, "A"))._2)
+      assert(shareA == shareA.sorted,
+        s"minority share must rise as alpha falls: $shareA")
+      // α=1 is exactly proportional: 1000·16/272 = 58, 1000·256/272 = 941
+      assert(got((1.0, "A"))._3 == 58L && got((1.0, "B"))._3 == 941L, s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("bloomFprReport: full parity with a driver twin on the corpus split") {
     try {
       def md5hex(s: String): String =
