@@ -3924,6 +3924,66 @@ object Text {
         lit(" spark "), lit(" javascript ")),
         lit(" value table "), lit(" casino table "))))
 
+  /** Quality-filter FUNNEL — the per-source survival report every
+    * cleaning pipeline publishes (C4 §2.2, Gopher A1, RefinedWeb fig. 2
+    * all lead with one): how many documents survive each SUCCESSIVE
+    * stage — Gopher word rules → C4 cleaning rules → line-shape rules →
+    * exact dedup (canonical = min doc_id per content hash). Each stage
+    * count is conditioned on surviving all previous stages, so the
+    * columns are monotone non-increasing and the marginal cost of every
+    * filter is visible per source — the number that decides filter
+    * ORDER in production. A composition gate: the four stage flags come
+    * from the audited operators ([[gopherRules]], [[c4Rules]],
+    * [[lineRules]], the q33 hash-agg), not re-implementations.
+    *
+    * Scale shape: each rule op is ONE projection riding its scan; the
+    * flag joins are uniform-key (doc_id) shuffle equi-joins; the
+    * canonical flag is the q33 md5 hash-agg joined back by the same
+    * uniform key; the rollup is source-keyed with map-side combine. At
+    * 100 TB a deployment would fuse the three projections into one pass
+    * — the operators compose either way; the funnel's joins are the
+    * price of reusing the audited implementations unmodified. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val base = graft.core.InternalCaches.persist(
+      docs.select(col("doc_id"), col("source"), col("text")))
+    val g = gopherRules(base).select(col("doc_id"), col("keep").as("g_keep"))
+    val c = c4Rules(base).select(col("doc_id"), col("keep").as("c_keep"))
+    val l = lineRules(base).select(col("doc_id"), col("keep").as("l_keep"))
+    val canon = base
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("cid"))
+    val u = base.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(canon, "h")
+      .select(col("doc_id"), (col("doc_id") === col("cid")).cast(LongType).as("u_keep"))
+    base.select(col("doc_id"), col("source"))
+      .join(g, "doc_id").join(c, "doc_id").join(l, "doc_id").join(u, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("g_keep")).cast(LongType).as("n_gopher"),
+        sum(col("g_keep") * col("c_keep")).cast(LongType).as("n_c4"),
+        sum(col("g_keep") * col("c_keep") * col("l_keep")).cast(LongType)
+          .as("n_lines"),
+        sum(col("g_keep") * col("c_keep") * col("l_keep") * col("u_keep"))
+          .cast(LongType).as("n_unique"))
+  }
+
+  /** Gate: the q129 derived corpus (so every rule has teeth) plus the
+    * q167 re-keyed plants (so the dedup stage genuinely fires). */
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val derived = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("text",
+        replace(replace(replace(replace(replace(col("text"),
+          lit(" the "), lit(".\nthe ")),
+          lit(" batch "), lit(" {batch ")),
+          lit(" slow fast "), lit(" lorem ipsum ")),
+          lit(" spark "), lit(" javascript ")),
+          lit(" value table "), lit(" casino table ")))
+    val planted = derived.filter(expr("doc_id % 16 = 1"))
+      .select((lit(4L) * (col("doc_id") + lit(1000000000L))).as("doc_id"),
+        col("source"), col("text"))
+    filterFunnel(derived.unionByName(planted))
+  }
+
   /** DSIR data-selection importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every candidate document by how target-like it is under two hashed
@@ -4682,6 +4742,7 @@ object Text {
     "q180_cms_error" -> (qCmsError _),
     "q181_bloom_fpr" -> (qBloomFpr _),
     "q182_temperature_sweep" -> (qTemperatureSweep _),
+    "q183_filter_funnel" -> (qFilterFunnel _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -5694,6 +5755,64 @@ object Text {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
            round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE), 6) AS dsir_lw
          FROM lp GROUP BY doc_id""",
+    // q183: the q126/q129/q128 rule statistics verbatim over the funnel
+    // corpus (q129 derives + q167 plants), md5 canonical, conditional sums
+    "q183_filter_funnel" ->
+      s"""WITH d0 AS (SELECT doc_id, source,
+           replace(replace(replace(replace(replace(text,
+             ' the ', '.' || chr(10) || 'the '),
+             ' batch ', ' {batch '),
+             ' slow fast ', ' lorem ipsum '),
+             ' spark ', ' javascript '),
+             ' value table ', ' casino table ') AS text
+         FROM documents),
+         fc AS MATERIALIZED (
+           SELECT doc_id, source, text FROM d0
+           UNION ALL
+           SELECT 4 * (doc_id + 1000000000), source, text
+           FROM d0 WHERE doc_id % 16 = 1),
+         gb AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+                  string_split(text, chr(10)) AS ls
+           FROM fc),
+         gf AS (SELECT doc_id,
+           CAST(CASE WHEN len(t) >= 50 AND len(t) <= 100000
+             AND CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t) >= 3.0
+             AND CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t) <= 10.0
+             AND CAST(CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+               + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+                 AS DOUBLE) / len(t) <= 0.1
+             AND CAST(len(list_filter(t, x -> regexp_matches(x, '\\p{L}')))
+                 AS DOUBLE) / len(t) >= 0.8
+             AND len(list_filter(t, x -> x IN ($StopListSql))) >= 2
+             THEN 1 ELSE 0 END AS BIGINT) AS g_keep,
+           CAST(CASE WHEN len(text) - len(replace(text, '.', '')) >= 3
+             AND NOT contains(text, 'lorem ipsum')
+             AND NOT contains(text, '{')
+             AND NOT contains(text, 'casino')
+             THEN 1 ELSE 0 END AS BIGINT) AS c_keep,
+           CAST(CASE WHEN NOT (
+               CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+                 OR starts_with(ltrim(x), '• ') OR starts_with(ltrim(x), '* ')))
+                 AS DOUBLE) / len(ls) > 0.9
+               OR CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...')
+                 OR ends_with(rtrim(x), '…'))) AS DOUBLE) / len(ls) > 0.3)
+             THEN 1 ELSE 0 END AS BIGINT) AS l_keep
+           FROM gb),
+         cn AS (SELECT md5(text) AS h, min(doc_id) AS cid FROM fc GROUP BY 1),
+         uf AS (SELECT f.doc_id,
+             CAST(CASE WHEN f.doc_id = cn.cid THEN 1 ELSE 0 END AS BIGINT)
+               AS u_keep
+           FROM fc f JOIN cn ON cn.h = md5(f.text))
+         SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g_keep) AS BIGINT) AS n_gopher,
+           CAST(sum(g_keep * c_keep) AS BIGINT) AS n_c4,
+           CAST(sum(g_keep * c_keep * l_keep) AS BIGINT) AS n_lines,
+           CAST(sum(g_keep * c_keep * l_keep * u_keep) AS BIGINT) AS n_unique
+         FROM fc f JOIN gf ON gf.doc_id = f.doc_id
+           JOIN uf ON uf.doc_id = f.doc_id
+         GROUP BY f.source""",
     // q182: the q114 integer-mass recipe at each grid point; every
     // exponent composed from correctly-rounded sqrts, no libm pow
     "q182_temperature_sweep" ->

@@ -2159,6 +2159,25 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("filterFunnel: one planted casualty per stage, monotone columns") {
+    import spark.implicits._
+    try {
+      val sent = "the quick brown fox jumps over the lazy dog."
+      val clean = Seq.fill(7)(sent).mkString(" ")          // passes everything
+      val braced = clean + " {"                            // dies at C4
+      val short = "short text."                            // dies at Gopher
+      val elliptic = Seq.fill(3)(sent).mkString(" ") + "...\n" +
+        Seq.fill(3)(sent).mkString(" ")                    // dies at line rules
+      val docs = Seq(
+        (1L, "S", clean), (2L, "S", clean),                // 2 = exact dup of 1
+        (3L, "S", braced), (4L, "S", short), (5L, "S", elliptic))
+        .toDF("doc_id", "source", "text")
+      val r = Text.filterFunnel(docs).collect().head
+      assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)) == (("S", 5L, 4L, 3L, 2L, 1L)), s"$r")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("temperatureSweep: grid endpoints bracket the mix, powers-of-sqrt are exact") {
     import spark.implicits._
     try {
