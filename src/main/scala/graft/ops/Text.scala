@@ -860,6 +860,47 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast(LongType).as("bin_tokens"))
   }
 
+  /** Sequence-packing efficiency SWEEP — the q64 contiguous packing
+    * evaluated at every context length of a pinned bin-size grid in one
+    * pass: per (group, size), how many bins the stream packs into and
+    * the fill factor total/(bins·size) — the dynamic-batching cost table
+    * read before committing a training context length (the q164/q182
+    * operating-point-grid pattern applied to packing). Fill can exceed 1:
+    * q64's scheme assigns a document to the bin its START offset falls
+    * in and never splits it, so tail documents overflow their boundary —
+    * the sweep quantifies exactly that trade per size.
+    *
+    * Scale shape: the two-level distributed prefix sum runs ONCE (the
+    * expensive part — never a per-source single-reducer window); all
+    * four sizes then reduce in the SAME group-keyed aggregate as max/sum
+    * exprs over the running column (no grid fan-out of corpus rows at
+    * all), and the wide K-row result unpivots via stack. Integer until
+    * the one fill division per grid cell. */
+  def packingSweep(docs: DataFrame,
+                   sizes: Seq[Int] = Seq(1024, 2048, 4096, 8192)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad sizes $sizes")
+    val toks = withTokens(docs)
+      .select(col("lang"), col("doc_id"), size(col("t")).as("n_tok"))
+    val run = distributedRunningSum(toks, "lang", Seq("doc_id"), "n_tok", "running")
+    val aggs = sizes.flatMap { sz =>
+      Seq((max(floor((col("running") - col("n_tok")) / sz.toDouble)) + lit(1L))
+            .cast(LongType).as(s"bins_$sz"))
+    } ++ Seq(count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("n_tok")).cast(LongType).as("total_tokens"))
+    val wide = run.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = sizes.map(sz => s"${sz}L, bins_$sz").mkString(", ")
+    wide
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        expr(s"stack(${sizes.size}, $stackExpr)").as(Seq("bin_size", "n_bins")))
+      .select(col("lang"), col("bin_size"), col("n_docs"), col("total_tokens"),
+        col("n_bins"),
+        round(col("total_tokens").cast(DoubleType) /
+          (col("n_bins") * col("bin_size")).cast(DoubleType), 6).as("fill"))
+  }
+
+  def qPackingSweep(s: SparkSession, dir: String): DataFrame =
+    packingSweep(Tables.documents(s, dir))
+
   /** Deterministic content-hash sampling: md5(text) < threshold selects a
     * reproducible ~10% sample independent of partitioning, engine, and
     * run — the reproducibility property rand()-based sampling lacks. */
@@ -4743,6 +4784,7 @@ object Text {
     "q181_bloom_fpr" -> (qBloomFpr _),
     "q182_temperature_sweep" -> (qTemperatureSweep _),
     "q183_filter_funnel" -> (qFilterFunnel _),
+    "q184_packing_sweep" -> (qPackingSweep _),
     "q114_temperature_mix" -> (qTemperatureMix _),
     "q115_pmi_cooc"     -> (qPmiCooc _),
     "q118_bpe_train"    -> (qBpeTrain _),
@@ -6428,6 +6470,34 @@ object Text {
     "q65_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE md5(text) < '1a' GROUP BY lang""",
+    // q184: the q64 running sum once, all grid sizes reduced in the same
+    // group-keyed aggregate, one fill division per cell
+    "q184_packing_sweep" ->
+      """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         r AS (SELECT lang, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM d),
+         w AS (SELECT lang,
+             CAST(max(floor((running - n_tok) / 1024.0)) + 1 AS BIGINT) AS b1024,
+             CAST(max(floor((running - n_tok) / 2048.0)) + 1 AS BIGINT) AS b2048,
+             CAST(max(floor((running - n_tok) / 4096.0)) + 1 AS BIGINT) AS b4096,
+             CAST(max(floor((running - n_tok) / 8192.0)) + 1 AS BIGINT) AS b8192,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+           FROM r GROUP BY lang),
+         u AS (SELECT lang, n_docs, total_tokens,
+             unnest([{'bin_size': CAST(1024 AS BIGINT), 'n_bins': b1024},
+                     {'bin_size': CAST(2048 AS BIGINT), 'n_bins': b2048},
+                     {'bin_size': CAST(4096 AS BIGINT), 'n_bins': b4096},
+                     {'bin_size': CAST(8192 AS BIGINT), 'n_bins': b8192}],
+                    recursive := true)
+           FROM w)
+         SELECT lang, bin_size, n_docs, total_tokens, n_bins,
+           round(CAST(total_tokens AS DOUBLE)
+             / CAST(n_bins * bin_size AS DOUBLE), 6) AS fill
+         FROM u""",
     "q102_phrases" ->
       """WITH tt AS (SELECT string_split(text, ' ') AS t FROM documents),
          u AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tt) GROUP BY w),

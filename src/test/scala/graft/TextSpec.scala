@@ -2159,6 +2159,25 @@ class TextSpec extends SparkSpec {
     assert((e.getLong(1), e.getDouble(4), e.getDouble(6)) == ((0L, 0.0, 0.0)), s"$e")
   }
 
+  test("packingSweep: hand-computed bin counts and fill factors per grid size") {
+    import spark.implicits._
+    try {
+      // three 10-token docs: start offsets 0, 10, 20. size 16 → bins
+      // {0, 0, 1} = 2 bins, fill 30/32; size 64 → 1 bin, fill 30/64.
+      val docs = Seq(
+        (1L, "L", Seq.fill(10)("w").mkString(" ")),
+        (2L, "L", Seq.fill(10)("w").mkString(" ")),
+        (3L, "L", Seq.fill(10)("w").mkString(" "))
+      ).toDF("doc_id", "lang", "text")
+      val got = Text.packingSweep(docs, Seq(16, 64)).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+      assert(got == Map(
+        16L -> ((3L, 30L, 2L, 0.9375)),
+        64L -> ((3L, 30L, 1L, 0.46875))), s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("filterFunnel: one planted casualty per stage, monotone columns") {
     import spark.implicits._
     try {
