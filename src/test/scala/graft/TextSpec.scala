@@ -1049,6 +1049,36 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("rrfFusionRanks: Dirichlet QL slots in as the lexical ranker unchanged") {
+    // the round-13 LM retrieval twin through the same fusion plumbing: a
+    // (doc_id, rank) list from dirichletQL fused against the semantic
+    // side must equal a driver recompute of the RRF formula over the two
+    // lists — rank lists are rank lists, whichever scorer produced them.
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    try {
+      val qlW = Window.orderBy(col("ql").desc, col("doc_id").asc)
+      val lex = Text.dirichletQL(docs, Seq("vector", "join", "scan"), k = 40)
+        .withColumn("rank", row_number().over(qlW).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val sem = graft.ops.Embeddings.bruteForceKnn(emb, col("vec_id") === 0L, 40)
+        .select(col("nid").as("doc_id"), col("rk").cast("long").as("rank"))
+      val got = Text.rrfFusionRanks(lex, sem, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      val lexM = lex.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val semM = sem.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = (lexM.keySet ++ semM.keySet).toSeq
+        .map { d => (d, r9(
+          lexM.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          semM.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0))) }
+        .sortBy { case (d, s) => (-s, d) }.take(10)
+      assert(got == want, s"QL fusion diverged:\n got=$got\nwant=$want")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("gopherRules: non-ASCII alphabetic words count as alphabetic (R4 is Unicode)") {
     import spark.implicits._
     // every content word is é/ä/ö-only: Unicode \p{L} scores alpha_ratio
