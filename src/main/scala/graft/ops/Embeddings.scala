@@ -494,11 +494,17 @@ object Embeddings {
       .withColumn("_g", lit(1))
     val cum = Text.distributedRunningSum(byScore, "_g", Seq("sk"), "nn", "cumnn")
     cum
-      .withColumn("u2", col("np") * (lit(2L) * (col("cumnn") - col("nn")) + col("nn")))
+      // u2 and its sum run in DECIMAL(38,0): the Mann–Whitney total
+      // approaches n_pos·2·n_neg ≈ n²/2, which overflows Long near ~4e9
+      // rows — the same second-moment convention as assortativity/Yule's K
+      // (oracle mirrors with HUGEINT). Exact integers either way; the one
+      // division at the end is unchanged.
+      .withColumn("u2", col("np").cast(DecimalType(38, 0)) *
+        (lit(2L) * (col("cumnn") - col("nn")) + col("nn")))
       .agg(sum(col("np")).cast(LongType).as("n_pos"),
         sum(col("nn")).cast(LongType).as("n_neg"),
         count(lit(1)).cast(LongType).as("n_scores"),
-        sum(col("u2")).cast(LongType).as("u2s"))
+        sum(col("u2")).cast(DecimalType(38, 0)).as("u2s"))
       .select(col("n_pos"), col("n_neg"), col("n_scores"),
         round(col("u2s").cast(DoubleType) /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
@@ -1542,7 +1548,7 @@ object Embeddings {
         SELECT CAST(sum(np) AS BIGINT) AS n_pos,
           CAST(sum(nn) AS BIGINT) AS n_neg,
           CAST(count(*) AS BIGINT) AS n_scores,
-          round(CAST(sum(np * (2 * (cumnn - nn) + nn)) AS DOUBLE)
+          round(CAST(sum(CAST(np AS HUGEINT) * (2 * (cumnn - nn) + nn)) AS DOUBLE)
             / (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6) AS auc
         FROM cum"""
   }

@@ -281,13 +281,20 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("ms")).as("s_ms"), max(col("ms")).as("e_ms"))
+    // Day buckets use FLOOR division in exact integer arithmetic — Spark's
+    // `div` truncates toward zero where the DuckDB oracle's `//` floors, so
+    // pre-epoch (negative-ms) timestamps would land one day apart. The
+    // `div`+negative-remainder adjustment is bit-exact at any magnitude
+    // (no double rounding near exact-midnight multiples of 86400000).
+    def dayFloor(c: String): String =
+      s"(($c div 86400000) + (CASE WHEN $c % 86400000 < 0 THEN -1 ELSE 0 END))"
     val windows = ev
-      .withColumn("day", expr("ms div 86400000"))
+      .withColumn("day", expr(dayFloor("ms")))
       .groupBy(col("event_type"), col("day"))
       .agg(min(col("ms")).as("w_s"), max(col("ms")).as("w_e"))
     sessions
       .withColumn("day",
-        explode(sequence(expr("s_ms div 86400000"), expr("e_ms div 86400000"))))
+        explode(sequence(expr(dayFloor("s_ms")), expr(dayFloor("e_ms")))))
       .join(broadcast(windows), "day")
       .filter(greatest(col("s_ms"), col("w_s")) <= least(col("e_ms"), col("w_e")))
       .withColumn("ov",

@@ -68,7 +68,10 @@ object Text {
     * array (both engines sort byte-identically on this corpus), each
     * −p·ln p term rounds to 9, the fold runs left-to-right in that fixed
     * order, finish rounds to 6 — no explode, no shuffle, rides any scan
-    * at any corpus size. */
+    * at any corpus size. Empty documents yield (text_len 0, n_distinct 0,
+    * entropy 0.0) on BOTH engines: Spark's sequence(1, 0) DESCENDS (the
+    * repo pitfall), so every HOF stage is guarded with a lazy CASE on the
+    * upstream size instead of reaching the degenerate range. */
   def charEntropy(docs: DataFrame): DataFrame = {
     // Histogram as run lengths over the ONE sorted char array (shared
     // via real columns so each is materialized once per row — the naive
@@ -79,21 +82,25 @@ object Text {
     // round-9/round-6 stream is unchanged and the oracle is too.
     docs
       .withColumn("sc", expr(
-        "array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1)))"))
+        "CASE WHEN length(text) < 1 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+          "array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1))) END"))
       .withColumn("bd", expr(
-        "filter(sequence(1, size(sc)), " +
-          "i -> i = 1 OR element_at(sc, i) <> element_at(sc, i - 1))"))
+        "CASE WHEN size(sc) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+          "filter(sequence(1, size(sc)), " +
+          "i -> i = 1 OR element_at(sc, i) <> element_at(sc, i - 1)) END"))
       .withColumn("cnts", expr(
-        "transform(sequence(1, size(bd)), j -> " +
-          "coalesce(try_element_at(bd, j + 1), size(sc) + 1) - element_at(bd, j))"))
+        "CASE WHEN size(bd) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+          "transform(sequence(1, size(bd)), j -> " +
+          "coalesce(try_element_at(bd, j + 1), size(sc) + 1) - element_at(bd, j)) END"))
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("text_len"),
         size(col("bd")).cast(LongType).as("n_distinct"),
-        round(-expr(
-          "aggregate(cnts, CAST(0.0 AS DOUBLE), (a, x) -> a + " +
-            "round((CAST(x AS DOUBLE) / length(text)) * " +
-            "ln(CAST(x AS DOUBLE) / length(text)), 9))"),
-          6).as("entropy"))
+        when(size(col("bd")) < 1, lit(0.0)).otherwise(
+          round(-expr(
+            "aggregate(cnts, CAST(0.0 AS DOUBLE), (a, x) -> a + " +
+              "round((CAST(x AS DOUBLE) / length(text)) * " +
+              "ln(CAST(x AS DOUBLE) / length(text)), 9))"),
+            6)).as("entropy"))
   }
 
   def qCharEntropy(s: SparkSession, dir: String): DataFrame =
@@ -3226,10 +3233,15 @@ object Text {
         "i -> concat_ws(' ', slice(t, i, 3)))")))
 
   private[graft] def bleuDerivedPairs(docs: DataFrame): DataFrame =
+    // Empty token arrays guard the derivation range: sequence(1, 0)
+    // DESCENDS (the repo pitfall), which would leak a [null] candidate
+    // where the oracle's range(1, len+1) is empty; CASE is lazy so the
+    // guarded branch never builds the degenerate range.
     withTokens(docs)
       .select(col("source"), col("doc_id"), col("t").as("r"),
-        expr("transform(filter(sequence(1, size(t)), i -> i % 7 != 0), " +
-          "i -> CASE WHEN i % 11 = 0 THEN 'UNK' ELSE element_at(t, i) END)")
+        expr("CASE WHEN size(t) < 1 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+          "transform(filter(sequence(1, size(t)), i -> i % 7 != 0), " +
+          "i -> CASE WHEN i % 11 = 0 THEN 'UNK' ELSE element_at(t, i) END) END")
           .as("c"))
 
   def qCorpusBleu(s: SparkSession, dir: String): DataFrame =
@@ -7068,12 +7080,14 @@ object Text {
          FROM lp GROUP BY doc_id""",
     // q154: the same sorted-distinct fold — list_sort(list_distinct) on
     // this ASCII corpus orders identically to array_sort, each term
-    // rounds to 9, the fold is left-to-right in that order, finish 6
+    // rounds to 9, the fold is left-to-right in that order, finish 6;
+    // empty docs short-circuit to exact 0.0 (mirrors the engine's guard)
     "q154_char_entropy" ->
       """SELECT doc_id,
            CAST(len(text) AS BIGINT) AS text_len,
            CAST(len(list_distinct(list_transform(range(1, len(text) + 1),
              i -> text[i]))) AS BIGINT) AS n_distinct,
+           CASE WHEN len(text) = 0 THEN 0.0 ELSE
            round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(list_sort(list_distinct(list_transform(range(1, len(text) + 1),
                i -> text[i]))),
@@ -7081,7 +7095,7 @@ object Text {
                  i -> text[i]), x -> x = c)) AS DOUBLE) / len(text))
                  * ln((CAST(len(list_filter(list_transform(range(1, len(text) + 1),
                  i -> text[i]), x -> x = c)) AS DOUBLE) / len(text))), 9))),
-             (a, x) -> a + x), 6) AS entropy
+             (a, x) -> a + x), 6) END AS entropy
          FROM documents""",
     // q150: same non-overlapping 4-token chunk derivation; df is
     // count(DISTINCT doc_id) per chunk string (md5 keying on the Spark

@@ -375,4 +375,28 @@ class RelationalSpec extends SparkSpec {
     // don't overlap in time
     assert(got.size == 5, s"unexpected extra rows: $got")
   }
+
+  test("intervalOverlap: pre-epoch timestamps bucket by FLOOR day, not truncation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    // Truncating `div` would fold the pre-epoch z events into day 0,
+    // widening the (z, day 0) window to [-5e7, 5e7] and fabricating a
+    // 1000 ms overlap for user 10's post-epoch session; floor division
+    // (the DuckDB `//` the oracle uses) keeps them on day −1.
+    val rows = Seq(
+      (1L, ts(-50000000L), 8L, "z"),  // day −1 under floor, day 0 under div
+      (2L, ts(50000000L), 9L, "z"),   // day 0 either way
+      (3L, ts(0L), 10L, "q"),
+      (4L, ts(1000L), 10L, "q")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.intervalOverlap(rows)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!got.contains((10L, "z")),
+      s"pre-epoch z window truncated into day 0 — fabricated overlap: $got")
+    assert(got((10L, "q")) == ((1L, 1000L, 1000L)), s"$got")
+    assert(got((8L, "z")) == ((1L, 0L, 0L)) && got((9L, "z")) == ((1L, 0L, 0L)),
+      s"$got")
+  }
 }

@@ -1954,7 +1954,7 @@ class TextSpec extends SparkSpec {
 
   test("charEntropy: degenerate and uniform distributions hit their closed forms") {
     import spark.implicits._
-    val docs = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcd"))
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcd"), (4L, ""))
       .toDF("doc_id", "text")
     try {
       val got = Text.charEntropy(docs).collect()
@@ -1966,6 +1966,28 @@ class TextSpec extends SparkSpec {
       assert(got(2L)._3 == r6(-2 * r9(0.5 * math.log(0.5))), s"${got(2L)}")
       assert(got(3L)._3 == r6(-4 * r9(0.25 * math.log(0.25))), s"${got(3L)}")
       assert(math.abs(got(3L)._3 - math.log(4.0)) < 1e-5)
+      // empty doc: the guarded HOF chain never touches the descending
+      // sequence(1, 0) — exact (0, 0, +0.0), matching the oracle's CASE
+      assert(got(4L) == ((0L, 0L, 0.0)), s"${got(4L)}")
+      assert(java.lang.Double.doubleToRawLongBits(got(4L)._3) == 0L,
+        "empty-doc entropy must be +0.0, not -0.0")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("bleuDerivedPairs: an empty token array yields an EMPTY candidate, not [null]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", Seq.empty[String]),
+      (2L, "s", Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9",
+        "t10", "t11", "t12"))).toDF("doc_id", "source", "t")
+    try {
+      val got = Text.bleuDerivedPairs(docs).collect()
+        .map(r => r.getLong(1) -> r.getSeq[String](3)).toMap
+      assert(got(1L).isEmpty, s"empty r must derive empty c, got ${got(1L)}")
+      // non-empty path unchanged: i=7 dropped, i=11 masked to UNK
+      assert(got(2L) == Seq("t1", "t2", "t3", "t4", "t5", "t6", "t8", "t9",
+        "t10", "UNK", "t12"), s"${got(2L)}")
+      assert(!got(2L).contains(null), "no null leakage from element_at")
     } finally graft.core.InternalCaches.release(spark)
   }
 
