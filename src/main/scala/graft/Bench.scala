@@ -838,8 +838,43 @@ object Bench {
           if (vitBad) throw new GoldenMismatch(
             s"unigram viterbi 1M anchor MISMATCH: sizes ${vitReports.map(_.size)} " +
             "(want identical 100-row reports whose pieces rejoin the word)")
-          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$qlJson,$vitJson,""" +
+          // unigram_train_1m (round 14): hard-EM TRAINING of the fourth
+          // tokenizer family at 1M docs — nIters=3 rounds of the q140 DP
+          // over the vocab-bounded word table, so corpus size pays the
+          // ONE token scan and each EM round is corpus-size-independent.
+          // The trained piece table must be identical across reps
+          // (training is a pure function of the corpus), the alphabet
+          // complete at mass >= 1, every lp9 strictly negative, and the
+          // multi-char survivors within the top-V budget. The
+          // cross-anchor flatness gate below pins the "one scan +
+          // vocab-bounded iterations" shape: 3 EM rounds each do ~one
+          // Viterbi DP + a bounded m-step, so warm cost must stay within
+          // 12x the single-DP viterbi anchor (a trainer that re-scans
+          // the corpus per iteration blows through it).
+          var trainTables = Vector.empty[Seq[(String, Long, Long, Long)]]
+          val trainJson = coldWarm("reference_tok_1m", "unigram_train_1m", warmReps = 1) {
+            trainTables = trainTables :+ graft.ops.Text.unigramTrain(docs)
+              .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+                r.getLong(2), r.getLong(3))) }
+          val trainBad = trainTables.exists { t =>
+            t.isEmpty || t.count(_._1.length >= 2) > 40 ||
+              t.exists { case (p, l, m, lp) =>
+                l != p.length.toLong || m < 1L || lp >= 0L } } ||
+            trainTables.distinct.size != 1
+          if (trainBad) throw new GoldenMismatch(
+            s"unigram train 1M anchor MISMATCH: sizes ${trainTables.map(_.size)} " +
+            "(want identical piece tables, alphabet mass >= 1, lp9 < 0, <= 40 multi-char)")
+          val warmVit = timeOf(vitJson, "unigram_viterbi_1m_warm")
+          val warmTrain = timeOf(trainJson, "unigram_train_1m_warm")
+          if (warmVit < 0 || warmTrain < 0) throw new GoldenMismatch(
+            s"unigram flatness inputs unparsed: vit=$warmVit train=$warmTrain")
+          val trainScale = warmTrain / math.max(warmVit, 0.05)
+          if (trainScale > 12.0) throw new GoldenMismatch(
+            f"unigram EM cost NOT vocab-bounded: training took $trainScale%.1fx " +
+            "the single-DP viterbi anchor (3 flat EM rounds predict ~3-4x, bound 12x)")
+          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$qlJson,$vitJson,$trainJson,""" +
             f""""bpe_merge_scale_ratio":$mergeScale%.2f,""" +
+            f""""unigram_train_scale_ratio":$trainScale%.2f,""" +
             f""""bpe_merge_scale_ratio_4k":$mergeScale4k%.2f,"bpe_infer_chunks":64}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {

@@ -4380,29 +4380,18 @@ object Text {
     * TakeOrderedAndProject heap. The DuckDB oracle unrolls the same DP
     * as materialized per-position CTE stages (the Gonzalez-unroll
     * recipe), so the gate hash-matches the full segmentation. */
-  def unigramViterbi(docs: DataFrame, maxPieceLen: Int = 4,
-                     maxWordLen: Int = 16, thrDiv: Long = 30L,
-                     topK: Int = 100): DataFrame = {
-    require(maxPieceLen >= 2 && maxWordLen >= 1 && thrDiv >= 1 && topK >= 1,
-      s"bad params ($maxPieceLen, $maxWordLen, $thrDiv, $topK)")
-    val words = graft.core.InternalCaches.persist(
-      withTokens(docs).select(explode(col("t")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
-    val thr = words.agg(sum(col("cnt")).cast(LongType)).head.getLong(0) / thrDiv
-    def subFreq(l: Int): DataFrame =
-      words.filter(length(col("w")) >= l)
-        .select(col("cnt"), explode(expr(
-          s"transform(sequence(1, length(w) - $l + 1), i -> substring(w, i, $l))")).as("p"))
-        .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("freq"))
-    val kept = (2 to maxPieceLen)
-      .map(l => subFreq(l).filter(col("freq") >= thr))
-      .foldLeft(subFreq(1))(_ unionByName _)
-    val tm = kept.agg(sum(col("freq")).cast(LongType).as("tm"))
-    val vocab = graft.core.InternalCaches.persist(
-      kept.crossJoin(broadcast(tm)).select(col("p"),
-        length(col("p")).cast(LongType).as("l"),
-        expr("CAST(round(round(ln(CAST(freq AS DOUBLE) / CAST(tm AS DOUBLE)), 9)" +
-          " * 1e9) AS BIGINT)").as("lp9")))
+  /** The shared Viterbi DP over word positions (q140 inference, q185
+    * training e-step): segments every word of `words` (w, cnt) of length
+    * 1..maxWordLen under the piece model `vocab` (p, l, lp9) and returns
+    * (w, cnt, score, np, seq) — the unique best segmentation per word.
+    * Each of ≤ maxWordLen stages is ≤ maxPieceLen BROADCAST vocab joins +
+    * one word-keyed struct-max argmax, eagerly localCheckpointed (the
+    * q118 lineage cut; mandatory here because every stage frame is
+    * consumed by up to maxPieceLen later stages). Ties break (score DESC,
+    * np ASC, l DESC) — for fixed l the predecessor state is unique, so
+    * the rule is a total order and the argmax engine-exact. */
+  private def viterbiStages(words: DataFrame, vocab: DataFrame,
+                            maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val maxLenRow = words.agg(max(length(col("w")))).head
     val maxLen =
       if (maxLenRow.isNullAt(0)) 0
@@ -4433,10 +4422,58 @@ object Text {
       stages = stages :+ stage
       done = done :+ stage.filter(length(col("w")) === j)
     }
+    if (done.isEmpty)
+      words.limit(0).select(col("w"), col("cnt"), lit(0L).as("score"),
+        lit(0L).as("np"), lit("").as("seq"))
+    else done.reduce(_ unionByName _)
+  }
+
+  /** Corpus occurrence mass of every substring piece of length
+    * 1..maxPieceLen over the (w, cnt) word table — single characters
+    * unconditionally (a segmentation path must always exist), longer
+    * pieces at mass ≥ total_tokens/thrDiv. Shared q140/q185 seeding. */
+  private def seedPieces(words: DataFrame, maxPieceLen: Int,
+                         thrDiv: Long): DataFrame = {
+    val thr = words.agg(sum(col("cnt")).cast(LongType)).head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) / thrDiv
+    }
+    def subFreq(l: Int): DataFrame =
+      words.filter(length(col("w")) >= l)
+        .select(col("cnt"), explode(expr(
+          s"transform(sequence(1, length(w) - $l + 1), i -> substring(w, i, $l))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("freq"))
+    (2 to maxPieceLen)
+      .map(l => subFreq(l).filter(col("freq") >= thr))
+      .foldLeft(subFreq(1))(_ unionByName _)
+  }
+
+  /** (p, l, lp9) from a (p, mass) piece table: ln(mass/Σmass) rounded to
+    * 9 then scaled to an exact integer — the shared q140/q185 pinning. */
+  private def pieceLogProbs(masses: DataFrame, massCol: String): DataFrame = {
+    val tm = masses.agg(sum(col(massCol)).cast(LongType).as("tm"))
+    masses.crossJoin(broadcast(tm)).select(col("p"),
+      length(col("p")).cast(LongType).as("l"),
+      expr(s"CAST(round(round(ln(CAST($massCol AS DOUBLE) / CAST(tm AS DOUBLE)), 9)" +
+        " * 1e9) AS BIGINT)").as("lp9"))
+  }
+
+  def unigramViterbi(docs: DataFrame, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16, thrDiv: Long = 30L,
+                     topK: Int = 100): DataFrame = {
+    require(maxPieceLen >= 2 && maxWordLen >= 1 && thrDiv >= 1 && topK >= 1,
+      s"bad params ($maxPieceLen, $maxWordLen, $thrDiv, $topK)")
+    val words = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    val kept = seedPieces(words, maxPieceLen, thrDiv)
+    val vocab = graft.core.InternalCaches.persist(
+      pieceLogProbs(kept, "freq"))
+    val seg = viterbiStages(words, vocab, maxPieceLen, maxWordLen)
     val unk = words.filter(length(col("w")) > maxWordLen)
       .select(col("w"), col("cnt"), lit(null).cast(LongType).as("score"),
         lit(1L).as("np"), lit("[UNK]").as("seq"))
-    (done :+ unk).reduce(_ unionByName _)
+    Seq(seg, unk).reduce(_ unionByName _)
       .select(col("w"), col("cnt"), col("np").as("n_pieces"), col("seq"),
         col("score").as("score_lp9"))
       .orderBy(col("cnt").desc, col("w").asc)
@@ -4445,6 +4482,80 @@ object Text {
 
   def qUnigramViterbi(s: SparkSession, dir: String): DataFrame =
     unigramViterbi(Tables.documents(s, dir))
+
+  /** Unigram-LM (SentencePiece) tokenizer TRAINING (Kudo, ACL 2018 §4.2)
+    * — the missing half of the fourth tokenizer family: q140 segments
+    * under a FROZEN frequency-derived piece model; this trains the model
+    * by fixed-iteration hard EM (Viterbi-EM):
+    *
+    *   seed     substring masses from [[seedPieces]] (single chars
+    *            unconditional, longer pieces at mass ≥ tokens/thrDiv) —
+    *            the q140 seed, so iteration 0 IS the frozen q140 model
+    *   e-step   [[viterbiStages]]: best segmentation of every word of
+    *            the (w, cnt) table under the current scaled-integer lp9
+    *            model (real SentencePiece uses forward–backward expected
+    *            counts over ALL segmentations; the hard-EM variant keeps
+    *            every count an exact integer, so the trained table is
+    *            bit-identical on any engine — same e-step machinery, MAP
+    *            instead of marginal)
+    *   m-step   expected piece mass = Σ_w cnt(w) · occurrences(p, seg_w)
+    *            — a piece-keyed explode+sum; single characters get +1
+    *            smoothing so the alphabet never dies and a path always
+    *            exists in the next e-step
+    *   prune    multi-char pieces with zero mass vanish, survivors cut
+    *            to the top-V by (mass DESC, p ASC) — SentencePiece's
+    *            prune-only vocabulary schedule
+    *
+    * Output: the full trained piece table (piece, l, mass, lp9) after
+    * nIters rounds, lp9 from the final masses — the model artifact a
+    * q140-style segmenter would load.
+    *
+    * Scale shape: ONE corpus token scan builds the word table; every
+    * later frame is vocab-bounded (words ≤ |vocabulary|, pieces ≤
+    * alphabet + V), so iteration cost is corpus-size-INDEPENDENT after
+    * the scan — the 1M-doc BIG anchor asserts the flat shape. The vocab
+    * is consumed maxWordLen·maxPieceLen times per e-step and twice more
+    * in the m-step, so each iteration's model is eagerly
+    * localCheckpointed (the q118 BPE-loop lineage cut — the pitfall
+    * frame consumed more than once per iteration). The top-V cut is a
+    * bounded-frame sort, never a corpus window. */
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 16, thrDiv: Long = 30L,
+                   nIters: Int = 3, vocabV: Int = 40): DataFrame = {
+    require(maxPieceLen >= 2 && maxWordLen >= 1 && thrDiv >= 1 &&
+      nIters >= 1 && vocabV >= 1,
+      s"bad params ($maxPieceLen, $maxWordLen, $thrDiv, $nIters, $vocabV)")
+    // Training corpus = words of length 1..maxWordLen: the over-long tail
+    // (q140's [UNK] words) contributes neither seed mass nor counts.
+    val words = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .filter(length(col("w")).between(1, maxWordLen))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    var masses = seedPieces(words, maxPieceLen, thrDiv)
+      .select(col("p"), col("freq").as("mass"))
+      .localCheckpoint(true)
+    for (_ <- 1 to nIters) {
+      val vocab = pieceLogProbs(masses, "mass").localCheckpoint(true)
+      val seg = viterbiStages(words, vocab, maxPieceLen, maxWordLen)
+      val ec = seg
+        .select(col("cnt"), explode(split(col("seq"), " ")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("ec"))
+        .coalesce(1).localCheckpoint(true) // consumed by singles AND multi
+      val alphabet = masses.filter(length(col("p")) === 1).select(col("p"))
+      val singles = alphabet.join(ec, Seq("p"), "left")
+        .select(col("p"), (coalesce(col("ec"), lit(0L)) + 1L).as("mass"))
+      val multi = ec.filter(length(col("p")) >= 2)
+        .orderBy(col("ec").desc, col("p").asc).limit(vocabV)
+        .select(col("p"), col("ec").as("mass"))
+      masses = singles.unionByName(multi).coalesce(1).localCheckpoint(true)
+    }
+    pieceLogProbs(masses, "mass")
+      .join(masses, Seq("p"))
+      .select(col("p").as("piece"), col("l"), col("mass"), col("lp9"))
+  }
+
+  def qUnigramTrain(s: SparkSession, dir: String): DataFrame =
+    unigramTrain(Tables.documents(s, dir))
 
   /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 — "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
@@ -4822,6 +4933,7 @@ object Text {
     "q138_corpus_bleu"         -> (qCorpusBleu _),
     "q139_zipf_slope"          -> (qZipfSlope _),
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
+    "q185_unigram_train"       -> (qUnigramTrain _),
     "q148_heaps_law"           -> (qHeapsLaw _),
     "q149_minhash_error"       -> (qMinhashError _),
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
@@ -5078,6 +5190,88 @@ object Text {
        FROM seg ORDER BY cnt DESC, w ASC LIMIT $topK"""
   }
 
+  /** q185 oracle — the hard-EM training loop unrolled as per-iteration
+    * materialized CTE blocks (the q118/q25 unroll recipe): each iteration
+    * re-derives the scaled-integer lp9 model from the previous masses,
+    * runs the SAME per-position DP unroll as [[unigramViterbiOracle]]
+    * (names suffixed by iteration), explodes the winning segmentations
+    * into piece expected counts, then rebuilds the mass table (+1
+    * alphabet smoothing, top-V multi-char cut by (mass DESC, p ASC)).
+    * All masses and DP scores are exact integers, so the trained table
+    * hash-matches bit-for-bit. */
+  private def unigramTrainOracle(maxPieceLen: Int, maxWordLen: Int,
+                                 thrDiv: Long, nIters: Int,
+                                 vocabV: Int): String = {
+    val subs = (1 to maxPieceLen).map { l =>
+      s"""sub$l AS MATERIALIZED (SELECT substring(w, i, $l) AS p,
+             CAST(sum(cnt) AS BIGINT) AS freq
+           FROM (SELECT w, cnt, unnest(range(1, len(w) - $l + 2)) AS i
+                 FROM words WHERE len(w) >= $l)
+           GROUP BY p)"""
+    }.mkString(",\n         ")
+    val keptUnion = ((2 to maxPieceLen).map(l =>
+      s"SELECT p, freq AS mass FROM sub$l WHERE freq >= (SELECT thr FROM thr)") :+
+      "SELECT p, freq AS mass FROM sub1").mkString(" UNION ALL ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE len(w) BETWEEN 1 AND $maxWordLen
+           GROUP BY w),
+         thr AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) // $thrDiv AS thr FROM words),
+         $subs,
+         v0 AS MATERIALIZED ($keptUnion)"""
+    for (k <- 1 to nIters) {
+      sb ++= s""",
+         tm$k AS (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM v${k - 1}),
+         vlp$k AS MATERIALIZED (SELECT p, CAST(len(p) AS BIGINT) AS l,
+             CAST(round(round(ln(CAST(mass AS DOUBLE) /
+               CAST((SELECT tm FROM tm$k) AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp9
+           FROM v${k - 1}),
+         b${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS score,
+             CAST(0 AS BIGINT) AS np, '' AS seq
+           FROM words)"""
+      for (j <- 1 to maxWordLen) {
+        val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+          s"""SELECT b.w, b.cnt, b.score + v.lp9 AS score, b.np + 1 AS np,
+               CASE WHEN b.seq = '' THEN v.p
+                    ELSE b.seq || ' ' || v.p END AS seq,
+               CAST($l AS BIGINT) AS l
+             FROM b${k}_${j - l} b JOIN vlp$k v
+               ON v.l = $l AND v.p = substring(b.w, ${j - l + 1}, $l)
+             WHERE len(b.w) >= $j"""
+        }.mkString(" UNION ALL ")
+        sb ++= s""",
+         b${k}_$j AS MATERIALIZED (SELECT w, cnt, score, np, seq FROM ($cands)
+           QUALIFY row_number() OVER (PARTITION BY w
+             ORDER BY score DESC, np ASC, l DESC) = 1)"""
+      }
+      val segUnion = (1 to maxWordLen)
+        .map(j => s"SELECT cnt, seq FROM b${k}_$j WHERE len(w) = $j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+         ec$k AS MATERIALIZED (SELECT p, CAST(sum(cnt) AS BIGINT) AS ec
+           FROM (SELECT cnt, unnest(string_split(seq, ' ')) AS p
+                 FROM ($segUnion))
+           GROUP BY p),
+         v$k AS MATERIALIZED (
+           SELECT a.p, CAST(coalesce(e.ec, 0) + 1 AS BIGINT) AS mass
+           FROM (SELECT p FROM v${k - 1} WHERE len(p) = 1) a
+             LEFT JOIN ec$k e USING (p)
+           UNION ALL
+           SELECT p, ec AS mass FROM (
+             SELECT p, ec FROM ec$k WHERE len(p) >= 2
+             QUALIFY row_number() OVER (ORDER BY ec DESC, p ASC) <= $vocabV))"""
+    }
+    sb ++= s""",
+         tmf AS (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM v$nIters)
+       SELECT p AS piece, CAST(len(p) AS BIGINT) AS l, mass,
+         CAST(round(round(ln(CAST(mass AS DOUBLE) /
+           CAST((SELECT tm FROM tmf) AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp9
+       FROM v$nIters"""
+    sb.toString
+  }
+
   private def fertilityOracle(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= bpeCtes(nMerges, "(SELECT text FROM documents WHERE doc_id % 2 = 0)")
@@ -5193,6 +5387,7 @@ object Text {
     // per-term contribs round to 9 and sum as decimals, the K-row finish
     // is the identical double chain; kl sums the UNROUNDED kl_absent
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
+    "q185_unigram_train" -> unigramTrainOracle(4, 16, 30L, 3, 40),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
     // q145: GROUND-TRUTH positional scan — the Spark side must reproduce

@@ -1736,6 +1736,40 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("unigramTrain: EM demotes a piece that raw frequency overranks; alphabet survives at +1") {
+    import spark.implicits._
+    // Corpus: "abab"×10, "ab"×1, "cd"×6. Raw substring mass ranks
+    // ab (2·10+1 = 21) ABOVE abab (10) and cd (6) — but every "abab"
+    // occurrence Viterbi-segments as the single piece [abab] (ln(10/121)
+    // ≈ −2.49 beats [ab ab] ≈ −3.50), so ab's raw mass was really
+    // explained by the longer piece. After one EM round the expected
+    // counts are abab:10, cd:6, ab:1 — cd OVERTAKES ab — and ba/aba/bab
+    // (raw mass 10 each) prune to zero. Iterations 2..3 are a fixed
+    // point, so the trained table is stable.
+    val docs = Seq((0L, (("abab " * 10) + "ab " + ("cd " * 6)).trim))
+      .toDF("doc_id", "text")
+    try {
+      val got = Text.unigramTrain(docs, maxPieceLen = 4, maxWordLen = 16,
+        thrDiv = 30L, nIters = 3, vocabV = 40).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val mass = got.view.mapValues(_._2).toMap
+      assert(mass("abab") == 10L && mass("cd") == 6L && mass("ab") == 1L, s"$got")
+      assert(mass("cd") > mass("ab"),
+        "EM must rank cd above ab after reassigning ab's mass to abab")
+      assert(!got.contains("ba") && !got.contains("aba") && !got.contains("bab"),
+        s"zero-expected-count pieces must prune: $got")
+      // the alphabet never dies: +1 smoothing keeps unused single chars
+      assert(Seq("a", "b", "c", "d").forall(c => mass(c) == 1L), s"$got")
+      assert(got.size == 7, s"$got")
+      // lp9 pins to the scaled round-9 ln of mass/21
+      val lp9 = (m: Long) => math.round(BigDecimal(math.log(m / 21.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+      assert(got("abab") == ((4L, 10L, lp9(10))), s"$got")
+      assert(got("cd") == ((2L, 6L, lp9(6))), s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("unigramViterbi: whole-word piece wins when frequent; overlong words emit [UNK]") {
     import spark.implicits._
     // "abc abc ab c": piece abc (mass 2) scores ln(2/16) ≈ −2.08 as ONE
