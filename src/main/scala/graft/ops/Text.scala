@@ -4730,89 +4730,105 @@ object Text {
     * Scale shape: per-line and per-n-gram counts shuffle on
     * (doc_id, line) / (doc_id, n, ngram) — key cardinality is bounded by
     * the document's OWN size, so no global hot key exists; the coverage
-    * union re-keys on (doc_id, n, position), fan-out ≤ n per duplicate
-    * occurrence (linear in doc size); everything then collapses back to
+    * union is an INTERVAL MERGE over each (doc, n)'s sorted duplicate
+    * start array (all intervals share length n, so one pass suffices),
+    * folded against the doc's own token array — doc-bounded rows, no
+    * per-position fan-out; everything then collapses back to
     * one row per doc. All statistics are exact integers until ONE pinned
     * double division each — bit-identical on every engine and
     * partitioning. The keep flag compares the UNROUNDED divisions. */
   def gopherRepetition(docs: DataFrame): DataFrame = {
     val nsDup = 5 to 10
-    val base = graft.core.InternalCaches.persist(docs
+    // The ENTIRE battery is per-row expression work riding the scan —
+    // zero joins, zero shuffles (the q154 run-length recipe, extended
+    // with struct-sort duplicate detection and interval-merge union
+    // coverage). Each statistic sorts a doc-bounded array and folds over
+    // it; ANY total order groups identical values adjacently, so the
+    // binary string sort is only an equality-grouping device and never
+    // leaks into the reported integers.
+    var df = docs
       .withColumn("ls", split(col("text"), "\n", -1))
       .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-      .select(col("doc_id"), col("ls"), col("t")))
-    val scal = base.select(col("doc_id"),
-      size(col("ls")).cast(LongType).as("n_lines"),
-      (size(col("ls")) - size(array_distinct(col("ls")))).cast(LongType)
-        .as("n_dup_lines"),
-      expr("aggregate(ls, 0L, (acc, x) -> acc + length(x))").as("line_chars"),
-      expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").as("tot_chars"),
-      size(col("t")).cast(LongType).as("n_tok"))
-    val dupLineChars = base
-      .select(col("doc_id"), explode(col("ls")).as("line"))
-      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .groupBy(col("doc_id"))
-      .agg(sum((col("cnt") - 1) * length(col("line")).cast(LongType))
-        .cast(LongType).as("dup_line_chars"))
-    // top n-grams (n = 2..4) in ONE pipeline: n rides as a column through
-    // the (doc, n, ngram) count, the per-(doc, n) argmax is min(struct(
-    // -cnt, ng)) — no window — and a conditional agg pivots n wide
-    val topNg = base
-      .withColumn("n", explode(array((2 to 4).map(lit): _*)))
-      .filter(size(col("t")) >= col("n"))
-      .select(col("doc_id"), col("n"), explode(expr(
-        "transform(sequence(1, size(t) - n + 1), " +
-          "i -> concat_ws(' ', slice(t, i, n)))")).as("ng"))
-      .groupBy(col("doc_id"), col("n"), col("ng"))
-      .agg(count(lit(1)).cast(LongType).as("cnt"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(min(struct((-col("cnt")).as("nc"), col("ng").as("ng"))).as("top"))
-      .select(col("doc_id"), col("n"),
-        ((-col("top.nc")) * (length(col("top.ng")) - (col("n") - 1)))
-          .cast(LongType).as("chars"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("n") === 2, col("chars")).otherwise(0L))
-        .cast(LongType).as("top2_chars"),
-        (3 to 4).map(n =>
-          sum(when(col("n") === n, col("chars")).otherwise(0L))
-            .cast(LongType).as(s"top${n}_chars")): _*)
-    // duplicate n-grams (n = 5..10), union coverage: positional n-grams →
-    // keys seen ≥ 2× → covered (doc, n, pos) set → token-length join →
-    // conditional agg pivots n wide
-    val posNg = base
-      .withColumn("n", explode(array(nsDup.map(lit): _*)))
-      .filter(size(col("t")) >= col("n"))
-      .select(col("doc_id"), col("n"), explode(expr(
-        "transform(sequence(1, size(t) - n + 1), " +
-          "i -> struct(i AS i, concat_ws(' ', slice(t, i, n)) AS ng))")).as("s"))
-      .select(col("doc_id"), col("n"), col("s.i").as("i"), col("s.ng").as("ng"))
-    val dupKeys = posNg.groupBy(col("doc_id"), col("n"), col("ng"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-      .select(col("doc_id"), col("n"), col("ng"))
-    val tokLen = base
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"),
-        length(col("tok")).cast(LongType).as("tl"))
-    val dupChars = posNg.join(dupKeys, Seq("doc_id", "n", "ng"))
-      .select(col("doc_id"), col("n"),
-        explode(expr("sequence(i, i + n - 1)")).as("pos"))
-      .distinct()
-      .join(tokLen, Seq("doc_id", "pos"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("n") === nsDup.head, col("tl")).otherwise(0L))
-        .cast(LongType).as(s"dup${nsDup.head}_chars"),
-        nsDup.tail.map(n =>
-          sum(when(col("n") === n, col("tl")).otherwise(0L))
-            .cast(LongType).as(s"dup${n}_chars")): _*)
+      // duplicate-line chars: run lengths over the SORTED line array
+      // (ls always has ≥ 1 element, so no degenerate-range guard needed);
+      // runs of 1 contribute (1 − 1)·len = 0, so no ≥ 2 filter either
+      .withColumn("sl", expr("array_sort(ls)"))
+      .withColumn("lbd", expr(
+        "filter(sequence(1, size(sl)), " +
+          "k -> k = 1 OR element_at(sl, k) <> element_at(sl, k - 1))"))
+      .withColumn("dup_line_chars", expr(
+        "aggregate(sequence(1, size(lbd)), 0L, (a, j) -> a + " +
+          "CAST(coalesce(try_element_at(lbd, j + 1), size(sl) + 1) " +
+            "- element_at(lbd, j) - 1 AS BIGINT) " +
+          "* length(element_at(sl, element_at(lbd, j))))"))
+    // top n-gram (n = 2..4): sorted n-gram strings → run lengths; the
+    // ascending fold keeps the STRICTLY greater count, so ties resolve
+    // to the lexicographically smallest n-gram — the old min(struct(
+    // -cnt, ng)) order, without the (doc, n, ngram) shuffle
+    for (n <- 2 to 4) {
+      df = df
+        .withColumn(s"sg$n", expr(
+          s"CASE WHEN size(t) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+            s"array_sort(transform(sequence(1, size(t) - $n + 1), " +
+            s"i -> concat_ws(' ', slice(t, i, $n)))) END"))
+        .withColumn(s"bd$n", expr(
+          s"CASE WHEN size(sg$n) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+            s"filter(sequence(1, size(sg$n)), " +
+            s"k -> k = 1 OR element_at(sg$n, k) <> element_at(sg$n, k - 1)) END"))
+        .withColumn(s"top${n}_chars", expr(
+          s"CASE WHEN size(bd$n) < 1 THEN 0L ELSE aggregate(" +
+            s"sequence(1, size(bd$n)), named_struct('c', 0L, 'g', ''), " +
+            s"(b, j) -> CASE WHEN CAST(coalesce(try_element_at(bd$n, j + 1), " +
+              s"size(sg$n) + 1) - element_at(bd$n, j) AS BIGINT) > b.c " +
+            s"THEN named_struct('c', CAST(coalesce(try_element_at(bd$n, j + 1), " +
+              s"size(sg$n) + 1) - element_at(bd$n, j) AS BIGINT), " +
+              s"'g', element_at(sg$n, element_at(bd$n, j))) ELSE b END, " +
+            s"b -> b.c * CAST(length(b.g) - ${n - 1} AS BIGINT)) END"))
+    }
+    // duplicate n-grams (n = 5..10), union coverage by INTERVAL MERGE:
+    // sort (ngram, start) structs so identical n-grams sit adjacent; a
+    // position is a duplicate start iff its neighbor shares the n-gram;
+    // the SORTED start array then merges into disjoint ranges
+    // [s_k, min(s_k + n − 1, s_{k+1} − 1)] — every interval shares
+    // length n, so the union is one pass over sorted starts (starts are
+    // distinct: one n-gram per position) — and covered chars fold
+    // length(t[p]) straight off the token array. Total inner-fold work
+    // is exactly the covered-position count, ≤ doc length. (The old
+    // shape — positional explode → dup-key join → per-position explode →
+    // corpus-keyed distinct → token-length join — was 13.5% of the whole
+    // 176-gate sweep.)
+    for (n <- nsDup) {
+      df = df
+        .withColumn(s"sp$n", expr(
+          s"CASE WHEN size(t) < $n " +
+            s"THEN CAST(array() AS ARRAY<STRUCT<ng: STRING, i: INT>>) ELSE " +
+            s"array_sort(transform(sequence(1, size(t) - $n + 1), " +
+            s"i -> named_struct('ng', concat_ws(' ', slice(t, i, $n)), 'i', i))) END"))
+        .withColumn(s"ds$n", expr(
+          s"CASE WHEN size(sp$n) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+            s"array_sort(transform(filter(sequence(1, size(sp$n)), " +
+            s"k -> (k > 1 AND element_at(sp$n, k).ng = element_at(sp$n, k - 1).ng) " +
+            s"OR (k < size(sp$n) AND element_at(sp$n, k).ng = element_at(sp$n, k + 1).ng)), " +
+            s"k -> element_at(sp$n, k).i)) END"))
+        .withColumn(s"dup${n}_chars", expr(
+          s"CASE WHEN size(ds$n) < 1 THEN 0L ELSE " +
+            s"aggregate(sequence(1, size(ds$n)), 0L, (acc, k) -> acc + " +
+            s"aggregate(sequence(element_at(ds$n, k), " +
+              s"least(element_at(ds$n, k) + $n - 1, " +
+                s"coalesce(try_element_at(ds$n, k + 1) - 1, " +
+                  s"element_at(ds$n, k) + $n - 1))), " +
+              s"0L, (a, p) -> a + length(element_at(t, p)))) END"))
+    }
     def frac(num: Column, den: Column): Column =
       when(den > 0L, num.cast(DoubleType) / den).otherwise(lit(0.0))
-    val joined = scal
-      .join(dupLineChars, Seq("doc_id"), "left")
-      .join(topNg, Seq("doc_id"), "left")
-      .join(dupChars, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dup_line_chars") ++
-        (2 to 4).map(n => s"top${n}_chars") ++ nsDup.map(n => s"dup${n}_chars"))
+    val joined = df
+      .withColumn("n_lines", size(col("ls")).cast(LongType))
+      .withColumn("n_dup_lines",
+        (size(col("ls")) - size(array_distinct(col("ls")))).cast(LongType))
+      .withColumn("line_chars",
+        expr("aggregate(ls, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("tot_chars",
+        expr("aggregate(t, 0L, (acc, x) -> acc + length(x))"))
       .withColumn("dup_line_frac_raw",
         frac(col("n_dup_lines"), col("n_lines")))
       .withColumn("dup_line_char_frac_raw",
@@ -4846,6 +4862,11 @@ object Text {
     * same leftmost-nonoverlapping contract in both engines. */
   def qGopherRepetition(s: SparkSession, dir: String): DataFrame =
     gopherRepetition(Tables.documents(s, dir)
+      // the battery is pure per-row work, so parallelism = input splits;
+      // the sandbox corpus arrives as ONE parquet split, so the gate
+      // spreads rows across cores first (a narrow round-robin exchange a
+      // pre-split production input would never need)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("text", concat(col("text"), lit(" "),
         array_join(expr("slice(filter(split(text, '\\\\s+'), x -> x <> ''), 1, 37)"),
           " ")))
