@@ -294,6 +294,81 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   override def prettyName: String = "graft_nearest_cells"
 }
 
+/** Longest-common-subsequence LENGTH of two token arrays — the ROUGE-L
+  * kernel (q173), as one tight O(|c|·|r|) rolling-row DP.
+  *
+  * Why an expression: the declarative prefix-max formulation (each DP row
+  * one `transform` over the previous) is oracle-mirrorable but emulates
+  * the row update with an inner `aggregate(sequence(1, j), …)`, making
+  * each row O(|r|²) and the whole LCS O(|c|·|r|²) per pair in interpreted
+  * HOF evaluation — measured as the #2 cost of the round-13 gate sweep.
+  * The classic two-row DP here is the textbook recurrence (dp[i][j] =
+  * diag+1 on match else max(up, left)); both compute THE LCS length, an
+  * exact integer, so the result is bit-identical to the HOF form and the
+  * DuckDB recursive-CTE oracle, at O(|c|·|r|) with zero allocation beyond
+  * one int row. Null semantics match the HOF chain: null arrays → NULL,
+  * null ELEMENTS simply never match (the CASE's null comparison was
+  * false-y). CodegenFallback: per-row work is the DP loop itself, so the
+  * one virtual call is noise (same reasoning as ShingleHashes).
+  */
+case class LcsLength(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lcs expects array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val c = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    val nc = c.numElements()
+    val nr = r.numElements()
+    if (nc == 0 || nr == 0) return 0L
+    // materialize r once; c tokens are read once per outer step
+    val rt = new Array[org.apache.spark.unsafe.types.UTF8String](nr)
+    var j = 0
+    while (j < nr) {
+      rt(j) = if (r.isNullAt(j)) null else r.getUTF8String(j)
+      j += 1
+    }
+    val row = new Array[Int](nr + 1)
+    var i = 0
+    while (i < nc) {
+      val ci = if (c.isNullAt(i)) null else c.getUTF8String(i)
+      var diag = row(0)
+      j = 1
+      while (j <= nr) {
+        val tmp = row(j)
+        if (ci != null && ci.equals(rt(j - 1))) {
+          row(j) = diag + 1
+        } else if (row(j - 1) > row(j)) {
+          row(j) = row(j - 1)
+        }
+        diag = tmp
+        j += 1
+      }
+      i += 1
+    }
+    row(nr).toLong
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_lcs"
+}
+
 /** Morton (Z-order) interleave of two signed 32-bit cell coordinates into
   * one long sort key. Sorting/range-partitioning geometric or 2-key data by
   * this key before writing clusters spatial neighbors into the same files
@@ -356,6 +431,9 @@ object GraftFunctions {
   val zorderInfo = info(classOf[ZOrder2], "graft_zorder",
     "graft_zorder(i, j) - Morton (Z-order) interleave of two 32-bit coordinates into a long sort key")
 
+  val lcsInfo = info(classOf[LcsLength], "graft_lcs",
+    "graft_lcs(c, r) - longest-common-subsequence length of two string arrays")
+
   private def toInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
 
@@ -375,6 +453,11 @@ object GraftFunctions {
     if (!registry.functionExists(zId)) {
       registry.registerFunction(zId, zorderInfo,
         (children: Seq[Expression]) => ZOrder2(children(0), children(1)))
+    }
+    val lcsId = FunctionIdentifier("graft_lcs")
+    if (!registry.functionExists(lcsId)) {
+      registry.registerFunction(lcsId, lcsInfo,
+        (children: Seq[Expression]) => LcsLength(children(0), children(1)))
     }
   }
 }

@@ -3256,34 +3256,22 @@ object Text {
     * pair (sums aggregate BEFORE any division — the corpus-BLEU
     * convention, not a mean of per-doc ratios).
     *
-    * The DP is the prefix-max LCS form, which has NO within-row
-    * dependency: row_i[j] = max(row_{i−1}[j], max_{k≤j, r[k]=c[i]}
-    * row_{i−1}[k−1]+1) — any LCS of c[1..i], r[1..j] either skips c_i or
-    * matches it at some k ≤ j. That makes each new row ONE independent
-    * transform over the previous row (a pure codegen'd expression in
-    * Spark; a recursive CTE over i in the DuckDB oracle), where the
-    * textbook recurrence needs new[j−1] and cannot parallelize across j.
-    * All-integer until the three output divisions — bit-exact on any
-    * engine.
+    * The LCS length runs in the native [[graft.functions.LcsLength]]
+    * expression (`graft_lcs`): the classic two-row DP at O(|c|·|r|) with
+    * one int row of state — an exact integer, so it is bit-identical to
+    * the declarative prefix-max form it replaced (row_i[j] =
+    * max(row_{i−1}[j], max_{k≤j, r[k]=c[i]} row_{i−1}[k−1]+1), kept as
+    * the DuckDB oracle's recursive CTE over i) while dropping the HOF
+    * emulation's O(|c|·|r|²) inner prefix-max. All-integer until the
+    * three output divisions — bit-exact on any engine.
     *
     * Scale shape: one scan of the PAIRS frame (generation evals score a
     * bounded eval sample, never the crawl — the gate slices doc_id % 10),
-    * per-row O(|c|·|r|²) expression work with no join and no explode,
+    * per-row O(|c|·|r|) primitive-loop work with no join and no explode,
     * then a group-key rollup of three integer sums. */
   def rougeL(pairs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val lcsExpr = expr(
-      """element_at(
-           aggregate(c,
-             transform(sequence(0, size(r)), x -> 0L),
-             (row, ci) -> transform(sequence(0, size(r)), j ->
-               CASE WHEN j = 0 THEN 0L ELSE
-                 greatest(element_at(row, j + 1),
-                   aggregate(sequence(1, j), 0L, (mx, k) ->
-                     CASE WHEN element_at(r, k) = ci
-                            AND element_at(row, k) + 1L > mx
-                          THEN element_at(row, k) + 1L ELSE mx END))
-               END)),
-           size(r) + 1)""")
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    val lcsExpr = expr("graft_lcs(c, r)")
     pairs
       .select(col(groupCol), lcsExpr.as("lcs"),
         size(col("r")).cast(LongType).as("nr"),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{DotProduct, GraftFunctions, ShingleHashes, ZOrder2}
+import graft.functions.{DotProduct, GraftFunctions, LcsLength, ShingleHashes, ZOrder2}
 
 /** Session extension registering the graft native functions, for sessions
   * configured with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions must see every graft_* function
     ext.injectFunction((FunctionIdentifier("graft_zorder"), GraftFunctions.zorderInfo,
       (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_lcs"), GraftFunctions.lcsInfo,
+      (children: Seq[Expression]) => LcsLength(children(0), children(1))))
     // band-join → equi-join rewrite (see BandJoinRule); also available on a
     // live session via spark.experimental.extraOptimizations
     ext.injectOptimizerRule(_ => BandJoinRule())

@@ -86,4 +86,48 @@ class FunctionsSpec extends SparkSpec {
         toks, n, Array(0xdeadbeefL)), s"trial $trial: phantom member")
     }
   }
+
+  test("graft_lcs: hand cases, empty arrays, null semantics") {
+    assert(one("graft_lcs(array('a','b','c'), array('a','b','c'))").getLong(0) == 3L)
+    assert(one("graft_lcs(array('a','x','b','y','c'), array('a','b','c'))").getLong(0) == 3L)
+    assert(one("graft_lcs(array('x','y'), array('a','b'))").getLong(0) == 0L)
+    assert(one("graft_lcs(CAST(array() AS ARRAY<STRING>), array('a'))").getLong(0) == 0L)
+    assert(one("graft_lcs(array('a'), CAST(array() AS ARRAY<STRING>))").getLong(0) == 0L)
+    // null ARRAY → NULL (null-intolerant); null ELEMENT never matches
+    assert(one("graft_lcs(CAST(NULL AS ARRAY<STRING>), array('a'))").isNullAt(0))
+    assert(one("graft_lcs(array('a', CAST(NULL AS STRING), 'b'), " +
+      "array('a', CAST(NULL AS STRING), 'b'))").getLong(0) == 2L)
+  }
+
+  test("graft_lcs agrees with the declarative prefix-max HOF form (property)") {
+    // the q173 migration premise: the native two-row DP and the old
+    // prefix-max HOF formulation compute the identical LCS length for any
+    // token pair — including repeats and empty/unicode tokens
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val hof =
+      """element_at(
+           aggregate(c,
+             transform(sequence(0, size(r)), x -> 0L),
+             (row, ci) -> transform(sequence(0, size(r)), j ->
+               CASE WHEN j = 0 THEN 0L ELSE
+                 greatest(element_at(row, j + 1),
+                   aggregate(sequence(1, j), 0L, (mx, k) ->
+                     CASE WHEN element_at(r, k) = ci
+                            AND element_at(row, k) + 1L > mx
+                          THEN element_at(row, k) + 1L ELSE mx END))
+               END)),
+           size(r) + 1)"""
+    val rng = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d", "", "naïve", "日本")
+    val pairs = Seq.fill(40)((
+      Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.length))),
+      Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))))
+    val rows = pairs.toDF("c", "r")
+      .selectExpr("graft_lcs(c, r) AS native", s"$hof AS hof")
+      .collect()
+    rows.zip(pairs).foreach { case (row, p) =>
+      assert(row.getLong(0) == row.getLong(1), s"mismatch on $p: $row")
+    }
+  }
 }
