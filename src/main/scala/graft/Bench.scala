@@ -1016,7 +1016,68 @@ object Bench {
           if (spread != 0L || rank != 999996L) throw new GoldenMismatch(
             s"pagerank 1M anchor MISMATCH: spread=$spread (want 0), rank=$rank (want 999996)")
           addCompact("reference_graph_1m", "pagerank_rank", "999996")
-          s""","reference_graph_1m":{$j1,"pagerank_spread":$spread,"pagerank_rank":$rank}"""
+          // round 14 — the graph FAMILY at the same 1M scale, over a
+          // second circulant with chords {1, 2, 7919}: 1+1=2 is the ONLY
+          // chord identity (checked over ±K sums/differences), so each
+          // node closes exactly ONE directed triangle and the family has
+          // first-principles goldens:
+          //  - HITS: 3-in/3-out regular → every half-step normalizes
+          //    (3·scale·scale) div (3·scale) = scale exactly; hub = auth
+          //    = scale at every node (the q94 zero-spread contract).
+          //  - assortativity: 6-regular → denominator EXACTLY 0 → the
+          //    0.0 guard at scale, n_edges 3M, max_degree 6.
+          //  - k-core: every node sits in the 6-core (k=6 peels are the
+          //    identity); k=7 empties the graph in ONE peel — the
+          //    negative control, timed inside the same anchor.
+          //  - transitivity: exactly n triangles and 15M wedges →
+          //    C = 3·1M/15M = 0.2 exactly (0.2 is twice double(0.1) —
+          //    bit-exact).
+          val edges2 = graft.core.InternalCaches.persist(
+            chord(1L).union(chord(2L)).union(chord(7919L)))
+          var hitsRow: org.apache.spark.sql.Row = null
+          val jh = coldWarm("reference_graph_1m", "hits_1m", warmReps = 2) {
+            hitsRow = graft.ops.Embeddings.hits(edges2, iters = 3)
+              .agg(min(col("hub_units")), max(col("hub_units")),
+                min(col("auth_units")), max(col("auth_units")),
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1))).head
+          }
+          if ((0 to 3).exists(i => hitsRow.getLong(i) != 1000000L) ||
+              hitsRow.getLong(4) != n) throw new GoldenMismatch(
+            s"hits 1M anchor MISMATCH: $hitsRow (want hub=auth=1000000 uniform at $n nodes)")
+          var asRow: org.apache.spark.sql.Row = null
+          val ja = coldWarm("reference_graph_1m", "assortativity_1m", warmReps = 2) {
+            asRow = graft.ops.Embeddings.assortativity(edges2).head
+          }
+          if (asRow.getLong(0) != n || asRow.getLong(1) != 3000000L ||
+              asRow.getLong(2) != 6L || asRow.getDouble(3) != 0.0)
+            throw new GoldenMismatch(
+              s"assortativity 1M anchor MISMATCH: $asRow " +
+              s"(want $n nodes, 3M edges, max_degree 6, regular-graph guard 0.0)")
+          var kRow: org.apache.spark.sql.Row = null
+          var k7 = -1L
+          val jk = coldWarm("reference_graph_1m", "kcore_1m", warmReps = 2) {
+            kRow = graft.ops.Embeddings.kCore(edges2, k = 6, iters = 3)
+              .agg(org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)),
+                min(col("deg")), max(col("deg"))).head
+            k7 = graft.ops.Embeddings.kCore(edges2, k = 7, iters = 1).count()
+          }
+          if (kRow.getLong(0) != n || kRow.getLong(1) != 6L ||
+              kRow.getLong(2) != 6L || k7 != 0L) throw new GoldenMismatch(
+            s"kcore 1M anchor MISMATCH: $kRow k7=$k7 " +
+            s"(want all $n nodes at degree 6 in the 6-core; empty 7-core)")
+          var tRow: org.apache.spark.sql.Row = null
+          val jt = coldWarm("reference_graph_1m", "transitivity_1m", warmReps = 2) {
+            tRow = graft.ops.Embeddings.transitivity(edges2).head
+          }
+          if (tRow.getLong(0) != n || tRow.getLong(1) != 3000000L ||
+              tRow.getLong(2) != 1000000L || tRow.getLong(3) != 15000000L ||
+              tRow.getDouble(4) != 0.2) throw new GoldenMismatch(
+            s"transitivity 1M anchor MISMATCH: $tRow " +
+            s"(want $n nodes, 3M edges, 1M triangles, 15M wedges, C=0.2)")
+          s""","reference_graph_1m":{$j1,$jh,$ja,$jk,$jt,"pagerank_spread":$spread,"pagerank_rank":$rank,""" +
+            s""""hits_spread":0,"kcore7_survivors":$k7,"transitivity_value":${tRow.getDouble(4)}}"""
         } finally { edgesP.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
