@@ -3984,32 +3984,49 @@ object Text {
     * 100 TB a deployment would fuse the three projections into one pass
     * — the operators compose either way; the funnel's joins are the
     * price of reusing the audited implementations unmodified. */
-  def filterFunnel(docs: DataFrame): DataFrame = {
-    val base = graft.core.InternalCaches.persist(
-      docs.select(col("doc_id"), col("source"), col("text")))
+  /** The three per-row rule flags of the funnel over `base` (doc_id,
+    * source, text): the audited [[gopherRules]]/[[c4Rules]]/[[lineRules]]
+    * projections joined back on the uniform doc_id key. Shared verbatim
+    * by the batch funnel and the ingest-time streaming twin
+    * ([[graft.streaming.StatefulOps.StreamingFunnel]]), so the two paths
+    * cannot drift. */
+  private[graft] def funnelRuleFlags(base: DataFrame): DataFrame = {
     val g = gopherRules(base).select(col("doc_id"), col("keep").as("g_keep"))
     val c = c4Rules(base).select(col("doc_id"), col("keep").as("c_keep"))
     val l = lineRules(base).select(col("doc_id"), col("keep").as("l_keep"))
-    val canon = base
-      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("cid"))
-    val u = base.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(canon, "h")
-      .select(col("doc_id"), (col("doc_id") === col("cid")).cast(LongType).as("u_keep"))
-    base.select(col("doc_id"), col("source"))
-      .join(g, "doc_id").join(c, "doc_id").join(l, "doc_id").join(u, "doc_id")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).cast(LongType).as("n_docs"),
-        sum(col("g_keep")).cast(LongType).as("n_gopher"),
-        sum(col("g_keep") * col("c_keep")).cast(LongType).as("n_c4"),
-        sum(col("g_keep") * col("c_keep") * col("l_keep")).cast(LongType)
-          .as("n_lines"),
-        sum(col("g_keep") * col("c_keep") * col("l_keep") * col("u_keep"))
-          .cast(LongType).as("n_unique"))
+    base.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .join(g, "doc_id").join(c, "doc_id").join(l, "doc_id")
   }
 
-  /** Gate: the q129 derived corpus (so every rule has teeth) plus the
-    * q167 re-keyed plants (so the dedup stage genuinely fires). */
-  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The funnel's source-keyed survival rollup over a per-doc flag frame
+    * (source, g_keep, c_keep, l_keep, u_keep) — monotone products, so
+    * each stage is conditioned on surviving all previous ones. Shared by
+    * the batch funnel and the streaming twin's report. */
+  private[graft] def funnelRollup(flags: DataFrame): DataFrame = flags
+    .groupBy(col("source"))
+    .agg(count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("g_keep")).cast(LongType).as("n_gopher"),
+      sum(col("g_keep") * col("c_keep")).cast(LongType).as("n_c4"),
+      sum(col("g_keep") * col("c_keep") * col("l_keep")).cast(LongType)
+        .as("n_lines"),
+      sum(col("g_keep") * col("c_keep") * col("l_keep") * col("u_keep"))
+        .cast(LongType).as("n_unique"))
+
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val base = graft.core.InternalCaches.persist(
+      docs.select(col("doc_id"), col("source"), col("text")))
+    val canon = base
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("cid"))
+    funnelRollup(funnelRuleFlags(base)
+      .join(canon, "h")
+      .withColumn("u_keep", (col("doc_id") === col("cid")).cast(LongType)))
+  }
+
+  /** The q183 gate corpus: the q129 derived corpus (so every rule has
+    * teeth) plus the q167 re-keyed plants (so the dedup stage genuinely
+    * fires). Shared with the streaming-twin spec so both paths replay the
+    * identical rows. */
+  private[graft] def funnelGateCorpus(s: SparkSession, dir: String): DataFrame = {
     val derived = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .withColumn("text",
@@ -4022,8 +4039,11 @@ object Text {
     val planted = derived.filter(expr("doc_id % 16 = 1"))
       .select((lit(4L) * (col("doc_id") + lit(1000000000L))).as("doc_id"),
         col("source"), col("text"))
-    filterFunnel(derived.unionByName(planted))
+    derived.unionByName(planted)
   }
+
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame =
+    filterFunnel(funnelGateCorpus(s, dir))
 
   /** DSIR data-selection importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score

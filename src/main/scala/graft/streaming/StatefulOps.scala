@@ -182,4 +182,58 @@ object StatefulOps {
           (key, total)
       }
   }
+
+  /** Ingest-time twin of the q183 quality-filter funnel
+    * ([[graft.ops.Text.filterFunnel]]) — the COMPOSITION gate of the
+    * streaming family (decontamination, anomalies, drift, routing and
+    * quality-scoring each have batch-equal twins; this composes the
+    * funnel they feed): per micro-batch, driven from `foreachBatch`, the
+    * three rule flags are the audited batch projections applied VERBATIM
+    * to the batch frame through [[graft.ops.Text.funnelRuleFlags]] —
+    * stateless per-row work plus the uniform-doc_id flag joins, all
+    * batch-bounded — and the dedup stage maintains a DISTRIBUTED running
+    * canonical table (content hash → min doc_id seen). Nothing is
+    * driver-held; in production the two running frames are
+    * storage-backed ingest tables with merge-on-write, and the per-batch
+    * re-aggregation here is the in-memory stand-in (each update is
+    * eagerly localCheckpointed, so lineage stays flat across an
+    * unbounded batch count — the q118 loop contract).
+    *
+    * [[report]] at any point equals the batch funnel over everything
+    * ingested so far — INCLUDING retroactive canonical displacement (a
+    * later batch delivering a smaller doc_id for a seen hash flips the
+    * earlier arrival's u_keep), which is why u_keep joins against the
+    * CURRENT canonical table at report time instead of freezing at
+    * ingest time. Asserted equal to the batch funnel on a two-batch
+    * replay with displacement in ScaleOpsSpec. */
+  final class StreamingFunnel {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, md5, min => fmin}
+    @volatile private var flags: Option[DataFrame] = None // doc_id, source, h, rule keeps
+    @volatile private var canon: Option[DataFrame] = None // h, cid
+
+    /** Ingest one micro-batch of (doc_id, source, text) rows. */
+    def ingestBatch(batch: DataFrame): Unit = synchronized {
+      val base = batch.select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(true)
+      val bFlags = graft.ops.Text.funnelRuleFlags(base)
+      flags = Some(flags.map(_.unionByName(bFlags)).getOrElse(bFlags)
+        .localCheckpoint(true))
+      val bCanon = base.select(md5(col("text")).as("h"), col("doc_id").as("cid"))
+      canon = Some(canon.map(_.unionByName(bCanon)).getOrElse(bCanon)
+        .groupBy(col("h")).agg(fmin(col("cid")).as("cid"))
+        .localCheckpoint(true))
+    }
+
+    /** The funnel survival report over everything ingested so far —
+      * batch-funnel-equal by construction (same flag projections, same
+      * rollup, current-canonical u_keep). */
+    def report(): DataFrame = synchronized {
+      val f = flags.getOrElse(
+        throw new IllegalStateException("StreamingFunnel: no batches ingested"))
+      graft.ops.Text.funnelRollup(f.join(canon.get, "h")
+        .withColumn("u_keep", (col("doc_id") === col("cid"))
+          .cast(org.apache.spark.sql.types.LongType)))
+    }
+  }
 }

@@ -192,6 +192,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(batchFlags.nonEmpty, "corpus should produce at least one flag")
   }
 
+  test("StreamingFunnel: two-batch ingest reproduces the batch funnel, incl. canonical displacement") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.ops.Text.funnelGateCorpus(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(corpus.nonEmpty)
+    // the re-keyed plants (huge doc_ids) go FIRST: they become canonical
+    // for their hash in batch 1, then their originals (small doc_ids)
+    // arrive in batch 2 and must DISPLACE them — the retroactive-u_keep
+    // path a frozen-at-ingest flag would get wrong
+    val (plants, originals) = corpus.partition(_._1 >= 4000000000L)
+    assert(plants.nonEmpty && originals.nonEmpty)
+    val (o1, o2) = originals.splitAt(originals.length / 2)
+    val plantedInB2 = plants.map(t => t._1 / 4 - 1000000000L).toSet
+      .intersect(o2.map(_._1).toSet)
+    assert(plantedInB2.nonEmpty, "split must place some plant originals in batch 2")
+    val b1 = plants ++ o1
+    val mem = MemoryStream[(Long, String, String)]
+    val funnel = new StatefulOps.StreamingFunnel
+    val q = mem.toDS().toDF("doc_id", "source", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        funnel.ingestBatch(batch)
+        ()
+      }.start()
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    // mid-replay the report is already the exact batch funnel over
+    // everything ingested so far
+    val mid = funnel.report().collect().map(_.toString).sorted.toSeq
+    val midWant = graft.ops.Text.filterFunnel(
+        b1.toSeq.toDF("doc_id", "source", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(mid == midWant, s"mid-replay funnel diverges: $mid vs $midWant")
+    mem.addData(o2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = funnel.report().collect().map(_.toString).sorted.toSeq
+    val want = graft.ops.Text.qFilterFunnel(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      s"converged funnel diverges from batch: $got vs $want")
+  }
+
   test("streamingDriftBuckets: converged stream counts reproduce the batch PSI exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
