@@ -4565,6 +4565,51 @@ object Text {
   def qUnigramTrain(s: SparkSession, dir: String): DataFrame =
     unigramTrain(Tables.documents(s, dir))
 
+  /** Unigram-LM frozen-model inference — the deployment half completing
+    * the fourth tokenizer family's train→apply split exactly as
+    * q118→q124 completes BPE's: [[unigramTrain]] the piece model on the
+    * train half, FREEZE it, and Viterbi-segment the eval half under the
+    * trained lp9 scores (q140's DP, but with the EM-trained model in
+    * place of the frozen frequency seed). Eval words with no path under
+    * the trained model — characters absent from the training alphabet,
+    * the deployed-tokenizer OOV case — emit [UNK], as do words over
+    * maxWordLen; detection is a doc-keyed anti join of the eval word
+    * table against the segmented output, never a per-word driver check.
+    *
+    * Scale shape: [[unigramTrain]]'s one train-corpus scan + ONE eval
+    * scan into the vocab-bounded eval word table; the trained model is a
+    * bounded frame consumed via the same broadcast DP joins. */
+  def unigramApply(train: DataFrame, eval: DataFrame, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 16, thrDiv: Long = 30L, nIters: Int = 3,
+                   vocabV: Int = 40, topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"bad topK $topK")
+    val model = unigramTrain(train, maxPieceLen, maxWordLen, thrDiv, nIters, vocabV)
+      .select(col("piece").as("p"), col("l"), col("lp9"))
+      .coalesce(1).localCheckpoint(true)
+    val words = graft.core.InternalCaches.persist(
+      withTokens(eval).select(explode(col("t")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    val seg = viterbiStages(words, model, maxPieceLen, maxWordLen)
+    val unk = words
+      .join(seg.select(col("w")), Seq("w"), "left_anti")
+      .select(col("w"), col("cnt"), lit(null).cast(LongType).as("score"),
+        lit(1L).as("np"), lit("[UNK]").as("seq"))
+    seg.unionByName(unk)
+      .select(col("w"), col("cnt"), col("np").as("n_pieces"), col("seq"),
+        col("score").as("score_lp9"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topK)
+  }
+
+  /** Gate: the q120/q141 even/odd corpus split — train on doc_id-even,
+    * segment doc_id-odd under the frozen trained model. */
+  def qUnigramApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    unigramApply(docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 — "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
     * per-domain EXCESS LOSS drives one exponentiated-gradient update of
@@ -4963,6 +5008,7 @@ object Text {
     "q139_zipf_slope"          -> (qZipfSlope _),
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q185_unigram_train"       -> (qUnigramTrain _),
+    "q186_unigram_apply"       -> (qUnigramApply _),
     "q148_heaps_law"           -> (qHeapsLaw _),
     "q149_minhash_error"       -> (qMinhashError _),
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
@@ -5228,9 +5274,40 @@ object Text {
     * alphabet smoothing, top-V multi-char cut by (mass DESC, p ASC)).
     * All masses and DP scores are exact integers, so the trained table
     * hash-matches bit-for-bit. */
-  private def unigramTrainOracle(maxPieceLen: Int, maxWordLen: Int,
-                                 thrDiv: Long, nIters: Int,
-                                 vocabV: Int): String = {
+  /** One unrolled Viterbi DP block (stages b{tag}_0..b{tag}_maxWordLen
+    * over `wordsCte` joined to `vlpCte`) — shared by the q185 e-step
+    * unroll and the q186 frozen-model inference unroll. */
+  private def unigramDpCtes(tag: String, wordsCte: String, vlpCte: String,
+                            maxPieceLen: Int, maxWordLen: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+         b${tag}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS score,
+             CAST(0 AS BIGINT) AS np, '' AS seq
+           FROM $wordsCte WHERE len(w) <= $maxWordLen)"""
+    for (j <- 1 to maxWordLen) {
+      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+        s"""SELECT b.w, b.cnt, b.score + v.lp9 AS score, b.np + 1 AS np,
+               CASE WHEN b.seq = '' THEN v.p
+                    ELSE b.seq || ' ' || v.p END AS seq,
+               CAST($l AS BIGINT) AS l
+             FROM b${tag}_${j - l} b JOIN $vlpCte v
+               ON v.l = $l AND v.p = substring(b.w, ${j - l + 1}, $l)
+             WHERE len(b.w) >= $j"""
+      }.mkString(" UNION ALL ")
+      sb ++= s""",
+         b${tag}_$j AS MATERIALIZED (SELECT w, cnt, score, np, seq FROM ($cands)
+           QUALIFY row_number() OVER (PARTITION BY w
+             ORDER BY score DESC, np ASC, l DESC) = 1)"""
+    }
+    sb.toString
+  }
+
+  /** The q185 EM-training CTE chain (words/seed/v0 → v{nIters}) over
+    * `docsSql`, shared by the training oracle and the q186 apply oracle
+    * (which trains on the even half, then segments the odd half). */
+  private def unigramTrainCtes(maxPieceLen: Int, maxWordLen: Int,
+                               thrDiv: Long, nIters: Int, vocabV: Int,
+                               docsSql: String): String = {
     val subs = (1 to maxPieceLen).map { l =>
       s"""sub$l AS MATERIALIZED (SELECT substring(w, i, $l) AS p,
              CAST(sum(cnt) AS BIGINT) AS freq
@@ -5244,7 +5321,7 @@ object Text {
     val sb = new StringBuilder
     sb ++= s"""WITH words AS MATERIALIZED (
            SELECT w, CAST(count(*) AS BIGINT) AS cnt
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsSql)
            WHERE len(w) BETWEEN 1 AND $maxWordLen
            GROUP BY w),
          thr AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) // $thrDiv AS thr FROM words),
@@ -5256,25 +5333,8 @@ object Text {
          vlp$k AS MATERIALIZED (SELECT p, CAST(len(p) AS BIGINT) AS l,
              CAST(round(round(ln(CAST(mass AS DOUBLE) /
                CAST((SELECT tm FROM tm$k) AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp9
-           FROM v${k - 1}),
-         b${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS score,
-             CAST(0 AS BIGINT) AS np, '' AS seq
-           FROM words)"""
-      for (j <- 1 to maxWordLen) {
-        val cands = (1 to math.min(maxPieceLen, j)).map { l =>
-          s"""SELECT b.w, b.cnt, b.score + v.lp9 AS score, b.np + 1 AS np,
-               CASE WHEN b.seq = '' THEN v.p
-                    ELSE b.seq || ' ' || v.p END AS seq,
-               CAST($l AS BIGINT) AS l
-             FROM b${k}_${j - l} b JOIN vlp$k v
-               ON v.l = $l AND v.p = substring(b.w, ${j - l + 1}, $l)
-             WHERE len(b.w) >= $j"""
-        }.mkString(" UNION ALL ")
-        sb ++= s""",
-         b${k}_$j AS MATERIALIZED (SELECT w, cnt, score, np, seq FROM ($cands)
-           QUALIFY row_number() OVER (PARTITION BY w
-             ORDER BY score DESC, np ASC, l DESC) = 1)"""
-      }
+           FROM v${k - 1})"""
+      sb ++= unigramDpCtes(k.toString, "words", s"vlp$k", maxPieceLen, maxWordLen)
       val segUnion = (1 to maxWordLen)
         .map(j => s"SELECT cnt, seq FROM b${k}_$j WHERE len(w) = $j")
         .mkString(" UNION ALL ")
@@ -5292,12 +5352,55 @@ object Text {
              SELECT p, ec FROM ec$k WHERE len(p) >= 2
              QUALIFY row_number() OVER (ORDER BY ec DESC, p ASC) <= $vocabV))"""
     }
-    sb ++= s""",
+    sb.toString
+  }
+
+  private def unigramTrainOracle(maxPieceLen: Int, maxWordLen: Int,
+                                 thrDiv: Long, nIters: Int,
+                                 vocabV: Int): String =
+    unigramTrainCtes(maxPieceLen, maxWordLen, thrDiv, nIters, vocabV,
+      "documents") + s""",
          tmf AS (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM v$nIters)
        SELECT p AS piece, CAST(len(p) AS BIGINT) AS l, mass,
          CAST(round(round(ln(CAST(mass AS DOUBLE) /
            CAST((SELECT tm FROM tmf) AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp9
        FROM v$nIters"""
+
+  /** q186 oracle — the full q185 training chain over the even half,
+    * the final trained lp9 model, then ONE more DP unroll over the odd
+    * half's word table; words with no completed path (over-length or
+    * training-alphabet OOV) fall to [UNK] via the same anti-membership
+    * the engine's anti join implements. */
+  private def unigramApplyOracle(maxPieceLen: Int, maxWordLen: Int,
+                                 thrDiv: Long, nIters: Int, vocabV: Int,
+                                 topK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= unigramTrainCtes(maxPieceLen, maxWordLen, thrDiv, nIters, vocabV,
+      "(SELECT text FROM documents WHERE doc_id % 2 = 0)")
+    sb ++= s""",
+         tmf AS (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM v$nIters),
+         vlpf AS MATERIALIZED (SELECT p, CAST(len(p) AS BIGINT) AS l,
+             CAST(round(round(ln(CAST(mass AS DOUBLE) /
+               CAST((SELECT tm FROM tmf) AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp9
+           FROM v$nIters),
+         ew AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+                 WHERE doc_id % 2 = 1)
+           WHERE len(w) >= 1
+           GROUP BY w)"""
+    sb ++= unigramDpCtes("f", "ew", "vlpf", maxPieceLen, maxWordLen)
+    val segUnion = (1 to maxWordLen)
+      .map(j => s"SELECT w, cnt, score, np, seq FROM bf_$j WHERE len(w) = $j")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+         seg AS MATERIALIZED ($segUnion)
+       SELECT w, cnt, np AS n_pieces, seq, score AS score_lp9 FROM (
+         SELECT w, cnt, score, np, seq FROM seg
+         UNION ALL
+         SELECT w, cnt, NULL AS score, CAST(1 AS BIGINT) AS np, '[UNK]' AS seq
+         FROM ew WHERE w NOT IN (SELECT w FROM seg))
+       ORDER BY cnt DESC, w ASC LIMIT $topK"""
     sb.toString
   }
 
@@ -5417,6 +5520,7 @@ object Text {
     // is the identical double chain; kl sums the UNROUNDED kl_absent
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
     "q185_unigram_train" -> unigramTrainOracle(4, 16, 30L, 3, 40),
+    "q186_unigram_apply" -> unigramApplyOracle(4, 16, 30L, 3, 40, 100),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
     // q145: GROUND-TRUTH positional scan — the Spark side must reproduce

@@ -1770,6 +1770,33 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("unigramApply: inference under the TRAINED model, not the seed; OOV chars emit [UNK]") {
+    import spark.implicits._
+    // Train = the q185 spec corpus (trained model: abab:10 cd:6 ab:1,
+    // singles 1 each; aba/ba/bab PRUNED). Eval probes the difference:
+    //  - "aba" segments [aba] under the SEED model (mass 10) but the
+    //    trained model pruned it → [ab a] — proof the frozen TRAINED
+    //    model drives inference
+    //  - "xy" has characters outside the training alphabet → no path →
+    //    [UNK] (the deployed-tokenizer OOV case)
+    //  - an 17-char word → [UNK] via the same anti join
+    val train = Seq((0L, (("abab " * 10) + "ab " + ("cd " * 6)).trim))
+      .toDF("doc_id", "text")
+    val long = "a" * 17
+    val eval = Seq((1L, s"abab cd ab aba xy $long")).toDF("doc_id", "text")
+    try {
+      val got = Text.unigramApply(train, eval, maxPieceLen = 4,
+        maxWordLen = 16, thrDiv = 30L, nIters = 3, vocabV = 40, topK = 100)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(got("abab") == ((1L, "abab")), s"$got")
+      assert(got("cd") == ((1L, "cd")) && got("ab") == ((1L, "ab")), s"$got")
+      assert(got("aba") == ((2L, "ab a")),
+        s"trained model must override the seed segmentation: $got")
+      assert(got("xy") == ((1L, "[UNK]")), s"$got")
+      assert(got(long) == ((1L, "[UNK]")), s"$got")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("unigramViterbi: whole-word piece wins when frequent; overlong words emit [UNK]") {
     import spark.implicits._
     // "abc abc ab c": piece abc (mass 2) scores ln(2/16) ≈ −2.08 as ONE
