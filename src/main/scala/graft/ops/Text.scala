@@ -4380,60 +4380,75 @@ object Text {
     *           count and scaled score; words > maxWordLen emit [UNK]
     *
     * Scale shape: ONE corpus token scan builds the distinct-word table;
-    * every DP frame after is vocab-word-bounded. Each of ≤ maxWordLen
-    * stages is ≤ maxPieceLen BROADCAST vocab joins + one word-keyed
-    * argmax (a single struct-max agg — (score, −np, l) is unique per
-    * candidate, so trailing payload fields never decide), eagerly
-    * localCheckpointed (the q118 lineage cut). The report is a bounded
-    * TakeOrderedAndProject heap. The DuckDB oracle unrolls the same DP
-    * as materialized per-position CTE stages (the Gonzalez-unroll
-    * recipe), so the gate hash-matches the full segmentation. */
+    * everything after is vocab-word-bounded. The DP runs as ONE per-word
+    * fold against the broadcast piece-model map (see [[viterbiStages]] —
+    * round 14 replaced the per-stage broadcast-join formulation, whose
+    * ≤ maxWordLen localCheckpoint jobs were pure overhead, with a single
+    * projection computing the identical integer DP). The report is a
+    * bounded TakeOrderedAndProject heap. The DuckDB oracle unrolls the
+    * same DP as materialized per-position CTE stages (the
+    * Gonzalez-unroll recipe), so the gate hash-matches the full
+    * segmentation. */
   /** The shared Viterbi DP over word positions (q140 inference, q185
-    * training e-step): segments every word of `words` (w, cnt) of length
-    * 1..maxWordLen under the piece model `vocab` (p, l, lp9) and returns
-    * (w, cnt, score, np, seq) — the unique best segmentation per word.
-    * Each of ≤ maxWordLen stages is ≤ maxPieceLen BROADCAST vocab joins +
-    * one word-keyed struct-max argmax, eagerly localCheckpointed (the
-    * q118 lineage cut; mandatory here because every stage frame is
-    * consumed by up to maxPieceLen later stages). Ties break (score DESC,
-    * np ASC, l DESC) — for fixed l the predecessor state is unique, so
-    * the rule is a total order and the argmax engine-exact. */
+    * training e-step, q186 frozen-model apply): segments every word of
+    * `words` (w, cnt) of length 1..maxWordLen under the piece model
+    * `vocab` (p, l, lp9) and returns (w, cnt, score, np, seq) — the
+    * unique best segmentation per word, or no row when no path exists
+    * (alphabet-OOV words under a frozen model).
+    *
+    * Round 14: the DP runs as ONE per-word fold — the bounded piece
+    * model collapses to a broadcast map column (alphabet + top-V
+    * entries, kBs to MBs at any corpus scale), and each word folds its
+    * own positions left-to-right, consulting the map per (position,
+    * piece-length) candidate. Same exact-integer lp9 arithmetic, same
+    * (score DESC, np ASC, l DESC) tie-break — candidates evaluate in l
+    * ASCENDING order and replace on (score, −np) ≥ (ties → the later,
+    * longer l wins), which is precisely the old struct-max order, so
+    * segmentations are bit-identical to the per-stage broadcast-join
+    * formulation this replaces (and to the oracle's unrolled CTE DP).
+    * The rewrite removes ~maxWordLen localCheckpoint jobs per DP (the
+    * old lineage cut — unnecessary once the DP is a single projection):
+    * q140/q185/q186 together dropped from 17.5 s to ~4 s of the gate
+    * sweep. Unreachable positions carry a NULL score (the old
+    * formulation's absent-row state); any-order equal states cannot
+    * exist, so the fold is engine-exact by construction. */
   private def viterbiStages(words: DataFrame, vocab: DataFrame,
                             maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val maxLenRow = words.agg(max(length(col("w")))).head
-    val maxLen =
-      if (maxLenRow.isNullAt(0)) 0
-      else math.min(maxWordLen, maxLenRow.getInt(0))
-    var stages = Vector(words.filter(length(col("w")) <= maxWordLen)
-      .select(col("w"), col("cnt"), lit(0L).as("score"), lit(0L).as("np"),
-        lit("").as("seq"))
-      .localCheckpoint(true))
-    var done: Seq[DataFrame] = Nil
-    for (j <- 1 to maxLen) {
-      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
-        stages(j - l).filter(length(col("w")) >= j)
-          .join(broadcast(vocab.filter(col("l") === l.toLong)),
-            expr(s"p = substring(w, ${j - l + 1}, $l)"))
-          .select(col("w"), col("cnt"),
-            (col("score") + col("lp9")).as("score"),
-            (col("np") + 1L).as("np"),
-            when(col("seq") === "", col("p"))
-              .otherwise(concat(col("seq"), lit(" "), col("p"))).as("seq"),
-            lit(l.toLong).as("l"))
-      }.reduce(_ unionByName _)
-      val stage = cands.groupBy(col("w"))
-        .agg(max(struct(col("score"), (-col("np")).as("negnp"), col("l"),
-          col("seq"), col("np"), col("cnt"))).as("b"))
-        .select(col("w"), col("b.cnt").as("cnt"), col("b.score").as("score"),
-          col("b.np").as("np"), col("b.seq").as("seq"))
-        .localCheckpoint(true)
-      stages = stages :+ stage
-      done = done :+ stage.filter(length(col("w")) === j)
-    }
-    if (done.isEmpty)
-      words.limit(0).select(col("w"), col("cnt"), lit(0L).as("score"),
-        lit(0L).as("np"), lit("").as("seq"))
-    else done.reduce(_ unionByName _)
+    val vm = vocab.agg(
+      expr("map_from_entries(collect_list(struct(p, lp9)))").as("vm"))
+    val stT = "STRUCT<s: BIGINT, np: BIGINT, sq: STRING>"
+    def pred(idx: String) = s"element_at(acc, $idx)"
+    val lp = "try_element_at(vm, substring(w, j - l + 1, l))"
+    val dpExpr =
+      s"""aggregate(
+           sequence(1, length(w)),
+           CAST(array(named_struct('s', 0L, 'np', 0L, 'sq', '')) AS ARRAY<$stT>),
+           (acc, j) -> concat(acc, array(
+             aggregate(
+               sequence(1, least($maxPieceLen, j)),
+               CAST(named_struct('s', CAST(NULL AS BIGINT),
+                 'np', CAST(NULL AS BIGINT), 'sq', CAST(NULL AS STRING)) AS $stT),
+               (best, l) -> CASE
+                 WHEN ${pred("j - l + 1")}.s IS NULL THEN best
+                 WHEN $lp IS NULL THEN best
+                 WHEN best.s IS NULL
+                   OR ${pred("j - l + 1")}.s + $lp > best.s
+                   OR (${pred("j - l + 1")}.s + $lp = best.s
+                       AND ${pred("j - l + 1")}.np + 1L <= best.np)
+                 THEN named_struct(
+                   's', ${pred("j - l + 1")}.s + $lp,
+                   'np', ${pred("j - l + 1")}.np + 1L,
+                   'sq', CASE WHEN ${pred("j - l + 1")}.sq = ''
+                              THEN substring(w, j - l + 1, l)
+                              ELSE ${pred("j - l + 1")}.sq || ' ' ||
+                                substring(w, j - l + 1, l) END)
+                 ELSE best END))))"""
+    words.filter(length(col("w")).between(1, maxWordLen))
+      .crossJoin(broadcast(vm))
+      .withColumn("st", expr(s"element_at($dpExpr, length(w) + 1)"))
+      .filter(col("st.s").isNotNull)
+      .select(col("w"), col("cnt"), col("st.s").as("score"),
+        col("st.np").as("np"), col("st.sq").as("seq"))
   }
 
   /** Corpus occurrence mass of every substring piece of length
@@ -4521,9 +4536,9 @@ object Text {
     * Scale shape: ONE corpus token scan builds the word table; every
     * later frame is vocab-bounded (words ≤ |vocabulary|, pieces ≤
     * alphabet + V), so iteration cost is corpus-size-INDEPENDENT after
-    * the scan — the 1M-doc BIG anchor asserts the flat shape. The vocab
-    * is consumed maxWordLen·maxPieceLen times per e-step and twice more
-    * in the m-step, so each iteration's model is eagerly
+    * the scan — the 1M-doc BIG anchor asserts the flat shape. The model
+    * feeds the e-step's broadcast map, the m-step's alphabet, and the
+    * final join, so each iteration's masses are eagerly
     * localCheckpointed (the q118 BPE-loop lineage cut — the pitfall
     * frame consumed more than once per iteration). The top-V cut is a
     * bounded-frame sort, never a corpus window. */
