@@ -417,6 +417,135 @@ case class ZOrder2(left: Expression, right: Expression)
   override def prettyName: String = "graft_zorder"
 }
 
+/** Per-row int8 scalar-quantization statistic: with scale = max|x|/127
+  * over the vector, code_i = floor(x_i·127/max|x| + 0.5); mode 0 returns
+  * Σ code_i, mode 1 returns |{i : |code_i| = 127}| — the two row-local
+  * inputs of [[graft.ops.Embeddings.quantizeInt8Report]]'s label rollup.
+  *
+  * Why an expression: the declarative chain (`array_max(transform(…))` →
+  * `transform` → two `aggregate`s) is a tower of higher-order functions,
+  * which are CodegenFallback — the row stage drops out of WholeStageCodegen
+  * into interpreted `Expression.eval`. In a fresh JVM that runs ~1 s/1M
+  * vectors, but interpreted eval rides megamorphic virtual dispatch, so in
+  * a long-lived session that has already executed hundreds of distinct
+  * plans the same chain measured ~7× slower (BENCH_BIG_r14
+  * quantize_1m 1.12 s → 7.40 s with operator and input unchanged). The
+  * primitive loop here generates into the WholeStageCodegen body
+  * (doGenCode), so its cost cannot depend on what else the JVM has run.
+  *
+  * Bit-exactness: the same IEEE double sequence as the HOF form and the
+  * DuckDB oracle — abs((double) x) for the max, x·127.0/ma + 0.5 floored;
+  * see quantizeInt8Report's scaladoc for why no knife-edge exists at the
+  * saturation boundary. Null semantics replicate the HOF chain: null array
+  * → NULL; a null ELEMENT makes the code sum NULL (`acc + NULL`) while the
+  * saturation count skips it (`CASE WHEN abs(NULL) = 127` is false-y). */
+case class Int8RowStat(child: Expression, mode: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(mode == 0 || mode == 1, s"graft_int8 mode must be 0 (sum) or 1 (sat), got $mode")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(child)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_int8 expects an array<float|double> argument, got ${child.dataType.simpleString}")
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isF = elemIsFloat
+    // pass 1: ma = array_max(transform(x -> abs(double(x)))) — nulls skipped
+    var ma = 0.0
+    var hasMa = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = math.abs(if (isF) arr.getFloat(i).toDouble else arr.getDouble(i))
+        if (!hasMa || v > ma) { ma = v; hasMa = true }
+      }
+      i += 1
+    }
+    // pass 2: fold the codes; a null element (or null ma) nulls the sum
+    // and is skipped by the saturation count, matching the HOF chain
+    var acc = 0L
+    i = 0
+    while (i < n) {
+      if (arr.isNullAt(i) || !hasMa) {
+        if (mode == 0) return null
+      } else {
+        val x = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val code = if (ma == 0.0) 0L else math.floor(x * 127.0 / ma + 0.5).toLong
+        if (mode == 0) acc += code
+        else if (math.abs(code) == 127L) acc += 1L
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ma = ctx.freshName("ma")
+      val hasMa = ctx.freshName("hasMa")
+      val v = ctx.freshName("v")
+      val x = ctx.freshName("x")
+      val code = ctx.freshName("code")
+      val acc = ctx.freshName("acc")
+      val fold =
+        if (mode == 0)
+          s"""
+             |if ($a.isNullAt($i) || !$hasMa) { ${ev.isNull} = true; break; }
+             |double $x = (double) $a.$get($i);
+             |long $code = ($ma == 0.0) ? 0L : (long) Math.floor($x * 127.0 / $ma + 0.5);
+             |$acc += $code;
+           """.stripMargin
+        else
+          s"""
+             |if (!$a.isNullAt($i) && $hasMa) {
+             |  double $x = (double) $a.$get($i);
+             |  long $code = ($ma == 0.0) ? 0L : (long) Math.floor($x * 127.0 / $ma + 0.5);
+             |  if (Math.abs($code) == 127L) $acc += 1L;
+             |}
+           """.stripMargin
+      s"""
+         |int $n = $a.numElements();
+         |double $ma = 0.0;
+         |boolean $hasMa = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = Math.abs((double) $a.$get($i));
+         |    if (!$hasMa || $v > $ma) { $ma = $v; $hasMa = true; }
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $fold
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_int8"
+}
+
 /** Idempotent per-session registration of the graft SQL functions. */
 object GraftFunctions {
   private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
@@ -433,6 +562,9 @@ object GraftFunctions {
 
   val lcsInfo = info(classOf[LcsLength], "graft_lcs",
     "graft_lcs(c, r) - longest-common-subsequence length of two string arrays")
+
+  val int8Info = info(classOf[Int8RowStat], "graft_int8",
+    "graft_int8(v, mode) - int8-quantization row stat of a float/double array: mode 0 = code sum, mode 1 = saturation count")
 
   private def toInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
@@ -458,6 +590,11 @@ object GraftFunctions {
     if (!registry.functionExists(lcsId)) {
       registry.registerFunction(lcsId, lcsInfo,
         (children: Seq[Expression]) => LcsLength(children(0), children(1)))
+    }
+    val int8Id = FunctionIdentifier("graft_int8")
+    if (!registry.functionExists(int8Id)) {
+      registry.registerFunction(int8Id, int8Info,
+        (children: Seq[Expression]) => Int8RowStat(children(0), toInt(children(1))))
     }
   }
 }

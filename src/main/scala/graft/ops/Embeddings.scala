@@ -419,53 +419,113 @@ object Embeddings {
     * deterministic label parity, as in q146 — a real run joins its human
     * labels in unchanged.
     *
-    * Scale shape (the fastText/quality-filter training loop at 100 TB):
-    * each epoch is ONE scan of the cached (embedding, y) frame — the
-    * margin rides the codegen'd graft_dot with the current weights as a
-    * plan literal (the exact q93 deployment shape), and the gradient is a
-    * 65-key aggregation (posexplode over bias+dims) with map-side partial
-    * decimal sums, so the wire carries ≤ 65·partitions rows per epoch and
-    * no hot key can exist. The 65-row model is the ONLY driver data (the
-    * BPE argmax precedent); iterations are a constant, so lineage stays
-    * bounded. Floats pinned end-to-end: margin round 6, sigmoid and
-    * per-element gradient products round 9, decimal sums (order-free →
-    * partition-count-independent), weight updates round 9 computed IN the
-    * engine (never driver math), so the trained model is bit-identical
-    * across engines, runs, and partitionings. */
+    * Scale shape (the fastText/quality-filter training loop at 100 TB —
+    * round 15, the q106 covariance fold shape): each epoch is ONE scan
+    * of the cached (embedding, y) frame folded per partition into a
+    * single long[65] accumulator of scaled-integer gradient sums (each
+    * round-9 term is an exact multiple of 10⁻⁹, so its ×10⁹ scaling is
+    * an exact long and the sum is order-free at long-addition speed),
+    * merged by a depth-2 treeAggregate — the cluster moves ~0.5 KB per
+    * task and the driver sees √P partials, never row data. This
+    * replaced the 65-key posexplode gradient whose 65× per-row fan-out
+    * through the hash-aggregate was the cost center of logreg_train_1m
+    * (the same ~10× constant-factor tax covarianceReport's fold
+    * eliminated). Overflow bound: n·max|g·xⱼ|·10⁹ must stay under
+    * 9.2·10¹⁸ — ample past 10⁸ rows on unit-scale embeddings.
+    *
+    * BIT-IDENTICAL to the declarative epoch it replaced (kept as
+    * [[logregEpochExplode]], asserted equal in spec): the margin is the
+    * graft_dot left-to-right double accumulation with the same literal
+    * weights, and every rounding replicates Spark's `round` exactly
+    * (BigDecimal.valueOf(double).setScale(s, HALF_UP) — the documented
+    * Round semantics for DoubleType), so margin round 6 → sigmoid/
+    * gradient terms round 9 → exact order-free sums → update round 9
+    * produce the same trained trajectory across engines, runs, and
+    * partitionings. The 65-long model is the ONLY driver data (the BPE
+    * argmax precedent); iterations are a constant, so lineage stays
+    * bounded. */
   def logregTrainWeights(emb: DataFrame, iters: Int = 3,
                          lr: Double = 0.5): (Array[Double], Double) = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dec = DecimalType(28, 12)
+    val spark = emb.sparkSession
+    import spark.implicits._
     val data = graft.core.InternalCaches.persist(
       emb.select(col("embedding"),
         when(col("label") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y")))
     val n = data.count()
     require(n > 0, "logregTrain: empty training corpus")
+    // Spark's Round(DoubleType): BigDecimal.valueOf(v).setScale(s, HALF_UP)
+    def rnd(v: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    // a round-9 double is an exact 9-place decimal (|v| ≪ 2⁵³·10⁻⁹, so
+    // the decimal-double round-trip is lossless): its ×10⁹ long is exact
+    def scaled9(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .movePointRight(9).longValueExact
+    // Decimal(28,12).cast(DoubleType) on the exact sum of round-9 terms
+    def sum9ToDouble(l: Long): Double =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(l), 9).doubleValue
     var bias = 0.0
     var w = Array.fill(64)(0.0)
     for (_ <- 1 to iters) {
-      val wLit = w.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-      val wAll = (bias +: w.toSeq).map(v => s"CAST($v AS DOUBLE)")
-        .mkString("array(", ", ", ")")
-      val margin = round(expr(s"graft_dot(embedding, $wLit)") + lit(bias), 6)
-      val updated = data
-        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-margin)), 9))
-        .withColumn("g", round(col("p") - col("y"), 9))
-        .select(col("g"), posexplode(expr(
-          "concat(array(CAST(1.0 AS DOUBLE)), " +
-            "transform(embedding, x -> CAST(x AS DOUBLE)))")).as(Seq("j", "x")))
-        .groupBy(col("j").cast(LongType).as("j"))
-        .agg(sum(round(col("g") * col("x"), 9).cast(dec)).as("gs"))
-        .select(col("j"),
-          round(expr(s"element_at($wAll, CAST(j + 1 AS INT))")
-            - lit(lr) * col("gs").cast(DoubleType) / lit(n.toDouble), 9).as("w"))
-        .collect()
-      val m = updated.map(r => (r.getLong(0), r.getDouble(1))).toMap
-      bias = m(0L)
-      w = Array.tabulate(64)(i => m(i + 1L))
+      val wCur = w; val bCur = bias
+      val acc = data.as[(Array[Float], Double)].rdd
+        .treeAggregate(new Array[Long](65))(
+          seqOp = { (a, row) =>
+            val (x, y) = row
+            require(x.length == 64, s"logregTrain saw a ${x.length}-dim vector")
+            var dot = 0.0
+            var j = 0
+            while (j < 64) { dot += x(j).toDouble * wCur(j); j += 1 }
+            val margin = rnd(dot + bCur, 6)
+            val p = rnd(1.0 / (1.0 + math.exp(-margin)), 9)
+            val g = rnd(p - y, 9)
+            a(0) += scaled9(rnd(g * 1.0, 9))
+            j = 0
+            while (j < 64) { a(j + 1) += scaled9(rnd(g * x(j).toDouble, 9)); j += 1 }
+            a
+          },
+          combOp = { (x, y) =>
+            var k = 0
+            while (k < 65) { x(k) += y(k); k += 1 }
+            x
+          }, depth = 2)
+      bias = rnd(bias - (lr * sum9ToDouble(acc(0))) / n.toDouble, 9)
+      w = Array.tabulate(64)(i =>
+        rnd(wCur(i) - (lr * sum9ToDouble(acc(i + 1))) / n.toDouble, 9))
     }
     (w, bias)
+  }
+
+  /** ONE epoch of the declarative gradient the fold in
+    * [[logregTrainWeights]] replaced — kept as the lazy, plan-inspectable
+    * parity twin (the covarianceReportExplode precedent): margin through
+    * the codegen'd graft_dot with the weights as plan literals, gradient
+    * as a 65-key posexplode aggregation with map-side partial decimal
+    * sums (wire ≤ 65·partitions rows), updates round-9 computed IN the
+    * engine. Returns the updated 65-row (j, w) model frame; the spec
+    * asserts it equals the fold's epoch bit for bit. */
+  def logregEpochExplode(data: DataFrame, w: Array[Double], bias: Double,
+                         lr: Double, n: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val dec = DecimalType(28, 12)
+    val wLit = w.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val wAll = (bias +: w.toSeq).map(v => s"CAST($v AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val margin = round(expr(s"graft_dot(embedding, $wLit)") + lit(bias), 6)
+    data
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-margin)), 9))
+      .withColumn("g", round(col("p") - col("y"), 9))
+      .select(col("g"), posexplode(expr(
+        "concat(array(CAST(1.0 AS DOUBLE)), " +
+          "transform(embedding, x -> CAST(x AS DOUBLE)))")).as(Seq("j", "x")))
+      .groupBy(col("j").cast(LongType).as("j"))
+      .agg(sum(round(col("g") * col("x"), 9).cast(dec)).as("gs"))
+      .select(col("j"),
+        round(expr(s"element_at($wAll, CAST(j + 1 AS INT))")
+          - lit(lr) * col("gs").cast(DoubleType) / lit(n.toDouble), 9).as("w"))
   }
 
   /** Exact tie-corrected ROC-AUC of the quality classifier against the
@@ -654,46 +714,61 @@ object Embeddings {
     * Long to n ≈ 9·10⁶ nodes at the default scale; shrink `scale` for
     * larger graphs.
     *
-    * Scale shape: edges + nodes built once and cached; each iteration is
-    * two edge-width shuffles (the two contribution aggs) plus two 1-row
-    * max frames broadcast back — no driver data beyond the maxes. Each
-    * half-step's raw-mass frame is consumed TWICE (its own max and the
-    * normalize), so it eagerly localCheckpoints (the q118 BPE-loop
-    * pattern): without the cut the plan QUADRUPLES per iteration — 4³
-    * copies of the edge join at the gate's 3 iterations, 4²⁰ at the cap
-    * — and with it plan depth and per-iteration cost stay flat by
-    * construction. */
+    * Scale shape (round 15 — the hits_1m shave): the edge frame is
+    * cached TWICE, pre-hash-partitioned on src and on dst (a pre-grouped
+    * collect_list adjacency was measured SLOWER — the array payload
+    * through the join plus the generator breaking the codegen pipeline
+    * cost more than the extra edge rows), and the mass frames iterate
+    * SPARSE — a node whose mass is 0 simply has no row (bit-identical:
+    * a 0 contributes 0 to every sum, normalizes to 0, and cannot own
+    * the max since masses are nonnegative) — with the node-complete
+    * zero-filled output rebuilt ONCE by the final left joins. Each
+    * half-step's edge join finds the edge side's partitioning already
+    * satisfied from the cache, so the recurring per-half-step work is
+    * the node-width mass shuffle + the map-side-combined contribution
+    * rollup. Two 1-row max frames broadcast back per iteration — no
+    * driver data beyond the maxes. Each half-step's raw-mass frame is
+    * consumed TWICE (its own max and the normalize), so it eagerly
+    * localCheckpoints (the q118 BPE-loop pattern): without the cut the
+    * plan QUADRUPLES per iteration — 4³ copies of the edge join at the
+    * gate's 3 iterations, 4²⁰ at the cap — and with it plan depth and
+    * per-iteration cost stay flat by construction. */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
-    val e = graft.core.InternalCaches.persist(
-      edges.select(col("d1").as("src"), col("d2").as("dst")))
-    val nodes = graft.core.InternalCaches.persist(
-      e.select(col("src").as("vec_id"))
-        .union(e.select(col("dst").as("vec_id"))).distinct())
+    val e = edges.select(col("d1").as("src"), col("d2").as("dst"))
+    val eBySrc = graft.core.InternalCaches.persist(e.repartition(col("src")))
+    val eByDst = graft.core.InternalCaches.persist(e.repartition(col("dst")))
+    // checkpointed, not cached: the node set brackets the computation
+    // (hub init + the final zero-fill joins), and a cache here would
+    // embed the whole upstream edge plan in the output's plan string —
+    // the q166 constant-depth contract reads it
+    val nodes = e.select(col("src").as("vec_id"))
+      .union(e.select(col("dst").as("vec_id"))).distinct()
+      .localCheckpoint(true)
     var hub = nodes.select(col("vec_id"), lit(scale).as("h"))
-    var auth = nodes.select(col("vec_id"), lit(0L).as("a"))
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val ar = nodes.join(
-          e.join(hub.withColumnRenamed("vec_id", "hv"), col("src") === col("hv"))
-            .groupBy(col("dst")).agg(sum(col("h")).as("ar")),
-          col("vec_id") === col("dst"), "left")
-        .select(col("vec_id"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val ar = eBySrc
+        .join(hub.withColumnRenamed("vec_id", "hv"), col("src") === col("hv"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
         .localCheckpoint(true)
       val am = ar.agg(greatest(max(col("ar")), lit(1L)).as("am"))
       auth = ar.crossJoin(broadcast(am))
-        .select(col("vec_id"), expr(s"(ar * $scale) div am").as("a"))
-      val hr = nodes.join(
-          e.join(auth.withColumnRenamed("vec_id", "av"), col("dst") === col("av"))
-            .groupBy(col("src")).agg(sum(col("a")).as("hr")),
-          col("vec_id") === col("src"), "left")
-        .select(col("vec_id"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .select(col("dst").as("vec_id"), expr(s"(ar * $scale) div am").as("a"))
+      val hr = eByDst
+        .join(auth.withColumnRenamed("vec_id", "av"), col("dst") === col("av"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
         .localCheckpoint(true)
       val hm = hr.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
       hub = hr.crossJoin(broadcast(hm))
-        .select(col("vec_id"), expr(s"(hr * $scale) div hm").as("h"))
+        .select(col("src").as("vec_id"), expr(s"(hr * $scale) div hm").as("h"))
     }
-    hub.join(auth, "vec_id")
-      .select(col("vec_id"), col("h").as("hub_units"), col("a").as("auth_units"))
+    nodes
+      .join(hub.select(col("vec_id"), col("h").as("hub_units")), Seq("vec_id"), "left")
+      .join(auth.select(col("vec_id"), col("a").as("auth_units")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("hub_units"), lit(0L)).as("hub_units"),
+        coalesce(col("auth_units"), lit(0L)).as("auth_units"))
   }
 
   /** Gate: 3 HITS iterations over the q41 near-dup graph oriented
@@ -811,25 +886,37 @@ object Embeddings {
     * Fixed `iters` (not to-convergence) keeps the gate
     * oracle-unrollable; at the gate's scale three peels converge.
     *
-    * Scale shape: each peel is one degree aggregation (explode of the
-    * edge pair — edge-width, uniform keys) + two semi-joins of the edge
-    * list against the surviving-node frame, with the shrinking edge list
-    * eagerly localCheckpointed per round (the q166 pattern — the edge
-    * frame is consumed by both the degree agg and the filter, and the
-    * peel count bounds the lineage). Output is the survivors' degree
-    * table — all integers. */
+    * Scale shape (round 15 — the kcore_1m shave): each peel is one
+    * degree aggregation (explode of the edge pair — edge-width, uniform
+    * keys, map-side combined) + two ANTI joins of the edge list against
+    * the ELIMINATED-node frame — the complement of the old survivor
+    * semi-joins (every edge endpoint holds a degree row, so
+    * "not eliminated" ⟺ "surviving": identical edges survive). The
+    * eliminated set shrinks toward empty as the core converges — after
+    * the first peel it is typically tiny, so AQE runs both anti joins
+    * as broadcasts and the edge frame never shuffles — where the
+    * survivor frame the semi-joins consumed stayed node-sized forever.
+    * An empty eliminated set is a fixed point, so the loop EXITS EARLY
+    * (further peels are identity — the returned degrees are unchanged).
+    * The shrinking edge list eagerly localCheckpoints per round (the
+    * q166 pattern — the edge frame is consumed by both the degree agg
+    * and the filter, and the peel count bounds the lineage). Output is
+    * the survivors' degree table — all integers. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1 && iters <= 20, s"bad k=$k/iters=$iters")
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array(col("d1"), col("d2"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).cast(LongType).as("deg"))
     var e = edges.select(col("d1"), col("d2")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val keep = degrees(e).filter(col("deg") >= k.toLong)
-        .select(col("vec_id"))
-      e = e
-        .join(keep.withColumnRenamed("vec_id", "d1"), Seq("d1"), "left_semi")
-        .join(keep.withColumnRenamed("vec_id", "d2"), Seq("d2"), "left_semi")
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      // consumed three times (isEmpty + both anti joins) — checkpoint
+      val dropped = degrees(e).filter(col("deg") < k.toLong)
+        .select(col("vec_id")).localCheckpoint(true)
+      if (dropped.isEmpty) converged = true
+      else e = e
+        .join(dropped.withColumnRenamed("vec_id", "d1"), Seq("d1"), "left_anti")
+        .join(dropped.withColumnRenamed("vec_id", "d2"), Seq("d2"), "left_anti")
         .select(col("d1"), col("d2"))
         .localCheckpoint(true)
     }
@@ -882,11 +969,11 @@ object Embeddings {
   /** Symmetric per-vector int8 scalar quantization — the storage/serving
     * compression step every embedding corpus goes through before ANN
     * serving (FAISS SQ8, Milvus/pgvector int8): scale = max|x|/127 per
-    * vector, code_i = round(x_i/scale) ∈ [-127, 127]. Implemented entirely
-    * in codegen'd array HOFs (transform/aggregate) — a pure map stage with
-    * no UDF barrier, so at 100 TB it rides the parquet scan: column
-    * pruning reads only (label, embedding) and the single shuffle is the
-    * 10-row label rollup.
+    * vector, code_i = round(x_i/scale) ∈ [-127, 127]. The per-row stats
+    * are one native codegen'd expression ([[graft.functions.Int8RowStat]])
+    * — a pure map stage inside WholeStageCodegen with no UDF barrier, so
+    * at 100 TB it rides the parquet scan: column pruning reads only
+    * (label, embedding) and the single shuffle is the 10-row label rollup.
     *
     * Cross-engine determinism: the code is floor(x·127/ma + 0.5) (round
     * half toward +∞) on doubles cast from the stored floats — the same
@@ -899,20 +986,20 @@ object Embeddings {
     * The report is the quantization-health table a corpus run publishes:
     * per label, the code mass (sum over all elements — a drift detector:
     * symmetric data should sum near 0) and how many elements saturate. */
-  def quantizeInt8Report(emb: DataFrame): DataFrame =
+  def quantizeInt8Report(emb: DataFrame): DataFrame = {
+    // Row stats via the native graft_int8 expression (the HOF chain this
+    // replaces — array_max(transform) → transform → two aggregates — is
+    // CodegenFallback and degraded ~7× in long-lived sessions; see
+    // [[graft.functions.Int8RowStat]]). Same IEEE sequence, same output.
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb
-      .withColumn("ma", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
-      .withColumn("codes", expr(
-        """transform(embedding, x ->
-             CASE WHEN ma = 0.0D THEN 0L
-                  ELSE cast(floor(cast(x as double) * 127.0D / ma + 0.5D) as bigint) END)"""))
-      .withColumn("row_sum", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
-      .withColumn("row_sat", expr(
-        "aggregate(codes, 0L, (a, c) -> a + CASE WHEN abs(c) = 127L THEN 1L ELSE 0L END)"))
+      .withColumn("row_sum", expr("graft_int8(embedding, 0)"))
+      .withColumn("row_sat", expr("graft_int8(embedding, 1)"))
       .groupBy(col("label"))
       .agg(count(lit(1)).cast(LongType).as("n_vecs"),
            sum(col("row_sum")).as("sum_codes"),
            sum(col("row_sat")).as("n_sat"))
+  }
 
   def qQuantize(s: SparkSession, dir: String): DataFrame =
     quantizeInt8Report(Tables.embeddings(s, dir))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{DotProduct, GraftFunctions, LcsLength, ShingleHashes, ZOrder2}
+import graft.functions.{DotProduct, GraftFunctions, Int8RowStat, LcsLength, ShingleHashes, ZOrder2}
 
 /** Session extension registering the graft native functions, for sessions
   * configured with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_lcs"), GraftFunctions.lcsInfo,
       (children: Seq[Expression]) => LcsLength(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_int8"), GraftFunctions.int8Info,
+      (children: Seq[Expression]) => Int8RowStat(children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue())))
     // band-join → equi-join rewrite (see BandJoinRule); also available on a
     // live session via spark.experimental.extraOptimizations
     ext.injectOptimizerRule(_ => BandJoinRule())

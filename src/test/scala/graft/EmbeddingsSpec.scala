@@ -336,6 +336,29 @@ class EmbeddingsSpec extends SparkSpec {
       fr.head.getDouble(5) == 0.0, s"${fr.toSeq}")
   }
 
+  test("logreg: the treeAggregate gradient epoch equals the declarative explode epoch bit for bit") {
+    // the round-15 fold (logregTrainWeights) and the lazy posexplode
+    // epoch it replaced (logregEpochExplode) must produce the SAME
+    // trained trajectory — the q106 covariance fold/explode contract
+    val data = emb.select(col("embedding"),
+      when(col("label") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val n = data.count()
+    def epochOf(w: Array[Double], b: Double): (Array[Double], Double) = {
+      val m = Embeddings.logregEpochExplode(data, w, b, lr = 0.5, n = n)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      (Array.tabulate(64)(i => m(i + 1L)), m(0L))
+    }
+    val (w1, b1) = Embeddings.logregTrainWeights(emb, iters = 1)
+    val (we1, be1) = epochOf(Array.fill(64)(0.0), 0.0)
+    assert(b1 == be1 && w1.sameElements(we1),
+      s"epoch 1 diverged: fold ($b1, ${w1.take(3).toSeq}...) vs explode ($be1, ${we1.take(3).toSeq}...)")
+    val (w2, b2) = Embeddings.logregTrainWeights(emb, iters = 2)
+    val (we2, be2) = epochOf(w1, b1)
+    assert(b2 == be2 && w2.sameElements(we2),
+      "epoch 2 diverged between the fold and the explode twin")
+    assert(w1.exists(_ != 0.0), "trained model did not move off the zero start")
+  }
+
   test("logregTrain: loss decreases, training is partitioning-invariant, model separates a separable corpus") {
     import spark.implicits._
     val (w, b) = Embeddings.logregTrainWeights(emb, iters = 3)

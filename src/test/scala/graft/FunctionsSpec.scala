@@ -130,4 +130,71 @@ class FunctionsSpec extends SparkSpec {
       assert(row.getLong(0) == row.getLong(1), s"mismatch on $p: $row")
     }
   }
+
+  // the HOF chain graft_int8 replaced (quantizeInt8Report round <= 14):
+  // same IEEE sequence, so the native results must be bit-identical
+  private val int8HofSum =
+    """aggregate(transform(v, x ->
+         CASE WHEN array_max(transform(v, y -> abs(cast(y as double)))) = 0.0D THEN 0L
+              ELSE cast(floor(cast(x as double) * 127.0D /
+                     array_max(transform(v, y -> abs(cast(y as double)))) + 0.5D) as bigint) END),
+         0L, (a, c) -> a + c)"""
+  private val int8HofSat =
+    """aggregate(transform(v, x ->
+         CASE WHEN array_max(transform(v, y -> abs(cast(y as double)))) = 0.0D THEN 0L
+              ELSE cast(floor(cast(x as double) * 127.0D /
+                     array_max(transform(v, y -> abs(cast(y as double)))) + 0.5D) as bigint) END),
+         0L, (a, c) -> a + CASE WHEN abs(c) = 127L THEN 1L ELSE 0L END)"""
+
+  test("graft_int8 matches the HOF chain it replaced on random float vectors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(31)
+    val vecs = Seq.fill(200)(Array.fill(1 + rng.nextInt(16))(
+      ((rng.nextDouble() - 0.5) * 20.0).toFloat)) :+
+      Array.fill(8)(0.0f) :+ Array.empty[Float]
+    val rows = vecs.toDF("v")
+      .selectExpr("graft_int8(v, 0) AS ns", s"$int8HofSum AS hs",
+        "graft_int8(v, 1) AS nc", s"$int8HofSat AS hc")
+      .collect()
+    rows.zip(vecs).foreach { case (r, v) =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3),
+        s"mismatch on ${v.toSeq}: $r")
+    }
+  }
+
+  test("graft_int8: empty array folds to 0, zero vector codes to 0") {
+    assert(one("graft_int8(CAST(array() AS ARRAY<FLOAT>), 0)").getLong(0) == 0L)
+    assert(one("graft_int8(CAST(array() AS ARRAY<FLOAT>), 1)").getLong(0) == 0L)
+    assert(one("graft_int8(array(0.0F, 0.0F), 0)").getLong(0) == 0L)
+    assert(one("graft_int8(array(0.0F, 0.0F), 1)").getLong(0) == 0L)
+  }
+
+  test("graft_int8: null array is NULL; null element nulls the sum but not the sat count") {
+    assert(one("graft_int8(CAST(NULL AS ARRAY<FLOAT>), 0)").isNullAt(0))
+    // HOF parity: sum propagates null (acc + NULL), sat's CASE skips it
+    assert(one("graft_int8(array(1.0F, CAST(NULL AS FLOAT)), 0)").isNullAt(0))
+    assert(one("graft_int8(array(1.0F, CAST(NULL AS FLOAT)), 1)").getLong(0) == 1L)
+  }
+
+  test("graft_int8: interpreted eval agrees with codegen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq(Array(1.0f, -2.0f, 4.0f), Array(-3.0f, 3.0f, 1.5f))
+    val df = vecs.toDF("v")
+    val gen = df.selectExpr("graft_int8(v, 0)", "graft_int8(v, 1)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val interp = vecs.map { v =>
+      val e = graft.functions.Int8RowStat(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)), 0)
+      val s = graft.functions.Int8RowStat(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)), 1)
+      (e.eval(null).asInstanceOf[Long], s.eval(null).asInstanceOf[Long])
+    }
+    assert(gen.toSeq == interp, s"codegen $gen vs interpreted $interp")
+    // the q103 worked example: (1,-2,4) -> 32, -63, 127; (-3,3,1.5) -> -127, 127, 64
+    assert(interp == Seq((96L, 1L), (64L, 2L)))
+  }
 }

@@ -577,22 +577,14 @@ class PlanContractSpec extends SparkSpec {
     // 65-key exchange, no single-partition stage
     try {
       val emb = graft.core.Tables.embeddings(spark, sfDir)
-      graft.functions.GraftFunctions.register(spark)
       import org.apache.spark.sql.functions._
-      val wLit = Array.fill(64)(0.0).map(v => s"CAST($v AS DOUBLE)")
-        .mkString("array(", ", ", ")")
-      val margin = round(expr(s"graft_dot(embedding, $wLit)") + lit(0.0), 6)
-      val epoch = emb
-        .select(col("embedding"),
-          when(col("label") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
-        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-margin)), 9))
-        .withColumn("g", round(col("p") - col("y"), 9))
-        .select(col("g"), posexplode(expr(
-          "concat(array(CAST(1.0 AS DOUBLE)), " +
-            "transform(embedding, x -> CAST(x AS DOUBLE)))")).as(Seq("j", "x")))
-        .groupBy(col("j"))
-        .agg(sum(round(col("g") * col("x"), 9)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("gs"))
+      // the lazy plan-inspectable twin of the treeAggregate fold the
+      // trainer runs (round 15) — spec-asserted bit-equal, so this IS
+      // the epoch's dataflow shape
+      val data = emb.select(col("embedding"),
+        when(col("label") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val epoch = graft.ops.Embeddings.logregEpochExplode(
+        data, Array.fill(64)(0.0), 0.0, lr = 0.5, n = 100L)
       val p = epoch.queryExecution.executedPlan.toString
       assert(!p.contains("Join") && !p.contains("CartesianProduct"),
         s"q147 epoch planned a join:\n$p")
