@@ -4358,6 +4358,86 @@ object Text {
   def qWordpiece(s: SparkSession, dir: String): DataFrame =
     wordpieceSegment(Tables.documents(s, dir))
 
+  /** WordPiece TRAINING (Schuster & Nakajima, ICASSP 2012; the HuggingFace
+    * `WordPieceTrainer` rule) — the last tokenizer family to get its
+    * trainer (BPE q118, unigram-LM q185): the q118 count→argmax→merge
+    * loop, with the argmax scored by LIKELIHOOD GAIN instead of raw pair
+    * count. Merging adjacent symbols (a, b) raises a unigram LM's corpus
+    * log-likelihood by ≈ cnt(ab)·[ln p(ab) − ln p(a) − ln p(b)], which is
+    * monotone in cnt(ab)/(cnt(a)·cnt(b)) — the classic WordPiece score.
+    * A high-count pair of two very common symbols (BPE's pick) loses to a
+    * lower-count pair of rare symbols that predict each other; the spec
+    * plants exactly that corpus and asserts the two trainers diverge.
+    *
+    * Score pinning: the score is compared as the exact scaled integer
+    * floor(cnt(ab)·10¹⁸ / (cnt(a)·cnt(b))) computed in DECIMAL(38,0)
+    * (DuckDB: HUGEINT) — cnt(ab) ≤ cnt(a), cnt(b), so the quotient is
+    * ≤ 10¹⁸ (fits BIGINT) and both engines truncate the same rational at
+    * the same fixed precision: no float enters the argmax. Ties break
+    * (score desc, lhs asc, rhs asc). Unigram counts are the
+    * corpus-weighted symbol occurrences of the CURRENT segmentation —
+    * single-symbol words included (they hold probability mass even though
+    * they contribute no pairs).
+    *
+    * Scale contract = [[bpeTrain]]'s verbatim: ONE corpus scan builds the
+    * vocab-bounded word table; each iteration is a pair-count aggregation
+    * + a symbol-count aggregation (both vocab-bounded) + a 1-row argmax
+    * action + ONE anchored string replace, eagerly localCheckpointed (the
+    * q118 lineage-cut recipe), so training is O(corpus) + nMerges·O(vocab)
+    * at any corpus size (the wordpiece_train_1m anchor measures the
+    * flatness). EAGER contract and anchored-string merge mechanics are
+    * [[bpeTrain]]'s too — see its scaladoc; the apply half of the
+    * lifecycle is the frozen-table replace chain [[bpeApplyMerges]]
+    * already deployed and gated by q124. */
+  def wordpieceTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = graft.core.InternalCaches.persist(
+      withTokens(docs).select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
+        .withColumn("s", concat(lit(" "),
+          expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
+          lit(" ")))
+        .coalesce(4))
+    var cur = words.select(col("freq"), col("s"))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+    var exhausted = false
+    for (it <- 1 to nMerges if !exhausted) {
+      val sy = cur.select(col("freq"), expr("split(trim(s), '  ')").as("sy"))
+      val uni = sy
+        .select(col("freq"), explode(col("sy")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).cast(LongType).as("c"))
+      val top = sy
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> " +
+            "struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).cast(LongType).as("cnt"))
+        .join(broadcast(uni.select(col("sym").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(uni.select(col("sym").as("b"), col("c").as("cb"))), Seq("b"))
+        .withColumn("score18", expr(
+          "(CAST(cnt AS DECIMAL(38,0)) * 1000000000000000000L) div " +
+            "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))"))
+        .orderBy(col("score18").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += ((it.toLong, a, b, a + b,
+          top(0).getAs[Long]("cnt"), top(0).getAs[Long]("score18")))
+        cur = cur.withColumn("s",
+            replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt", "score18")
+  }
+
+  def qWordpieceTrain(s: SparkSession, dir: String): DataFrame =
+    wordpieceTrain(Tables.documents(s, dir))
+
   /** Unigram-LM Viterbi segmentation (Kudo, ACL 2018 — the SentencePiece
     * inference rule) — the FOURTH tokenizer family beside BPE
     * train/apply/infer (q118/q119/q124) and WordPiece greedy munch
@@ -5024,6 +5104,7 @@ object Text {
     "q140_unigram_viterbi"     -> (qUnigramViterbi _),
     "q185_unigram_train"       -> (qUnigramTrain _),
     "q186_unigram_apply"       -> (qUnigramApply _),
+    "q187_wordpiece_train"     -> (qWordpieceTrain _),
     "q148_heaps_law"           -> (qHeapsLaw _),
     "q149_minhash_error"       -> (qMinhashError _),
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
@@ -5188,6 +5269,52 @@ object Text {
          SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
                 a || b AS merged, cnt FROM m$k"""
     }.mkString("", " UNION ALL", "")
+
+  /** The q187 oracle — the q118 unroll recipe with the per-iteration
+    * argmax scored by the exact scaled-integer WordPiece likelihood
+    * score18 = cnt(ab)·10¹⁸ // (cnt(a)·cnt(b)), all HUGEINT (the Spark
+    * side's DECIMAL(38,0) twin): stage k counts the current
+    * segmentation's symbols (u_k) and adjacent pairs (p_k), joins them,
+    * takes the (score18 desc, a, b) argmax, and applies the one anchored
+    * replace. */
+  private def wordpieceTrainOracle(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT freq, ' ' || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
+           FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 GROUP BY w))"""
+    for (k <- 1 to nMerges) {
+      sb ++= s""",
+         u$k AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM (
+             SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM w${k - 1})
+           GROUP BY sym),
+         p$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             SELECT freq, unnest(list_transform(range(1, len(sy)), i ->
+               struct_pack(a := sy[i], b := sy[i + 1])), recursive := true)
+             FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM w${k - 1})
+             WHERE len(sy) >= 2)
+           GROUP BY a, b),
+         m$k AS MATERIALIZED (SELECT p.a AS a, p.b AS b, p.cnt AS cnt,
+             CAST((CAST(p.cnt AS HUGEINT) * 1000000000000000000) //
+                  (CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT)) AS BIGINT) AS score18
+           FROM p$k p
+           JOIN u$k ua ON ua.sym = p.a
+           JOIN u$k ub ON ub.sym = p.b
+           ORDER BY score18 DESC, a ASC, b ASC LIMIT 1),
+         w$k AS MATERIALIZED (SELECT freq,
+           replace(s, ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+                      ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
+           FROM w${k - 1})"""
+    }
+    sb.toString + (1 to nMerges).map { k =>
+      s"""
+         SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+                a || b AS merged, cnt, score18 FROM m$k"""
+    }.mkString("", " UNION ALL", "")
+  }
 
   /** The q124 oracle: train-half merge CTEs (the q118 unroll over the
     * doc_id-even half), then the eval-half word table pushed through the
@@ -5536,6 +5663,10 @@ object Text {
     "q140_unigram_viterbi" -> unigramViterbiOracle(4, 16, 30L, 100),
     "q185_unigram_train" -> unigramTrainOracle(4, 16, 30L, 3, 40),
     "q186_unigram_apply" -> unigramApplyOracle(4, 16, 30L, 3, 40, 100),
+    // q187: the q118 unroll with the argmax on the exact scaled-integer
+    // likelihood score (HUGEINT // twin of the Spark DECIMAL div) — no
+    // float enters the merge choice on either engine
+    "q187_wordpiece_train" -> wordpieceTrainOracle(8),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
     // q145: GROUND-TRUTH positional scan — the Spark side must reproduce

@@ -2491,4 +2491,43 @@ class TextSpec extends SparkSpec {
         (("B", 1L, 0L, 0L)), s"$rc")
     } finally graft.core.InternalCaches.release(spark)
   }
+
+  test("q187 wordpieceTrain: likelihood argmax diverges from BPE's count argmax (planted corpus)") {
+    import spark.implicits._
+    try {
+      // plant: pair (a,x) is the most FREQUENT (cnt 80) but its symbols
+      // are common (c(a)=90, c(x)=80 → score18 = 80e18/7200 ≈ 1.1e16);
+      // pair (c,d) is rarer (cnt 9) but its symbols occur ONLY together
+      // (c(c)=c(d)=9 → score18 = 9e18/81 ≈ 1.1e17) — the likelihood
+      // trainer must pick (c,d) where raw count picks (a,x)
+      val docs = Seq((1L, ("ax " * 80 + "ab " * 10 + "cd " * 9).trim))
+        .toDF("doc_id", "text")
+      val wp = graft.ops.Text.wordpieceTrain(docs, nMerges = 1).collect()
+      assert(wp.length == 1 &&
+        (wp(0).getString(1), wp(0).getString(2), wp(0).getString(3)) == (("c", "d", "cd")),
+        s"wordpiece picked ${wp.toSeq} (want the likelihood merge c+d)")
+      assert(wp(0).getLong(4) == 9L, s"cnt should be the pair count 9: ${wp.toSeq}")
+      // score18 = floor(9e18 / 81) exactly
+      assert(wp(0).getLong(5) == 9000000000000000000L / 81L, s"score18 off: ${wp.toSeq}")
+      val bpe = graft.ops.Text.bpeTrain(docs, nMerges = 1).collect()
+      assert((bpe(0).getString(1), bpe(0).getString(2)) == (("a", "x")),
+        s"count trainer picked ${bpe.toSeq} (want a+x) — the plant is broken")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q187 wordpieceTrain: merged symbols compound across iterations and the loop exhausts") {
+    import spark.implicits._
+    try {
+      // one word "abc" x4: iter1 merges the max-score pair, iter2 merges
+      // the survivor with the new compound symbol, iter3 finds no pair
+      // left (every word fully merged) and stops early
+      val docs = Seq((1L, "abc abc abc abc")).toDF("doc_id", "text")
+      val wp = graft.ops.Text.wordpieceTrain(docs, nMerges = 5).collect()
+      assert(wp.length == 2, s"want 2 merges then exhaustion, got ${wp.toSeq}")
+      assert(wp(1).getString(3) == "abc",
+        s"second merge should rebuild the whole word: ${wp.toSeq}")
+      // every merge's pair count is the word frequency
+      assert(wp.forall(_.getLong(4) == 4L), s"pair counts off: ${wp.toSeq}")
+    } finally graft.core.InternalCaches.release(spark)
+  }
 }
