@@ -134,7 +134,8 @@ object Bench {
       total: Double, sfDir: String,
       queryMedians: Vector[(String, Double)],
       refSections: Seq[(String, Vector[(String, String)])],
-      budget: Int = ContractBudget): (String, Int, Seq[String]) = {
+      budget: Int = ContractBudget,
+      nIsolated: Int = 0): (String, Int, Seq[String]) = {
     val shedOrder = Seq("reference_graph_1m", "reference_vec_1m", "reference_text_skew",
       "reference_pipeline_1m", "reference_text_1m", "reference_100m",
       "reference_text", "reference_10m", "reference_1m", "reference")
@@ -145,7 +146,8 @@ object Bench {
     def render(): String = {
       val qs = qEntries.map { case (k, m) => "\"" + k + "\":" + f"$m%.2f" }
         .mkString("{", ",", "}")
-      val shedMark = if (qShed > 0) s""","queries_shed":$qShed""" else ""
+      val shedMark = (if (qShed > 0) s""","queries_shed":$qShed""" else "") +
+        (if (nIsolated > 0) s""","queries_isolated":$nIsolated""" else "")
       val refs = sections.map { case (sec, kvs) =>
         s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
       }.mkString
@@ -441,6 +443,15 @@ object Bench {
       // awaitQuietLoad — post-reps load is dominated by the anchor's own
       // 32 threads), `*_load_wait_s` the deferral evidence
       val (ambient, waited) = Bench.awaitQuietLoad(name)
+      // GC evidence (round 15): the r14 quantize_1m 6.6× was only
+      // attributable post-hoc; the JVM-wide GC time spent during this
+      // anchor's reps makes a GC-pressure episode machine-readable.
+      def gcMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime.max(0L)).sum
+      }
+      val gc0 = gcMs()
       val cold = time(f)
       var warms = Vector.fill(warmReps)(time(f))
       var extra = 0
@@ -461,12 +472,23 @@ object Bench {
       // vector stays in `*_warm_runs`, so the exclusion is auditable.
       val steady = warms.filter(_ <= warms.min * 1.5)
       val warmMed = median(steady)
+      // Transparency (round 15, advisor): when the steady cluster
+      // excludes reps, the full-vector median is published alongside
+      // under its own key — the artifact then states BOTH readings
+      // instead of only the faster one, and the excluded-rep count makes
+      // the substitution itself machine-readable.
+      val fullProvenance =
+        if (steady.size < warms.size)
+          f""""${name}_warm_full":${median(warms)}%.3f,""" +
+            f""""${name}_warm_excluded":${warms.size - steady.size}%d,"""
+        else ""
       val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
       addCompact(section, name, f"$warmMed%.2f")
       f""""${name}_cold":$cold%.3f,"${name}_warm":$warmMed%.3f,""" +
         f""""${name}_warm_runs":$runs%s,"${name}_mem_headroom_mb":${heapHeadroomMb()}%d,""" +
         f""""${name}_loadavg":$ambient%.2f,"${name}_load_wait_s":$waited%d,""" +
-        f""""${name}_loadavg_post":${loadAvg()}%.2f,"$name":$warmMed%.3f"""
+        f""""${name}_loadavg_post":${loadAvg()}%.2f,$fullProvenance""" +
+        f""""${name}_gc_s":${(gcMs() - gc0) / 1000.0}%.2f,"$name":$warmMed%.3f"""
     }
     // BASELINE.md-comparable reference workloads (uber-100k, D=0.02 M=10):
     // published numbers are ExactOutliers 61 655 ms / MRApproxOutliers 960 ms
@@ -725,7 +747,54 @@ object Bench {
           if (leakBad) throw new GoldenMismatch(
             s"split leakage 1M anchor MISMATCH: ${leakRows.mkString("; ")} " +
             "(want 4 x [lang, 375 eval, <=3 exact, 375 near])")
-          s""","reference_pipeline_1m":{$j,$jLeak}"""
+          // streaming_funnel_1m (round 15): the ingest-time funnel twin's
+          // flat-lineage claim, MEASURED — 1M base docs + the q167-style
+          // re-keyed exact-dup plants replayed through StreamingFunnel in
+          // 8 micro-batches (plants FIRST, so their small-id originals
+          // arriving later exercise retroactive canonical displacement at
+          // scale). Per-batch cost must stay flat (batch-bounded work —
+          // the round-15 contract; the earlier full-history re-checkpoint
+          // was O(batches²) and would show the late batches ~2-3x the
+          // early ones), and the converged report must equal the batch
+          // funnel over the identical corpus.
+          import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+          val funnelBase = docs.filter(col("doc_id") < 1000000L)
+            .withColumnRenamed("lang", "source")
+          val funnelPlants = funnelBase.filter(expr("doc_id % 16 = 1"))
+            .select((lit(4L) * (col("doc_id") + lit(1000000000L))).as("doc_id"),
+              col("source"), col("text"))
+          val funnel = new graft.streaming.StatefulOps.StreamingFunnel
+          val batches = funnelPlants +: (0 until 7).map(i =>
+            funnelBase.filter(pmod(col("doc_id"), lit(7)) === i))
+          val batchTimes = batches.map(b => time(funnel.ingestBatch(b))).toVector
+          var reportRows = Array.empty[String]
+          val tReport = time {
+            reportRows = funnel.report().collect().map(_.toString).sorted }
+          val wantRows = graft.ops.Text.filterFunnel(
+              funnelBase.unionByName(funnelPlants))
+            .collect().map(_.toString).sorted
+          if (reportRows.toSeq != wantRows.toSeq)
+            throw new GoldenMismatch(
+              s"streaming funnel 1M diverges from the batch funnel: " +
+              s"${reportRows.mkString("; ")} vs ${wantRows.mkString("; ")}")
+          // batches 1-3 and 5-7 are the equal-sized base batches (batch 0
+          // is the smaller plant batch); flat per-batch cost puts the two
+          // medians within noise of each other
+          val fEarly = batchTimes.slice(1, 4).sorted.apply(1)
+          val fLate = batchTimes.slice(5, 8).sorted.apply(1)
+          val funnelFlat = fLate / math.max(fEarly, 0.05)
+          if (funnelFlat > 3.0)
+            System.err.println(
+              f"[bench] WARNING streaming funnel per-batch cost NOT flat: late-batch " +
+              f"median $funnelFlat%.1fx the early one (batch-bounded ingest predicts ~1x)")
+          addCompact("reference_pipeline_1m", "streaming_funnel_1m",
+            f"${batchTimes.sum}%.2f")
+          val jFunnel =
+            f""""streaming_funnel_1m_batches":[${batchTimes.map(t => f"$t%.3f").mkString(",")}],""" +
+            f""""streaming_funnel_1m_flat_ratio":$funnelFlat%.2f,""" +
+            f""""streaming_funnel_1m_report_s":$tReport%.3f,""" +
+            f""""streaming_funnel_1m":${batchTimes.sum}%.3f"""
+          s""","reference_pipeline_1m":{$j,$jLeak,$jFunnel}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -896,13 +965,54 @@ object Bench {
           val warmTrain = timeOf(trainJson, "unigram_train_1m_warm")
           if (warmVit < 0 || warmTrain < 0) throw new GoldenMismatch(
             s"unigram flatness inputs unparsed: vit=$warmVit train=$warmTrain")
+          // Timing-ratio gate WARNS instead of throwing (round 15,
+          // advisor): with warmReps=1 a single contended rep would have
+          // converted a perf flake into a correctness-mismatch abort of
+          // the whole BIG tier. The ratio is always in the artifact
+          // (unigram_train_scale_ratio) so a real shape regression is
+          // still machine-readable; correctness mismatches above still
+          // throw.
           val trainScale = warmTrain / math.max(warmVit, 0.05)
-          if (trainScale > 12.0) throw new GoldenMismatch(
-            f"unigram EM cost NOT vocab-bounded: training took $trainScale%.1fx " +
-            "the single-DP viterbi anchor (3 flat EM rounds predict ~3-4x, bound 12x)")
-          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$qlJson,$vitJson,$trainJson,""" +
+          if (trainScale > 12.0)
+            System.err.println(
+              f"[bench] WARNING unigram EM cost ratio $trainScale%.1fx over the 12x " +
+              "vocab-bounded bar (3 flat EM rounds predict ~3-4x) — perf flake or " +
+              "shape regression; see unigram_train_scale_ratio in the artifact")
+          // wordpiece_train_1m (round 15): the LAST tokenizer trainer —
+          // the q118 merge loop scored by the exact scaled-integer
+          // likelihood. Same scale contract as BPE training (one corpus
+          // scan + vocab-bounded iterations); per iteration it runs TWO
+          // vocab-bounded aggregations (pairs + unigrams) instead of
+          // one, so warm cost should sit at ~2-3x the 8-merge BPE
+          // anchor; a trainer that re-scans the corpus per merge blows
+          // the recorded ratio. The merge table must be well-formed and
+          // every score positive (cnt(ab) <= cnt(a), cnt(b) bounds
+          // score18 at (0, 1e18]).
+          var wpTables = Vector.empty[Seq[(Long, String, String, String, Long, Long)]]
+          val wpJson = coldWarm("reference_tok_1m", "wordpiece_train_1m", warmReps = 1) {
+            wpTables = wpTables :+ graft.ops.Text.wordpieceTrain(docs, nMerges = 8)
+              .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                r.getString(3), r.getLong(4), r.getLong(5))) }
+          val wpBad = wpTables.exists { t =>
+            t.size != 8 || t.exists { case (_, l, r2, m, c, s18) =>
+              m != l + r2 || c <= 0L || s18 <= 0L || s18 > 1000000000000000000L } } ||
+            wpTables.distinct.size != 1
+          if (wpBad) throw new GoldenMismatch(
+            s"wordpiece 1M anchor MISMATCH: ${wpTables.map(_.take(2)).mkString(" | ")} " +
+            "(want 8 stable merges, merged = lhs+rhs, cnt > 0, score18 in (0, 1e18])")
+          val warmWp = timeOf(wpJson, "wordpiece_train_1m_warm")
+          if (warmWp < 0) throw new GoldenMismatch(
+            s"wordpiece flatness input unparsed: warmWp=$warmWp")
+          val wpScale = warmWp / math.max(warm8, 0.05)
+          if (wpScale > 12.0)
+            System.err.println(
+              f"[bench] WARNING wordpiece train cost ratio $wpScale%.1fx the 8-merge " +
+              "BPE anchor (two vocab-bounded aggs/iter predict ~2-3x, bar 12x) — " +
+              "perf flake or a corpus re-scan crept into the loop")
+          s""","reference_tok_1m":{$bpeJson,$bpe256Json,$bpe4kJson,$infer4kJson,$bmJson,$qlJson,$vitJson,$trainJson,$wpJson,""" +
             f""""bpe_merge_scale_ratio":$mergeScale%.2f,""" +
             f""""unigram_train_scale_ratio":$trainScale%.2f,""" +
+            f""""wordpiece_train_scale_ratio":$wpScale%.2f,""" +
             f""""bpe_merge_scale_ratio_4k":$mergeScale4k%.2f,"bpe_infer_chunks":64}"""
         } finally { docs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
@@ -950,6 +1060,21 @@ object Bench {
           // every label holds EXACTLY 1M/64 = 15625 vectors, and since no
           // synthetic vector is the zero vector, its max-|x| element
           // saturates — n_sat >= n_vecs per label, first principles both.
+          // Input-split guard (round 15, after the r14 7.4 s regression):
+          // the quantize row stage is a pure projection, so its
+          // parallelism IS the input partition count — a collapse of the
+          // persisted frame would run it near-single-threaded. Assert it
+          // so that failure mode can't return silently. (The r14 6.6×
+          // itself was NOT a collapse — loadavg_post 13 showed parallel
+          // tasks — but interpreted-HOF eval going megamorphic in the
+          // long-lived JVM; the row stage is now the native codegen'd
+          // graft_int8, immune to both.)
+          val vecParts = vecs.rdd.getNumPartitions
+          if (vecParts < spark.sparkContext.defaultParallelism / 2)
+            throw new GoldenMismatch(
+              s"quantize 1M input collapsed to $vecParts partitions " +
+                s"(want >= ${spark.sparkContext.defaultParallelism / 2})")
+          addCompact("reference_vec_1m", "quantize_1m_input_partitions", vecParts.toString)
           var qBad = -1L
           val j3 = coldWarm("reference_vec_1m", "quantize_1m", warmReps = 3) {
             val rep = graft.ops.Embeddings.quantizeInt8Report(
@@ -996,7 +1121,8 @@ object Bench {
               rep.count(r => r.getDouble(3) < 0.0 || r.getDouble(4) < r.getDouble(3)) }
           if (pqBad != 0L) throw new GoldenMismatch(
             s"pq 1M anchor MISMATCH: $pqBad (want 4x1M codes, 0 <= avg <= max)")
-          s""","reference_vec_1m":{$j1,$j2,$j3,$j4,$j5,$j6,"ivf_recall_1m":$recall}"""
+          s""","reference_vec_1m":{$j1,$j2,$j3,$j4,$j5,$j6,"ivf_recall_1m":$recall,""" +
+            s""""quantize_1m_input_partitions":$vecParts}"""
         } finally { vecs.unpersist(); graft.core.InternalCaches.release(spark) }
       } catch {
         case e: GoldenMismatch => throw e
@@ -1122,7 +1248,19 @@ object Bench {
     // into BENCH_DETAIL.json in the working directory for human inspection.
     val loadsJson = roundLoads.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson$isolatedJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
+    // Median provenance (round 15, verdict/advisor): the published median
+    // mixes two methodologies (interleaved sweep vs isolated-steady
+    // re-measure for over-probe-bar queries); the artifact now states per
+    // query which one it published instead of requiring a cross-reference
+    // against the isolated_steady block. compare_probe consumes this map.
+    val provenanceJson = {
+      val entries = results.map { case (k, _) =>
+        val src = if (isolatedMedian.contains(k)) "isolated" else "interleaved"
+        s""""$k":"$src""""
+      }.mkString(",")
+      s""","published_source":{$entries}"""
+    }
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson$isolatedJson$provenanceJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -1132,7 +1270,7 @@ object Bench {
     val (compact, qShed, sectionsShed) = compactContractLine(
       total, sfDir,
       results.toVector.map { case (k, v) => k -> publishedMedian(k, v) },
-      compactRef.toSeq)
+      compactRef.toSeq, nIsolated = isolatedMedian.size)
     if (qShed > 0)
       System.err.println(s"[bench] compact line over budget; shed the $qShed cheapest per-query medians (all ${results.size} remain in BENCH_DETAIL.json)")
     for (victim <- sectionsShed)

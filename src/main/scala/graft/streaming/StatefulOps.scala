@@ -194,10 +194,20 @@ object StatefulOps {
     * batch-bounded — and the dedup stage maintains a DISTRIBUTED running
     * canonical table (content hash → min doc_id seen). Nothing is
     * driver-held; in production the two running frames are
-    * storage-backed ingest tables with merge-on-write, and the per-batch
-    * re-aggregation here is the in-memory stand-in (each update is
-    * eagerly localCheckpointed, so lineage stays flat across an
-    * unbounded batch count — the q118 loop contract).
+    * storage-backed ingest tables with merge-on-write, and the lazy
+    * union of per-batch checkpoints here is the in-memory stand-in.
+    *
+    * Cost contract (round 15, advisor): per-batch work is
+    * BATCH-BOUNDED — only the new batch's flag frame and its per-batch
+    * (h, min cid) pre-aggregate are eagerly localCheckpointed; the
+    * accumulated unions stay lazy (min is associative, so the canonical
+    * table is recovered at report time by one groupBy over the
+    * pre-aggregates). An earlier version re-checkpointed the FULL
+    * accumulated union every batch — O(batches²) total work. The lazy
+    * union plan grows one node per batch (linear, the PageRank shape);
+    * every [[CompactEvery]] batches it is compacted with one
+    * history-sized checkpoint, so plan depth is bounded and the
+    * amortized extra cost is O(total/CompactEvery).
     *
     * [[report]] at any point equals the batch funnel over everything
     * ingested so far — INCLUDING retroactive canonical displacement (a
@@ -210,19 +220,29 @@ object StatefulOps {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, md5, min => fmin}
     @volatile private var flags: Option[DataFrame] = None // doc_id, source, h, rule keeps
-    @volatile private var canon: Option[DataFrame] = None // h, cid
+    // lazy union of per-batch (h, min cid) pre-aggregates; the current
+    // canonical table is groupBy(h).min(cid) over it (min is associative)
+    @volatile private var canonParts: Option[DataFrame] = None
+    private var sinceCompact = 0
 
-    /** Ingest one micro-batch of (doc_id, source, text) rows. */
+    /** Ingest one micro-batch of (doc_id, source, text) rows. Per-batch
+      * cost is batch-bounded: only the new frames are materialized. */
     def ingestBatch(batch: DataFrame): Unit = synchronized {
       val base = batch.select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(true)
-      val bFlags = graft.ops.Text.funnelRuleFlags(base)
-      flags = Some(flags.map(_.unionByName(bFlags)).getOrElse(bFlags)
-        .localCheckpoint(true))
+      val bFlags = graft.ops.Text.funnelRuleFlags(base).localCheckpoint(true)
+      flags = Some(flags.map(_.unionByName(bFlags)).getOrElse(bFlags))
       val bCanon = base.select(md5(col("text")).as("h"), col("doc_id").as("cid"))
-      canon = Some(canon.map(_.unionByName(bCanon)).getOrElse(bCanon)
         .groupBy(col("h")).agg(fmin(col("cid")).as("cid"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      canonParts = Some(canonParts.map(_.unionByName(bCanon)).getOrElse(bCanon))
+      sinceCompact += 1
+      if (sinceCompact >= StreamingFunnel.CompactEvery) {
+        flags = flags.map(_.localCheckpoint(true))
+        canonParts = canonParts.map(
+          _.groupBy(col("h")).agg(fmin(col("cid")).as("cid")).localCheckpoint(true))
+        sinceCompact = 0
+      }
     }
 
     /** The funnel survival report over everything ingested so far —
@@ -231,9 +251,17 @@ object StatefulOps {
     def report(): DataFrame = synchronized {
       val f = flags.getOrElse(
         throw new IllegalStateException("StreamingFunnel: no batches ingested"))
-      graft.ops.Text.funnelRollup(f.join(canon.get, "h")
+      val canon = canonParts.get.groupBy(col("h")).agg(fmin(col("cid")).as("cid"))
+      graft.ops.Text.funnelRollup(f.join(canon, "h")
         .withColumn("u_keep", (col("doc_id") === col("cid"))
           .cast(org.apache.spark.sql.types.LongType)))
     }
+  }
+
+  object StreamingFunnel {
+    /** Union-plan compaction cadence: one history-sized checkpoint per
+      * this many batches bounds plan depth at ~CompactEvery union nodes
+      * while keeping the amortized overhead at O(total/CompactEvery). */
+    val CompactEvery = 64
   }
 }

@@ -17,7 +17,17 @@ import sys
 bench_path, probe_path = sys.argv[1], sys.argv[2]
 bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
-medians = json.load(open(bench_path))["queries"]
+bench = json.load(open(bench_path))
+medians = bench["queries"]
+# Median provenance (round 15): the bench states per query whether the
+# published median came from the interleaved sweep or the isolated-steady
+# re-measure; surface the split so a reader of this report sees which
+# methodology each flagged figure used without opening the JSON.
+provenance = bench.get("published_source", {})
+n_iso = sum(1 for v in provenance.values() if v == "isolated")
+if n_iso:
+    print(f"note: {n_iso} medians published from isolated-steady re-measure "
+          f"(marked [isolated] below)")
 probes = {}
 for line in open(probe_path):
     m = re.search(r"PROBE (\S+) ([0-9. ]+)$", line.strip())
@@ -39,7 +49,8 @@ for name in sorted(set(medians) & set(probes)):
         bad.append((name, med, steady))
 for name, med, steady in bad:
     ratio = med / steady
+    tag = " [isolated]" if provenance.get(name) == "isolated" else ""
     print(f"PHANTOM? {name}: bench median {med:.2f}s vs probe steady {steady:.2f}s "
-          f"({ratio:.1f}x)")
+          f"({ratio:.1f}x){tag}")
 print(f"{len(set(medians) & set(probes))} compared, {len(bad)} over the {bar}x bar")
 sys.exit(1 if bad else 0)
