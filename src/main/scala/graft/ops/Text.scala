@@ -4438,6 +4438,26 @@ object Text {
   def qWordpieceTrain(s: SparkSession, dir: String): DataFrame =
     wordpieceTrain(Tables.documents(s, dir))
 
+  /** q188 — the WordPiece deployed-tokenizer lifecycle over a train/apply
+    * corpus split, closing the fourth family's train→apply split exactly
+    * as q124 closes BPE's and q186 closes unigram-LM's: train the
+    * likelihood-scored merge table ([[wordpieceTrain]]) on the doc_id-even
+    * half, segment the doc_id-odd half with the FROZEN table. The apply
+    * half IS [[bpeApplyMerges]] — a WordPiece merge table replays by the
+    * same sequential rank-order replace chain (a merge's constituents
+    * always form strictly earlier), so the deployment machinery is the
+    * audited q124 single nested-replace projection unchanged; symbols
+    * unseen in training stay character-split, the deployed-tokenizer OOV
+    * behavior. Scale shape: training is q187's (one train-half scan +
+    * vocab-bounded iterations); apply is one eval-half scan into the
+    * vocab-bounded word table + ONE projection. */
+  def qWordpieceInference(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = wordpieceTrain(docs.filter(expr("doc_id % 2 = 0"))).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeApplyMerges(docs.filter(expr("doc_id % 2 = 1")), merges)
+  }
+
   /** Unigram-LM Viterbi segmentation (Kudo, ACL 2018 — the SentencePiece
     * inference rule) — the FOURTH tokenizer family beside BPE
     * train/apply/infer (q118/q119/q124) and WordPiece greedy munch
@@ -5105,6 +5125,7 @@ object Text {
     "q185_unigram_train"       -> (qUnigramTrain _),
     "q186_unigram_apply"       -> (qUnigramApply _),
     "q187_wordpiece_train"     -> (qWordpieceTrain _),
+    "q188_wordpiece_inference" -> (qWordpieceInference _),
     "q148_heaps_law"           -> (qHeapsLaw _),
     "q149_minhash_error"       -> (qMinhashError _),
     "q150_paragraph_dedup"     -> (qParagraphDedup _),
@@ -5277,14 +5298,21 @@ object Text {
     * segmentation's symbols (u_k) and adjacent pairs (p_k), joins them,
     * takes the (score18 desc, a, b) argmax, and applies the one anchored
     * replace. */
-  private def wordpieceTrainOracle(nMerges: Int): String = {
+  private def wordpieceTrainOracle(nMerges: Int): String =
+    wordpieceCtes(nMerges, "documents") + (1 to nMerges).map { k =>
+      s"""
+         SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+                a || b AS merged, cnt, score18 FROM m$k"""
+    }.mkString("", " UNION ALL", "")
+
+  private def wordpieceCtes(nMerges: Int, src: String): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH w0 AS MATERIALIZED (
            SELECT freq, ' ' || array_to_string(
              list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
            FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
-                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
                  GROUP BY w))"""
     for (k <- 1 to nMerges) {
       sb ++= s""",
@@ -5309,11 +5337,38 @@ object Text {
                       ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
            FROM w${k - 1})"""
     }
-    sb.toString + (1 to nMerges).map { k =>
-      s"""
-         SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
-                a || b AS merged, cnt, score18 FROM m$k"""
-    }.mkString("", " UNION ALL", "")
+    sb.toString
+  }
+
+  /** The q188 oracle — the q124 frozen-chain recipe over the WordPiece
+    * trainer's CTEs: train-half merge stages (the [[wordpieceCtes]]
+    * unroll over the doc_id-even half), then the eval-half word table
+    * pushed through the SAME anchored replace chain via scalar
+    * subqueries, finished by the corpus-weighted symbol histogram. */
+  private def wordpieceInferenceOracle(nMerges: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= wordpieceCtes(nMerges,
+      "(SELECT text FROM documents WHERE doc_id % 2 = 0)")
+    sb ++= s""",
+         e0 AS MATERIALIZED (
+           SELECT freq, ' ' || array_to_string(
+             list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' ' AS s
+           FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE doc_id % 2 = 1)
+                 GROUP BY w))"""
+    for (k <- 1 to nMerges)
+      sb ++= s""",
+         e$k AS (SELECT freq,
+           replace(s, ' ' || (SELECT a FROM m$k) || '  ' || (SELECT b FROM m$k) || ' ',
+                      ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS s
+           FROM e${k - 1})"""
+    sb ++= s"""
+         SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM e$nMerges)
+         WHERE sym <> '' GROUP BY sym
+         ORDER BY cnt DESC, sym ASC LIMIT $topK"""
+    sb.toString
   }
 
   /** The q124 oracle: train-half merge CTEs (the q118 unroll over the
@@ -5667,6 +5722,8 @@ object Text {
     // likelihood score (HUGEINT // twin of the Spark DECIMAL div) — no
     // float enters the merge choice on either engine
     "q187_wordpiece_train" -> wordpieceTrainOracle(8),
+    // q188: q187's train-half unroll + the q124 frozen replace chain
+    "q188_wordpiece_inference" -> wordpieceInferenceOracle(8, 20),
     // q141: add-1 unigram/bigram means from decimal sums of round-9 lns;
     // excess/boost from UNROUNDED means; K-term normalizer decimal-summed
     // q145: GROUND-TRUTH positional scan — the Spark side must reproduce

@@ -2515,6 +2515,26 @@ class TextSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
+  test("q188 wordpiece inference: frozen likelihood merges replay; OOV stays character-split") {
+    import spark.implicits._
+    try {
+      val docs = Seq(
+        (0L, ("ax " * 80 + "ab " * 10 + "cd " * 9).trim), // train half
+        (1L, "cd cd zq")                                  // eval half
+      ).toDF("doc_id", "text")
+      val merges = graft.ops.Text
+        .wordpieceTrain(docs.filter("doc_id % 2 = 0"), nMerges = 1)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(merges == Seq(("c", "d")),
+        s"trainer picked $merges (want the likelihood merge c+d)")
+      val hist = graft.ops.Text
+        .bpeApplyMerges(docs.filter("doc_id % 2 = 1"), merges)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // "cd" replays the frozen merge; "zq" is OOV and stays split
+      assert(hist == Map("cd" -> 2L, "z" -> 1L, "q" -> 1L), s"got $hist")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
   test("q187 wordpieceTrain: merged symbols compound across iterations and the loop exhausts") {
     import spark.implicits._
     try {
