@@ -49,6 +49,52 @@ object Bench {
       .split("\\s+")(0).toDouble
   } catch { case e if scala.util.control.NonFatal(e) => -1.0 }
 
+  /** Host-wide busy jiffies (every /proc/stat cpu field except idle and
+    * iowait, USER_HZ = 100) — one half of the FOREIGN-WORK meter below.
+    * -1 when unreadable. */
+  private[graft] def hostBusyJiffies(): Long = try {
+    val line = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8").linesIterator.next()
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+  } catch { case e if scala.util.control.NonFatal(e) => -1L }
+
+  /** This JVM's cumulative CPU time in ns (all threads, GC included).
+    * -1 when the platform bean doesn't expose it. */
+  private[graft] def procCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Average FOREIGN cpu-cores burned during `f`: (host busy CPU − this
+    * JVM's CPU) / wall. This is the post-run contention meter the 1-min
+    * loadavg cannot be (round 16 — the r15 100M geometry anchors drifted
+    * 1.3-1.6× under a window that turned loaded MID-run; the pre-anchor
+    * gate admits it and loadavg_post is dominated by the anchor's own 32
+    * threads, but host-minus-self CPU cleanly separates our work from
+    * everyone else's regardless of how hard the anchor itself runs).
+    * Returns (seconds, foreignCores); foreignCores is -1 when either
+    * meter is unreadable. */
+  private[graft] def timeWithForeign(f: => Unit): (Double, Double) = {
+    val b0 = hostBusyJiffies(); val c0 = procCpuNs()
+    val t0 = System.nanoTime()
+    f
+    val sec = (System.nanoTime() - t0) / 1e9
+    val b1 = hostBusyJiffies(); val c1 = procCpuNs()
+    val foreign =
+      if (b0 < 0 || b1 < 0 || c0 < 0 || c1 < 0 || sec <= 0) -1.0
+      else math.max(0.0, (b1 - b0) / 100.0 - (c1 - c0) / 1e9) / sec
+    (sec, foreign)
+  }
+
+  /** Foreign-cores bar above which an anchor rep counts as CONTENDED
+    * (SPARK_GRAFT_FOREIGN_GATE, default 3.0 cores; <= 0 disables). A
+    * quiet box shows < 1 foreign core under a saturating anchor; the r15
+    * drifted windows carried ambient loads of 8-15. */
+  private[graft] def foreignGate(): Double = sys.env.get("SPARK_GRAFT_FOREIGN_GATE")
+    .flatMap(_.toDoubleOption).getOrElse(3.0)
+
   /** Ambient-load GATE for the anchor sections (round 13 — the r12 BIG
     * tier measured at loadavg 4-27 and published a 2.5x-inflated
     * minhash_lsh_300k; recording load wasn't enough, the bench must
@@ -452,25 +498,39 @@ object Bench {
           .asScala.map(_.getCollectionTime.max(0L)).sum
       }
       val gc0 = gcMs()
-      val cold = time(f)
-      var warms = Vector.fill(warmReps)(time(f))
+      val fThr = Bench.foreignGate()
+      val (cold, coldForeign) = Bench.timeWithForeign(f)
+      var reps = Vector.fill(warmReps)(Bench.timeWithForeign(f))
+      def warms = reps.map(_._1)
+      // A rep is CONTENDED when other processes burned > fThr cores
+      // during it — the post-run load breach the round-15 verdict asked
+      // the runner to ACT on (the pre-anchor gate admits windows that
+      // turn loaded mid-run; see timeWithForeign).
+      def contended(r: (Double, Double)) = fThr > 0 && r._2 > fThr
       var extra = 0
       while (extra < 2 && warms.length > 1 && warms.min > 0 &&
-          warms.max / warms.min > 1.5) {
-        System.err.println(f"[bench] $name%s anchor dispersion " +
-          f"${warms.max / warms.min}%.2f > 1.5 — requeueing one rep")
+          (warms.max / warms.min > 1.5 || reps.forall(contended))) {
+        if (reps.forall(contended))
+          System.err.println(f"[bench] $name%s: every warm rep ran against > " +
+            f"$fThr%.1f foreign cores — re-gating and requeueing one rep")
+        else
+          System.err.println(f"[bench] $name%s anchor dispersion " +
+            f"${warms.max / warms.min}%.2f > 1.5 — requeueing one rep")
         Bench.awaitQuietLoad(s"$name(requeue)")
-        warms = warms :+ time(f)
+        reps = reps :+ Bench.timeWithForeign(f)
         extra += 1
       }
       dispersionGuard(name, warms)
-      // Published warm = median of the STEADY cluster (runs within 1.5x
-      // of the min) — round 14: after a requeue the contended reps stay
-      // in the vector, so a plain median over [2.4, 4.0, 4.0, 1.3, 1.3]
-      // still publishes a contended figure; honest anchors have every
-      // rep inside the cluster, so nothing changes for them. The FULL
-      // vector stays in `*_warm_runs`, so the exclusion is auditable.
-      val steady = warms.filter(_ <= warms.min * 1.5)
+      // Published warm = median of the STEADY cluster — round 14: runs
+      // within 1.5x of the min; round 16: reps measured against > fThr
+      // foreign cores are additionally excluded when at least one clean
+      // rep remains (a contended rep can land inside the 1.5x band and
+      // still inflate the median). The FULL vector and the per-rep
+      // foreign-cores stay in the artifact, so every exclusion is
+      // auditable.
+      val clean = reps.filterNot(contended)
+      val steadyPool = if (clean.nonEmpty) clean.map(_._1) else warms
+      val steady = steadyPool.filter(_ <= steadyPool.min * 1.5)
       val warmMed = median(steady)
       // Transparency (round 15, advisor): when the steady cluster
       // excludes reps, the full-vector median is published alongside
@@ -483,9 +543,12 @@ object Bench {
             f""""${name}_warm_excluded":${warms.size - steady.size}%d,"""
         else ""
       val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val foreigns = (coldForeign +: reps.map(_._2))
+        .map(x => f"$x%.2f").mkString("[", ",", "]")
       addCompact(section, name, f"$warmMed%.2f")
       f""""${name}_cold":$cold%.3f,"${name}_warm":$warmMed%.3f,""" +
-        f""""${name}_warm_runs":$runs%s,"${name}_mem_headroom_mb":${heapHeadroomMb()}%d,""" +
+        f""""${name}_warm_runs":$runs%s,"${name}_foreign_cores":$foreigns%s,""" +
+        f""""${name}_mem_headroom_mb":${heapHeadroomMb()}%d,""" +
         f""""${name}_loadavg":$ambient%.2f,"${name}_load_wait_s":$waited%d,""" +
         f""""${name}_loadavg_post":${loadAvg()}%.2f,$fullProvenance""" +
         f""""${name}_gc_s":${(gcMs() - gc0) / 1000.0}%.2f,"$name":$warmMed%.3f"""
@@ -1069,11 +1132,17 @@ object Bench {
           // tasks — but interpreted-HOF eval going megamorphic in the
           // long-lived JVM; the row stage is now the native codegen'd
           // graft_int8, immune to both.)
+          // WARN, don't throw (round 16, advisor): a partition collapse is
+          // an environmental/perf condition like the timing-ratio gates,
+          // not a wrong answer — the artifact carries the count either
+          // way, so a slow-because-collapsed reading is attributable
+          // without aborting the whole BIG tier over it.
           val vecParts = vecs.rdd.getNumPartitions
           if (vecParts < spark.sparkContext.defaultParallelism / 2)
-            throw new GoldenMismatch(
-              s"quantize 1M input collapsed to $vecParts partitions " +
-                s"(want >= ${spark.sparkContext.defaultParallelism / 2})")
+            System.err.println(
+              s"[bench] WARNING: quantize 1M input collapsed to $vecParts " +
+                s"partitions (want >= ${spark.sparkContext.defaultParallelism / 2}) " +
+                "— the quantize_1m reading is near-single-threaded")
           addCompact("reference_vec_1m", "quantize_1m_input_partitions", vecParts.toString)
           var qBad = -1L
           val j3 = coldWarm("reference_vec_1m", "quantize_1m", warmReps = 3) {

@@ -1,0 +1,279 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-statistic kernels.
+  *
+  * Same engine rationale as [[DotProduct]]/[[Int8RowStat]]: the
+  * declarative higher-order-function formulations of these row-local
+  * statistics are semantically right but execute as CodegenFallback —
+  * one interpreted `Expression.eval` tree walk per array element per
+  * row, whose cost additionally degrades ~7× under megamorphic dispatch
+  * once a long-lived JVM has executed many distinct plans (the measured
+  * quantize_1m failure mode, BENCH_BIG_r14). Each expression here runs
+  * ONE compiled-kernel call per row from inside WholeStageCodegen
+  * (`doGenCode` emits a static call into [[TextKernels]] — Scala objects
+  * compile with static forwarders, so generated Java reaches them
+  * directly), so per-row cost is a monomorphic primitive loop no matter
+  * what else the session has run.
+  *
+  * Every kernel replicates its HOF predecessor's exact IEEE/integer
+  * sequence — parity is asserted element-for-element against the literal
+  * HOF chains in FunctionsSpec, and the gate hashes (q154, q130, q172,
+  * q138) are unchanged at every SF tier. */
+object TextKernels {
+
+  /** Spark's `round(x, scale)` on DOUBLE: java.math.BigDecimal.valueOf
+    * (shortest-decimal representation) → setScale(scale, HALF_UP) →
+    * doubleValue — the exact sequence RoundBase generates, so folds that
+    * interleave rounding with accumulation stay bit-identical. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Character-distribution Shannon entropy of a string — the compiled
+    * twin of the q154 HOF chain (sorted char array → run lengths →
+    * Σ round₉(p·ln p) in sorted-char order → round₆ of the negation).
+    * Code points sorted ascending ARE `array_sort` order on
+    * single-character strings (UTF-8 byte order preserves code-point
+    * order), so the fold visits the identical −p·ln p terms in the
+    * identical order and the round-9/round-6 stream is unchanged.
+    * Returns (n_distinct, entropy); the empty string is (0, 0.0) on
+    * both engines. */
+  def entropy(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    if (cps.length == 0) return new GenericInternalRow(Array[Any](0L, 0.0))
+    java.util.Arrays.sort(cps)
+    val len = cps.length.toDouble
+    var distinct = 0L
+    var sum = 0.0
+    var i = 0
+    while (i < cps.length) {
+      var j = i + 1
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val p = (j - i).toDouble / len
+      sum += roundHalfUp(p * math.log(p), 9)
+      distinct += 1L
+      i = j
+    }
+    new GenericInternalRow(Array[Any](distinct, roundHalfUp(-sum, 6)))
+  }
+
+  /** 31-ary code-point polynomial hash mod `mod`, reducing at EVERY
+    * step — the q130/q172 bucket hash:
+    * `aggregate(transform(sequence(1, length(w)), j -> ascii(substring(w,
+    * j, 1))), 0L, (acc, c) -> (acc * 31 + c) % mod)`. `ascii` of a
+    * single-character substring is its code point, so the fold below is
+    * the identical integer sequence; the empty string is 0 on both
+    * engines (the HOF's descending sequence(1,0) folds two ascii('')=0
+    * terms — still 0). */
+  def hash31(s: UTF8String, mod: Long): Long =
+    hash31Cont(0L, s, mod)
+
+  /** Continue a hash31 fold from a running accumulator — lets the bigram
+    * feature hash below fold `concat(a, ' ', b)` without building the
+    * concatenated string. */
+  private def hash31Cont(acc0: Long, s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var acc = acc0
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** The q130 DSIR feature space in one pass: hash31 of every token,
+    * then hash31 of every adjacent-bigram string `w(i-1) + ' ' + w(i)`
+    * (folded through the same accumulator — no concat allocation),
+    * exactly the multiset the HOF `concat(transform(t, …),
+    * transform(sequence(2, size(t)), …))` explodes. A null token hashes
+    * to null, as the HOF's null-propagating fold does. */
+  def feats31(t: ArrayData, mod: Long): ArrayData = {
+    val n = t.numElements()
+    val out = new Array[Any](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (t.isNullAt(i)) null else hash31(t.getUTF8String(i), mod)
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      out(n + i - 1) =
+        if (t.isNullAt(i - 1) || t.isNullAt(i)) null
+        else hash31Cont(
+          (hash31(t.getUTF8String(i - 1), mod) * 31L + 32L) % mod,
+          t.getUTF8String(i), mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** All n-gram (n, gram) structs for n = 1..maxN of a token array in
+    * ONE pass — the q138 BLEU gram emission. Gram strings are
+    * space-joined exactly as `array_join(slice(t, i, n), ' ')`; orders
+    * longer than the array emit nothing (the HOF's `size(t) >= n`
+    * filter). One corpus scan replaces the explode(1..4)-then-explode
+    * fan-out that copied every (doc, tokens) row four times. */
+  def ngramStructs(t: ArrayData, maxN: Int): ArrayData = {
+    val n = t.numElements()
+    var total = 0
+    var k = 1
+    while (k <= maxN) { total += math.max(0, n - k + 1); k += 1 }
+    val out = new Array[Any](total)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (t.isNullAt(i)) null else t.getUTF8String(i)
+      i += 1
+    }
+    var idx = 0
+    k = 1
+    while (k <= maxN) {
+      i = 0
+      while (i + k <= n) {
+        // concatWs skips nulls like array_join does, so a (never-produced
+        // by split) null token degrades identically on both forms
+        val g = UTF8String.concatWs(Space,
+          java.util.Arrays.copyOfRange(toks, i, i + k).toIndexedSeq: _*)
+        out(idx) = new GenericInternalRow(Array[Any](k, g))
+        idx += 1
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_entropy(text)` → struct<n_distinct: bigint, entropy: double> —
+  * the q154 per-row statistic as one compiled kernel call inside
+  * WholeStageCodegen (see [[TextKernels.entropy]]). */
+case class CharEntropyStat(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_entropy expects a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.entropy(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.entropy($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_entropy"
+}
+
+/** `graft_hash31(s, mod)` → bigint — the cross-engine-exact 31-ary
+  * code-point polynomial bucket hash (see [[TextKernels.hash31]]).
+  * `mod` is a literal pinned at plan time, like graft_int8's mode. */
+case class Hash31(child: Expression, mod: Long) extends UnaryExpression {
+
+  require(mod >= 2 && mod <= (1L << 20),
+    s"graft_hash31 mod must be in [2, 2^20], got $mod")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash31 expects a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.hash31(a.asInstanceOf[UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.hash31($a, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash31"
+}
+
+/** `graft_feats31(t, mod)` → array<bigint> — the q130 DSIR unigram+bigram
+  * hashed feature multiset in one compiled pass (see
+  * [[TextKernels.feats31]]). */
+case class Feats31(child: Expression, mod: Long) extends UnaryExpression {
+
+  require(mod >= 2 && mod <= (1L << 20),
+    s"graft_feats31 mod must be in [2, 2^20], got $mod")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_feats31 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.feats31(a.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.feats31($a, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_feats31"
+}
+
+/** `graft_ngrams(t, maxN)` → array<struct<n: int, g: string>> — every
+  * 1..maxN-gram of a token array in one compiled pass (see
+  * [[TextKernels.ngramStructs]]). */
+case class NGramStructs(child: Expression, maxN: Int) extends UnaryExpression {
+
+  require(maxN >= 1 && maxN <= 8, s"graft_ngrams maxN must be in [1,8], got $maxN")
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = true))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngrams expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.ngramStructs(a.asInstanceOf[ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.ngramStructs($a, $maxN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_ngrams"
+}

@@ -438,7 +438,13 @@ case class ZOrder2(left: Expression, right: Expression)
   * see quantizeInt8Report's scaladoc for why no knife-edge exists at the
   * saturation boundary. Null semantics replicate the HOF chain: null array
   * → NULL; a null ELEMENT makes the code sum NULL (`acc + NULL`) while the
-  * saturation count skips it (`CASE WHEN abs(NULL) = 127` is false-y). */
+  * saturation count skips it (`CASE WHEN abs(NULL) = 127` is false-y) —
+  * EXCEPT when max|x| over the non-null elements is exactly 0.0: the
+  * HOF's `CASE WHEN ma = 0.0 THEN 0L` fires before the element is ever
+  * read, so every code (null elements included) is 0L and both modes
+  * return 0, never NULL. The fold below short-circuits that whole case
+  * to 0L up front, matching the HOF corner the round-15 advisor
+  * flagged as divergent. */
 case class Int8RowStat(child: Expression, mode: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -476,6 +482,10 @@ case class Int8RowStat(child: Expression, mode: Int)
       }
       i += 1
     }
+    // ma == 0.0 short-circuit FIRST (HOF parity): `CASE WHEN ma = 0.0
+    // THEN 0L` never reads the element, so nulls code to 0L too — both
+    // modes are 0, even when the vector mixes nulls with a zero max
+    if (hasMa && ma == 0.0) return 0L
     // pass 2: fold the codes; a null element (or null ma) nulls the sum
     // and is skipped by the saturation count, matching the HOF chain
     var acc = 0L
@@ -485,7 +495,7 @@ case class Int8RowStat(child: Expression, mode: Int)
         if (mode == 0) return null
       } else {
         val x = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val code = if (ma == 0.0) 0L else math.floor(x * 127.0 / ma + 0.5).toLong
+        val code = math.floor(x * 127.0 / ma + 0.5).toLong
         if (mode == 0) acc += code
         else if (math.abs(code) == 127L) acc += 1L
       }
@@ -510,14 +520,14 @@ case class Int8RowStat(child: Expression, mode: Int)
           s"""
              |if ($a.isNullAt($i) || !$hasMa) { ${ev.isNull} = true; break; }
              |double $x = (double) $a.$get($i);
-             |long $code = ($ma == 0.0) ? 0L : (long) Math.floor($x * 127.0 / $ma + 0.5);
+             |long $code = (long) Math.floor($x * 127.0 / $ma + 0.5);
              |$acc += $code;
            """.stripMargin
         else
           s"""
              |if (!$a.isNullAt($i) && $hasMa) {
              |  double $x = (double) $a.$get($i);
-             |  long $code = ($ma == 0.0) ? 0L : (long) Math.floor($x * 127.0 / $ma + 0.5);
+             |  long $code = (long) Math.floor($x * 127.0 / $ma + 0.5);
              |  if (Math.abs($code) == 127L) $acc += 1L;
              |}
            """.stripMargin
@@ -532,8 +542,12 @@ case class Int8RowStat(child: Expression, mode: Int)
          |  }
          |}
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $fold
+         |// HOF parity: a zero max short-circuits every code (null
+         |// elements included) to 0L before the element is read
+         |if (!($hasMa && $ma == 0.0)) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $fold
+         |  }
          |}
          |if (!${ev.isNull}) ${ev.value} = $acc;
        """.stripMargin
@@ -566,8 +580,23 @@ object GraftFunctions {
   val int8Info = info(classOf[Int8RowStat], "graft_int8",
     "graft_int8(v, mode) - int8-quantization row stat of a float/double array: mode 0 = code sum, mode 1 = saturation count")
 
+  val entropyInfo = info(classOf[CharEntropyStat], "graft_entropy",
+    "graft_entropy(s) - struct(n_distinct, entropy): character-distribution Shannon entropy of a string")
+
+  val hash31Info = info(classOf[Hash31], "graft_hash31",
+    "graft_hash31(s, mod) - 31-ary code-point polynomial bucket hash of a string, reduced mod `mod` at every step")
+
+  val feats31Info = info(classOf[Feats31], "graft_feats31",
+    "graft_feats31(t, mod) - hash31 of every token and every adjacent bigram of a token array (the DSIR feature space)")
+
+  val ngramsInfo = info(classOf[NGramStructs], "graft_ngrams",
+    "graft_ngrams(t, maxN) - all (n, gram) structs for n = 1..maxN of a token array in one pass")
+
   private def toInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
+
+  private def toLong(e: Expression): Long =
+    e.eval(null).asInstanceOf[Number].longValue()
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -595,6 +624,26 @@ object GraftFunctions {
     if (!registry.functionExists(int8Id)) {
       registry.registerFunction(int8Id, int8Info,
         (children: Seq[Expression]) => Int8RowStat(children(0), toInt(children(1))))
+    }
+    val entId = FunctionIdentifier("graft_entropy")
+    if (!registry.functionExists(entId)) {
+      registry.registerFunction(entId, entropyInfo,
+        (children: Seq[Expression]) => CharEntropyStat(children(0)))
+    }
+    val h31Id = FunctionIdentifier("graft_hash31")
+    if (!registry.functionExists(h31Id)) {
+      registry.registerFunction(h31Id, hash31Info,
+        (children: Seq[Expression]) => Hash31(children(0), toLong(children(1))))
+    }
+    val f31Id = FunctionIdentifier("graft_feats31")
+    if (!registry.functionExists(f31Id)) {
+      registry.registerFunction(f31Id, feats31Info,
+        (children: Seq[Expression]) => Feats31(children(0), toLong(children(1))))
+    }
+    val ngId = FunctionIdentifier("graft_ngrams")
+    if (!registry.functionExists(ngId)) {
+      registry.registerFunction(ngId, ngramsInfo,
+        (children: Seq[Expression]) => NGramStructs(children(0), toInt(children(1))))
     }
   }
 }

@@ -446,6 +446,21 @@ object Embeddings {
     * bounded. */
   def logregTrainWeights(emb: DataFrame, iters: Int = 3,
                          lr: Double = 0.5): (Array[Double], Double) = {
+    val (w, b, _, _) = logregTrainWeightsWithShape(emb, iters, lr)
+    (w, b)
+  }
+
+  /** [[logregTrainWeights]] plus its DATAFLOW-SHAPE evidence — (weights,
+    * bias, gradient-scan partition count, treeAggregate depth). The
+    * production epoch is an RDD fold outside Catalyst, so the q147 plan
+    * contract can't see it (round-15 advisor): this hook lets the spec
+    * assert the path that actually executes is distributed (partitions
+    * tracks the cached input, never a driver collapse) and depth-2, while
+    * the bit-parity spec against [[logregEpochExplode]] pins its math. */
+  private[graft] val TreeAggDepth = 2
+  private[graft] def logregTrainWeightsWithShape(
+      emb: DataFrame, iters: Int = 3,
+      lr: Double = 0.5): (Array[Double], Double, Int, Int) = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -469,9 +484,12 @@ object Embeddings {
       new java.math.BigDecimal(java.math.BigInteger.valueOf(l), 9).doubleValue
     var bias = 0.0
     var w = Array.fill(64)(0.0)
+    var gradParts = -1
     for (_ <- 1 to iters) {
       val wCur = w; val bCur = bias
-      val acc = data.as[(Array[Float], Double)].rdd
+      val gradRdd = data.as[(Array[Float], Double)].rdd
+      gradParts = gradRdd.getNumPartitions
+      val acc = gradRdd
         .treeAggregate(new Array[Long](65))(
           seqOp = { (a, row) =>
             val (x, y) = row
@@ -491,12 +509,12 @@ object Embeddings {
             var k = 0
             while (k < 65) { x(k) += y(k); k += 1 }
             x
-          }, depth = 2)
+          }, depth = TreeAggDepth)
       bias = rnd(bias - (lr * sum9ToDouble(acc(0))) / n.toDouble, 9)
       w = Array.tabulate(64)(i =>
         rnd(wCur(i) - (lr * sum9ToDouble(acc(i + 1))) / n.toDouble, 9))
     }
-    (w, bias)
+    (w, bias, gradParts, TreeAggDepth)
   }
 
   /** ONE epoch of the declarative gradient the fold in

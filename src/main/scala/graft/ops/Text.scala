@@ -69,38 +69,27 @@ object Text {
     * −p·ln p term rounds to 9, the fold runs left-to-right in that fixed
     * order, finish rounds to 6 — no explode, no shuffle, rides any scan
     * at any corpus size. Empty documents yield (text_len 0, n_distinct 0,
-    * entropy 0.0) on BOTH engines: Spark's sequence(1, 0) DESCENDS (the
-    * repo pitfall), so every HOF stage is guarded with a lazy CASE on the
-    * upstream size instead of reaching the degenerate range. */
+    * entropy 0.0) on BOTH engines.
+    *
+    * Round 16: the row stage is the native codegen'd `graft_entropy`
+    * ([[graft.functions.CharEntropyStat]]) — the earlier
+    * array_sort → filter → transform → aggregate HOF tower was
+    * CodegenFallback and degraded under megamorphic dispatch exactly
+    * like quantize_1m did (q154 drifted 3.1 → 3.9 s in the r15 sweep
+    * with the operator untouched — the advisor-flagged early
+    * signature). The kernel sorts code points (= array_sort order on
+    * single-char strings), folds run lengths through the identical
+    * round-9 −p·ln p stream, and rounds the negated sum to 6 —
+    * hash-parity with the HOF chain is asserted in FunctionsSpec and
+    * the q154 gate hash is unchanged at every tier. */
   def charEntropy(docs: DataFrame): DataFrame = {
-    // Histogram as run lengths over the ONE sorted char array (shared
-    // via real columns so each is materialized once per row — the naive
-    // per-distinct-char filter() rebuilds the array O(distinct) times and
-    // was measured 40× slower at sf0.1). Run starts in sorted order ARE
-    // the sorted distinct characters, so the fold visits the identical
-    // −p·ln p terms in the identical order as the per-char form: the
-    // round-9/round-6 stream is unchanged and the oracle is too.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("sc", expr(
-        "CASE WHEN length(text) < 1 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
-          "array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1))) END"))
-      .withColumn("bd", expr(
-        "CASE WHEN size(sc) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
-          "filter(sequence(1, size(sc)), " +
-          "i -> i = 1 OR element_at(sc, i) <> element_at(sc, i - 1)) END"))
-      .withColumn("cnts", expr(
-        "CASE WHEN size(bd) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
-          "transform(sequence(1, size(bd)), j -> " +
-          "coalesce(try_element_at(bd, j + 1), size(sc) + 1) - element_at(bd, j)) END"))
+      .withColumn("es", expr("graft_entropy(text)"))
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("text_len"),
-        size(col("bd")).cast(LongType).as("n_distinct"),
-        when(size(col("bd")) < 1, lit(0.0)).otherwise(
-          round(-expr(
-            "aggregate(cnts, CAST(0.0 AS DOUBLE), (a, x) -> a + " +
-              "round((CAST(x AS DOUBLE) / length(text)) * " +
-              "ln(CAST(x AS DOUBLE) / length(text)), 9))"),
-            6)).as("entropy"))
+        col("es.n_distinct").as("n_distinct"),
+        col("es.entropy").as("entropy"))
   }
 
   def qCharEntropy(s: SparkSession, dir: String): DataFrame =
@@ -2906,23 +2895,28 @@ object Text {
     * left-to-right chain, the final product rounds to 6. Zero-match
     * orders short-circuit BLEU to 0.0 via a mirrored CASE (no −inf). */
   def corpusBleu(pairs: DataFrame, groupCol: String = "source"): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
     val base = graft.core.InternalCaches.persist(
       pairs.select(col(groupCol).as("grp"), col("doc_id"), col("r"), col("c")))
     val lens = base.groupBy(col("grp"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(size(col("c"))).cast(LongType).as("c_len"),
         sum(size(col("r"))).cast(LongType).as("r_len"))
-    def grams(src: String): Column = expr(
-      s"transform(sequence(1, size($src) - n + 1), " +
-        s"i -> array_join(slice($src, i, n), ' '))")
-    val withN = base.select(col("grp"), col("doc_id"), col("r"), col("c"),
-      explode(array((1 to 4).map(lit): _*)).as("n"))
-    val cg = withN.filter(size(col("c")) >= col("n"))
-      .select(col("grp"), col("doc_id"), col("n"), explode(grams("c")).as("g"))
+    // ONE pass per side (round 16): the native graft_ngrams kernel emits
+    // all four orders' (n, gram) structs from a single scan — the earlier
+    // explode(1..4)-then-explode fan-out copied every (doc, tokens) row
+    // four times through the shuffle and made q138 the #2 sweep cost
+    // (3.7 s). Gram strings are byte-identical (space-joined slices), so
+    // the (doc, n, gram) clip-join key and the gate hash are unchanged.
+    def grams(src: String): Column = explode(expr(s"graft_ngrams($src, 4)"))
+    val cg = base
+      .select(col("grp"), col("doc_id"), grams("c").as("ng"))
+      .select(col("grp"), col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
       .groupBy(col("grp"), col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).cast(LongType).as("c_c"))
-    val rg = withN.filter(size(col("r")) >= col("n"))
-      .select(col("doc_id"), col("n"), explode(grams("r")).as("g"))
+    val rg = base
+      .select(col("doc_id"), grams("r").as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
       .groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).cast(LongType).as("c_r"))
     val byN = cg.join(rg, Seq("doc_id", "n", "g"), "left")
@@ -4070,32 +4064,37 @@ object Text {
     * scan with zero eval-row shuffles before the per-doc partial-agg sum.
     * Each branch divides a (count+1.0) DOUBLE by a BIGINT total in one
     * pinned division; per-occurrence ln difference rounds to 9, the
-    * per-doc decimal sum to 6. */
+    * per-doc decimal sum to 6.
+    *
+    * Round 16: the per-occurrence hash is the native codegen'd
+    * `graft_feats31` ([[graft.functions.Feats31]]) — the earlier nested
+    * aggregate-over-code-points HOFs were interpreted per token per
+    * character and made q130 the #1 sweep cost (5.1 s), drifting under
+    * megamorphic dispatch like quantize_1m did. The kernel folds the
+    * identical (acc·31 + cp) % B sequence (bigrams continue the fold
+    * through the joining space — no concat allocation), so every bucket
+    * id, and therefore the gate hash, is unchanged. */
   def dsirWeights(target: DataFrame, raw: DataFrame, eval: DataFrame,
                   buckets: Int = 10000): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20), s"bad bucket count $buckets")
-    // explicit substring iteration, NOT split(s, ''): Java's split keeps a
-    // trailing empty string at limit -1, which would fold one extra 0 into
-    // the hash that DuckDB's range(1, len+1) never sees
-    // inner lambda variable is j, NOT i — the bigram call site embeds this
-    // inside a transform whose own variable i must stay visible in $s
-    def hashExpr(s: String): String =
-      s"aggregate(transform(sequence(1, length($s)), j -> ascii(substring($s, j, 1))), " +
-        s"0L, (acc, c) -> (acc * 31L + c) % $buckets)"
-    val featsExpr = expr(
-      s"concat(transform(t, w -> ${hashExpr("w")}), " +
-        s"CASE WHEN size(t) >= 2 THEN transform(sequence(2, size(t)), i -> " +
-        s"${hashExpr("concat(element_at(t, i - 1), ' ', element_at(t, i))")}) " +
-        "ELSE CAST(array() AS array<bigint>) END)")
-    def bucketCounts(docs: DataFrame, cnt: String): DataFrame =
-      withTokens(docs).select(explode(featsExpr).as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).cast(LongType).as(cnt))
-    val ct = bucketCounts(target, "ct")
-    val cr = bucketCounts(raw, "cr")
+    graft.functions.GraftFunctions.register(target.sparkSession)
+    def feats(docs: DataFrame): DataFrame =
+      withTokens(docs).select(col("doc_id"),
+        explode(expr(s"graft_feats31(t, $buckets)")).as("b"))
+    dsirFromFeats(feats(target), feats(raw), feats(eval), buckets)
+  }
+
+  /** Scoring over pre-exploded (doc_id, b) feature frames — split out so
+    * the gate can feed all three roles from ONE persisted corpus scan. */
+  private def dsirFromFeats(tFeats: DataFrame, rFeats: DataFrame,
+                            eFeats: DataFrame, buckets: Int): DataFrame = {
+    def bucketCounts(f: DataFrame, cnt: String): DataFrame =
+      f.groupBy(col("b")).agg(count(lit(1)).cast(LongType).as(cnt))
+    val ct = bucketCounts(tFeats, "ct")
+    val cr = bucketCounts(rFeats, "cr")
     val tot = ct.agg(sum(col("ct")).cast(LongType).as("nt"))
       .crossJoin(cr.agg(sum(col("cr")).cast(LongType).as("nr")))
-    withTokens(eval)
-      .select(col("doc_id"), explode(featsExpr).as("b"))
+    eFeats
       .join(broadcast(ct), Seq("b"), "left")
       .join(broadcast(cr), Seq("b"), "left")
       .crossJoin(broadcast(tot))
@@ -4111,10 +4110,20 @@ object Text {
   /** q130 — DSIR with the 'en' slice as the target domain and the whole
     * corpus as the raw distribution, scoring every document (the paper's
     * setup: target = formal/domain text, raw = the crawl, candidates =
-    * the crawl). */
+    * the crawl). Because target ⊂ raw = eval here, ONE persisted
+    * tokenize+hash+explode scan feeds all three roles (round 16 — the
+    * general form re-scanned the corpus three times); the filtered view
+    * IS the target explode, so counts and the gate hash are unchanged. */
   def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    dsirWeights(docs.filter(col("lang") === "en"), docs, docs)
+    val buckets = 10000
+    graft.functions.GraftFunctions.register(s)
+    val feats = graft.core.InternalCaches.persist(
+      withTokens(Tables.documents(s, dir))
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(expr(s"graft_feats31(t, $buckets)")).as("b")))
+    dsirFromFeats(feats.filter(col("is_t")).select(col("doc_id"), col("b")),
+      feats.select(col("doc_id"), col("b")),
+      feats.select(col("doc_id"), col("b")), buckets)
   }
 
   /** Feature-hashing bucket health report — the collision audit published
@@ -4138,9 +4147,11 @@ object Text {
     * output — nothing to pin. */
   def featureHashReport(docs: DataFrame, buckets: Int = 64): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 19), s"bad bucket count $buckets")
-    val h = "aggregate(transform(sequence(1, length(w)), " +
-      "j -> ascii(substring(w, j, 1))), 0L, " +
-      s"(acc, c) -> (acc * 31L + c) % ${1 << 20})"
+    // native graft_hash31 (round 16): identical (acc*31 + cp) % 2^20 fold
+    // as the interpreted HOF it replaces — the frame is vocab-bounded so
+    // this is consistency with q130's kernel more than a hot-path fix
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = s"graft_hash31(w, ${1 << 20})"
     withTokens(docs).select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c"))
       .withColumn("h", expr(h))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{DotProduct, GraftFunctions, Int8RowStat, LcsLength, ShingleHashes, ZOrder2}
+import graft.functions.{CharEntropyStat, DotProduct, Feats31, GraftFunctions, Hash31, Int8RowStat, LcsLength, NGramStructs, ShingleHashes, ZOrder2}
 
 /** Session extension registering the graft native functions, for sessions
   * configured with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -26,6 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => LcsLength(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_int8"), GraftFunctions.int8Info,
       (children: Seq[Expression]) => Int8RowStat(children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_entropy"), GraftFunctions.entropyInfo,
+      (children: Seq[Expression]) => CharEntropyStat(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_hash31"), GraftFunctions.hash31Info,
+      (children: Seq[Expression]) => Hash31(children(0),
+        children(1).eval(null).asInstanceOf[Number].longValue())))
+    ext.injectFunction((FunctionIdentifier("graft_feats31"), GraftFunctions.feats31Info,
+      (children: Seq[Expression]) => Feats31(children(0),
+        children(1).eval(null).asInstanceOf[Number].longValue())))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"), GraftFunctions.ngramsInfo,
+      (children: Seq[Expression]) => NGramStructs(children(0),
         children(1).eval(null).asInstanceOf[Number].intValue())))
     // band-join → equi-join rewrite (see BandJoinRule); also available on a
     // live session via spark.experimental.extraOptimizations

@@ -197,17 +197,22 @@ object StatefulOps {
     * storage-backed ingest tables with merge-on-write, and the lazy
     * union of per-batch checkpoints here is the in-memory stand-in.
     *
-    * Cost contract (round 15, advisor): per-batch work is
-    * BATCH-BOUNDED — only the new batch's flag frame and its per-batch
-    * (h, min cid) pre-aggregate are eagerly localCheckpointed; the
-    * accumulated unions stay lazy (min is associative, so the canonical
-    * table is recovered at report time by one groupBy over the
-    * pre-aggregates). An earlier version re-checkpointed the FULL
-    * accumulated union every batch — O(batches²) total work. The lazy
-    * union plan grows one node per batch (linear, the PageRank shape);
-    * every [[CompactEvery]] batches it is compacted with one
-    * history-sized checkpoint, so plan depth is bounded and the
-    * amortized extra cost is O(total/CompactEvery).
+    * Cost contract (round 16, advisor): per-batch work is AMORTIZED
+    * BATCH-BOUNDED via TIERED segment compaction — the LSM/binary-counter
+    * scheme. Each ingested batch eagerly localCheckpoints only its own
+    * flag frame and its (h, min cid) pre-aggregate as a LEVEL-0 segment;
+    * whenever two segments share a level they merge into one segment a
+    * level up (one checkpoint over ~2^level batches; the canonical
+    * segments additionally collapse through groupBy(h).min(cid), so they
+    * stay vocab-of-hashes-bounded at every level). A row is therefore
+    * re-checkpointed at most once per level — O(N log N) TOTAL ingest
+    * work instead of the O(N²/64) tail the earlier fixed-cadence
+    * compaction had (it re-checkpointed the FULL history every 64
+    * batches) — and at most O(log batches) segments are ever live, so
+    * the report-time union plan is logarithmic too. Individual batches
+    * at a 2^k boundary pay that merge; the 8-batch bench anchor's
+    * flatness gate reads the amortized shape, and the >boundary spec in
+    * ScaleOpsSpec exercises the multi-level merges directly.
     *
     * [[report]] at any point equals the batch funnel over everything
     * ingested so far — INCLUDING retroactive canonical displacement (a
@@ -219,49 +224,62 @@ object StatefulOps {
   final class StreamingFunnel {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, md5, min => fmin}
-    @volatile private var flags: Option[DataFrame] = None // doc_id, source, h, rule keeps
-    // lazy union of per-batch (h, min cid) pre-aggregates; the current
-    // canonical table is groupBy(h).min(cid) over it (min is associative)
-    @volatile private var canonParts: Option[DataFrame] = None
-    private var sinceCompact = 0
+    // checkpointed segments as (level, frame), newest first; a level-k
+    // segment holds ~2^k batches of rows (flags) or their collapsed
+    // (h, min cid) table (canon). Only equal-level segments ever merge.
+    @volatile private var flagSegs: List[(Int, DataFrame)] = Nil
+    @volatile private var canonSegs: List[(Int, DataFrame)] = Nil
 
-    /** Ingest one micro-batch of (doc_id, source, text) rows. Per-batch
-      * cost is batch-bounded: only the new frames are materialized. */
+    /** Binary-counter push: append a level-0 segment, then merge while
+      * the two newest segments share a level. `collapse` re-aggregates a
+      * merged canon segment so it stays vocab-bounded; flags pass
+      * through unchanged. */
+    private def push(segs: List[(Int, DataFrame)], frame: DataFrame,
+                     collapse: DataFrame => DataFrame): List[(Int, DataFrame)] = {
+      var out = (0, frame) :: segs
+      while (out.lengthCompare(2) >= 0 && out.head._1 == out(1)._1) {
+        val merged = collapse(out(1)._2.unionByName(out.head._2))
+          .localCheckpoint(true)
+        out = (out.head._1 + 1, merged) :: out.drop(2)
+      }
+      out
+    }
+
+    /** Ingest one micro-batch of (doc_id, source, text) rows. Amortized
+      * cost is batch-bounded: the new frames materialize as level-0
+      * segments, and tiered merges re-checkpoint a row at most once per
+      * level (O(log batches) over the stream's life). */
     def ingestBatch(batch: DataFrame): Unit = synchronized {
       val base = batch.select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(true)
       val bFlags = graft.ops.Text.funnelRuleFlags(base).localCheckpoint(true)
-      flags = Some(flags.map(_.unionByName(bFlags)).getOrElse(bFlags))
+      flagSegs = push(flagSegs, bFlags, identity)
       val bCanon = base.select(md5(col("text")).as("h"), col("doc_id").as("cid"))
         .groupBy(col("h")).agg(fmin(col("cid")).as("cid"))
         .localCheckpoint(true)
-      canonParts = Some(canonParts.map(_.unionByName(bCanon)).getOrElse(bCanon))
-      sinceCompact += 1
-      if (sinceCompact >= StreamingFunnel.CompactEvery) {
-        flags = flags.map(_.localCheckpoint(true))
-        canonParts = canonParts.map(
-          _.groupBy(col("h")).agg(fmin(col("cid")).as("cid")).localCheckpoint(true))
-        sinceCompact = 0
-      }
+      canonSegs = push(canonSegs, bCanon,
+        _.groupBy(col("h")).agg(fmin(col("cid")).as("cid")))
     }
+
+    /** Live (flags, canon) segment counts — the test hook for the
+      * binary-counter invariant (= popcount of the batch count). */
+    private[graft] def segmentCounts: (Int, Int) =
+      (flagSegs.size, canonSegs.size)
 
     /** The funnel survival report over everything ingested so far —
       * batch-funnel-equal by construction (same flag projections, same
-      * rollup, current-canonical u_keep). */
+      * rollup, current-canonical u_keep; min is associative, so the
+      * groupBy over the O(log batches) canon segments is the canonical
+      * table). */
     def report(): DataFrame = synchronized {
-      val f = flags.getOrElse(
-        throw new IllegalStateException("StreamingFunnel: no batches ingested"))
-      val canon = canonParts.get.groupBy(col("h")).agg(fmin(col("cid")).as("cid"))
+      if (flagSegs.isEmpty)
+        throw new IllegalStateException("StreamingFunnel: no batches ingested")
+      val f = flagSegs.map(_._2).reduce(_ unionByName _)
+      val canon = canonSegs.map(_._2).reduce(_ unionByName _)
+        .groupBy(col("h")).agg(fmin(col("cid")).as("cid"))
       graft.ops.Text.funnelRollup(f.join(canon, "h")
         .withColumn("u_keep", (col("doc_id") === col("cid"))
           .cast(org.apache.spark.sql.types.LongType)))
     }
-  }
-
-  object StreamingFunnel {
-    /** Union-plan compaction cadence: one history-sized checkpoint per
-      * this many batches bounds plan depth at ~CompactEvery union nodes
-      * while keeping the amortized overhead at O(total/CompactEvery). */
-    val CompactEvery = 64
   }
 }

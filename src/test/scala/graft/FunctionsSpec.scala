@@ -177,6 +177,21 @@ class FunctionsSpec extends SparkSpec {
     assert(one("graft_int8(array(1.0F, CAST(NULL AS FLOAT)), 1)").getLong(0) == 1L)
   }
 
+  test("graft_int8: zero max with a null element is 0, not NULL (HOF CASE fires first)") {
+    // the round-15 advisor corner: `CASE WHEN ma = 0.0 THEN 0L` never
+    // reads the element, so a null element still codes to 0L — assert
+    // against the literal HOF chain, not just the expected constant
+    assert(one("graft_int8(array(0.0F, CAST(NULL AS FLOAT)), 0)").getLong(0) == 0L)
+    assert(one("graft_int8(array(0.0F, CAST(NULL AS FLOAT)), 1)").getLong(0) == 0L)
+    val hof = spark.sql(
+      s"SELECT $int8HofSum AS hs, $int8HofSat AS hc FROM " +
+        "(SELECT array(0.0F, CAST(NULL AS FLOAT)) AS v)").collect()(0)
+    assert(hof.getLong(0) == 0L && hof.getLong(1) == 0L)
+    // all-null vector: ma itself is NULL -> sum NULL, sat 0 (unchanged)
+    assert(one("graft_int8(array(CAST(NULL AS FLOAT)), 0)").isNullAt(0))
+    assert(one("graft_int8(array(CAST(NULL AS FLOAT)), 1)").getLong(0) == 0L)
+  }
+
   test("graft_int8: interpreted eval agrees with codegen") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -196,5 +211,126 @@ class FunctionsSpec extends SparkSpec {
     assert(gen.toSeq == interp, s"codegen $gen vs interpreted $interp")
     // the q103 worked example: (1,-2,4) -> 32, -63, 127; (-3,3,1.5) -> -127, 127, 64
     assert(interp == Seq((96L, 1L), (64L, 2L)))
+  }
+
+  // the HOF chain graft_entropy replaced (charEntropy round <= 15): same
+  // sorted-char run-length fold, same round-9/round-6 stream — results
+  // must be bit-identical on arbitrary unicode text
+  private def entropyHof(txt: String): (Long, Double) = {
+    val r = spark.sql(
+      s"""SELECT size(bd) AS nd,
+            CASE WHEN size(bd) < 1 THEN 0.0D ELSE
+              round(-aggregate(
+                transform(sequence(1, size(bd)), j ->
+                  coalesce(try_element_at(bd, j + 1), size(sc) + 1) - element_at(bd, j)),
+                CAST(0.0 AS DOUBLE), (a, x) -> a +
+                  round((CAST(x AS DOUBLE) / length(text)) *
+                        ln(CAST(x AS DOUBLE) / length(text)), 9)), 6) END AS e
+          FROM (SELECT text, sc,
+            CASE WHEN size(sc) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE
+              filter(sequence(1, size(sc)),
+                i -> i = 1 OR element_at(sc, i) <> element_at(sc, i - 1)) END AS bd
+          FROM (SELECT text,
+            CASE WHEN length(text) < 1 THEN CAST(array() AS ARRAY<STRING>) ELSE
+              array_sort(transform(sequence(1, length(text)),
+                i -> substring(text, i, 1))) END AS sc
+          FROM (SELECT '${txt.replace("'", "''")}' AS text)))""").collect()(0)
+    (r.getInt(0).toLong, r.getDouble(1))
+  }
+
+  test("graft_entropy matches the HOF chain it replaced on random unicode strings") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(37)
+    val alphabet = "ab c.!xyzéß日本語0;—"
+    val texts = Seq.fill(60)(
+      Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString) ++
+      Seq("", "a", "aaaa", "ab", "日本日本語", "a b a b .")
+    texts.foreach { t =>
+      val r = one(s"graft_entropy('${t.replace("'", "''")}')")
+      val st = r.getStruct(0)
+      val (nd, e) = entropyHof(t)
+      assert(st.getLong(0) == nd && st.getDouble(1) == e,
+        s"entropy mismatch on '$t': native=(${st.getLong(0)},${st.getDouble(1)}) hof=($nd,$e)")
+    }
+  }
+
+  test("graft_entropy: null is NULL; worked example") {
+    assert(one("graft_entropy(CAST(NULL AS STRING))").isNullAt(0))
+    // "aab": p=[2/3,1/3]; -sum(round9(p ln p)) = 0.636514 after round6
+    val st = one("graft_entropy('aab')").getStruct(0)
+    assert(st.getLong(0) == 2L && st.getDouble(1) == 0.636514, s"got $st")
+  }
+
+  // the HOF hash graft_hash31 replaced (dsirWeights / featureHashReport
+  // round <= 15): the exact (acc*31 + ascii) % mod fold
+  private def hash31Hof(w: String, mod: Int): Long =
+    spark.sql(
+      s"SELECT aggregate(transform(sequence(1, length(w)), " +
+        s"j -> ascii(substring(w, j, 1))), 0L, " +
+        s"(acc, c) -> (acc * 31L + c) % $mod) AS h " +
+        s"FROM (SELECT '${w.replace("'", "''")}' AS w)").collect()(0).getLong(0)
+
+  test("graft_hash31 matches the HOF fold on random unicode tokens") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(41)
+    val alphabet = "abcdefgé日▲z019"
+    val words = Seq.fill(50)(
+      Seq.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.length))).mkString) ++
+      Seq("", "a", "the quick brown fox")
+    for (w <- words; mod <- Seq(64, 10000, 1 << 20)) {
+      val n = one(s"graft_hash31('${w.replace("'", "''")}', $mod)").getLong(0)
+      val h = hash31Hof(w, mod)
+      assert(n == h, s"hash31 mismatch on '$w' mod $mod: native=$n hof=$h")
+    }
+  }
+
+  test("graft_feats31 matches the HOF unigram+bigram feature multiset") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val mod = 10000
+    def hashExpr(s: String): String =
+      s"aggregate(transform(sequence(1, length($s)), j -> ascii(substring($s, j, 1))), " +
+        s"0L, (acc, c) -> (acc * 31L + c) % $mod)"
+    val hof =
+      s"concat(transform(t, w -> ${hashExpr("w")}), " +
+        s"CASE WHEN size(t) >= 2 THEN transform(sequence(2, size(t)), i -> " +
+        s"${hashExpr("concat(element_at(t, i - 1), ' ', element_at(t, i))")}) " +
+        "ELSE CAST(array() AS array<bigint>) END)"
+    val rng = new scala.util.Random(43)
+    val vocab = Vector("a", "bb", "ccc", "naïve", "日本", "x9", "")
+    val rows = (Seq.fill(40)(
+      Seq.fill(1 + rng.nextInt(8))(vocab(rng.nextInt(vocab.length)))) :+ Seq("lone"))
+      .toDF("t")
+      .selectExpr(s"graft_feats31(t, $mod) AS native", s"$hof AS hof")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"feats31 mismatch: native=${r.getSeq[Long](0)} hof=${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("graft_ngrams matches the per-order slice/join emission") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(47)
+    val vocab = Vector("a", "bb", "ccc", "dd", "é日")
+    val docs = (Seq.fill(30)(
+      Seq.fill(rng.nextInt(9))(vocab(rng.nextInt(vocab.length)))) ++
+      Seq(Seq.empty[String], Seq("solo")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val native = docs.toDF("id", "t")
+      .selectExpr("id", "explode(graft_ngrams(t, 4)) AS ng")
+      .selectExpr("id", "ng.n AS n", "ng.g AS g")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val hof = docs.toDF("id", "t")
+      .selectExpr("id", "t", "explode(array(1, 2, 3, 4)) AS n")
+      .filter("size(t) >= n")
+      .selectExpr("id", "n",
+        "explode(transform(sequence(1, size(t) - n + 1), " +
+          "i -> array_join(slice(t, i, n), ' '))) AS g")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(native == hof, s"ngram multiset mismatch")
   }
 }

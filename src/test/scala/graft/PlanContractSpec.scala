@@ -592,6 +592,17 @@ class PlanContractSpec extends SparkSpec {
         s"q147 epoch lost partial aggregation:\n$p")
       assert(!p.toLowerCase.contains("singlepartition"),
         s"q147 epoch planned a single-partition exchange:\n$p")
+      // PRODUCTION path (round 16, advisor): the trainer itself is an RDD
+      // treeAggregate outside Catalyst, so assert its dataflow shape
+      // directly — the gradient scan stays as parallel as the cached
+      // input (never a driver/single-partition collapse) at depth 2; the
+      // bit-parity spec in EmbeddingsSpec ties its math to the twin above
+      val (_, _, parts, depth) =
+        graft.ops.Embeddings.logregTrainWeightsWithShape(emb, iters = 1)
+      assert(parts >= 2,
+        s"q147 production gradient scan collapsed to $parts partition(s)")
+      assert(depth == graft.ops.Embeddings.TreeAggDepth && depth == 2,
+        s"q147 production treeAggregate depth drifted: $depth")
     } finally graft.core.InternalCaches.release(spark)
   }
 

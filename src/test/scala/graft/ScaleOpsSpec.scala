@@ -234,6 +234,39 @@ class ScaleOpsSpec extends SparkSpec {
       s"converged funnel diverges from batch: $got vs $want")
   }
 
+  test("StreamingFunnel: tiered compaction across 11 batches — binary-counter segments, batch-funnel-equal") {
+    import spark.implicits._
+    // drives ingestBatch directly (the two-batch test covers the stream
+    // plumbing) across enough batches to exercise MULTI-LEVEL merges —
+    // the round-15 advisor's gap: the fixed-cadence compactor's quadratic
+    // tail was never observable at 8 bench batches. Segment counts must
+    // track popcount(batches) exactly (the binary-counter invariant), so
+    // re-checkpoint work is O(N log N) by construction, and the report
+    // must stay funnel-equal THROUGH the merge boundaries (2, 4, 8).
+    val corpus = graft.ops.Text.funnelGateCorpus(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val nBatches = 11
+    val chunks = corpus.zipWithIndex.groupMap(_._2 % nBatches)(_._1)
+    val funnel = new StatefulOps.StreamingFunnel
+    var ingested = Seq.empty[(Long, String, String)]
+    (0 until nBatches).foreach { i =>
+      val chunk = chunks(i).toSeq
+      funnel.ingestBatch(chunk.toDF("doc_id", "source", "text"))
+      ingested = ingested ++ chunk
+      val want = Integer.bitCount(i + 1)
+      val (fs, cs) = funnel.segmentCounts
+      assert(fs == want && cs == want,
+        s"after ${i + 1} batches: segments ($fs, $cs), want popcount=$want")
+      if (i + 1 == 4 || i + 1 == 8 || i + 1 == nBatches) {
+        val got = funnel.report().collect().map(_.toString).sorted.toSeq
+        val wantF = graft.ops.Text.filterFunnel(
+            ingested.toDF("doc_id", "source", "text"))
+          .collect().map(_.toString).sorted.toSeq
+        assert(got == wantF, s"funnel diverges after ${i + 1} batches")
+      }
+    }
+  }
+
   test("streamingDriftBuckets: converged stream counts reproduce the batch PSI exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
