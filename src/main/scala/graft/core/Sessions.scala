@@ -17,5 +17,10 @@ object Sessions {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // RDD-lane shuffles/broadcasts (the HITS co-partitioned loop, the
+    // logreg treeAggregate) serialize records with Kryo — Tungsten rows
+    // never touch this, but Java serialization on boxed tuples makes an
+    // RDD shuffle several times wider than it needs to be
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 }

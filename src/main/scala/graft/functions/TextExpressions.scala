@@ -121,6 +121,59 @@ object TextKernels {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** Per-row BLEU clip statistics: for n = 1..maxN, (n, m, tot) where
+    * tot = max(0, |c| − n + 1) is the candidate n-gram count and
+    * m = Σ_g min(cnt_c(g), cnt_r(g)) is the clipped match count — the
+    * Papineni et al. modified precision numerator, which is ROW-LOCAL
+    * (candidate and reference share the row), so no gram ever needs to
+    * leave the scan. Gram identity is exact UTF8String equality of the
+    * space-joined tokens — the same strings the declarative
+    * (doc, n, gram) clip join keyed on, so corpus sums are unchanged. */
+  def bleuStats(c: ArrayData, r: ArrayData, maxN: Int): ArrayData = {
+    val nc = c.numElements()
+    val nr = r.numElements()
+    val cToks = new Array[UTF8String](nc)
+    var i = 0
+    while (i < nc) {
+      cToks(i) = if (c.isNullAt(i)) null else c.getUTF8String(i); i += 1
+    }
+    val rToks = new Array[UTF8String](nr)
+    i = 0
+    while (i < nr) {
+      rToks(i) = if (r.isNullAt(i)) null else r.getUTF8String(i); i += 1
+    }
+    def gram(toks: Array[UTF8String], from: Int, k: Int): UTF8String =
+      UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(toks, from, from + k).toIndexedSeq: _*)
+    val out = new Array[Any](maxN)
+    var k = 1
+    while (k <= maxN) {
+      val tot = math.max(0, nc - k + 1)
+      var m = 0L
+      if (tot > 0 && nr - k + 1 > 0) {
+        val ref = new java.util.HashMap[UTF8String, Int]()
+        i = 0
+        while (i + k <= nr) {
+          ref.merge(gram(rToks, i, k), 1, (a, b) => a + b); i += 1
+        }
+        val cand = new java.util.HashMap[UTF8String, Int]()
+        i = 0
+        while (i + k <= nc) {
+          cand.merge(gram(cToks, i, k), 1, (a, b) => a + b); i += 1
+        }
+        val it = cand.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val rc = ref.getOrDefault(e.getKey, 0)
+          m += math.min(e.getValue, rc).toLong
+        }
+      }
+      out(k - 1) = new GenericInternalRow(Array[Any](k, m, tot.toLong))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All n-gram (n, gram) structs for n = 1..maxN of a token array in
     * ONE pass — the q138 BLEU gram emission. Gram strings are
     * space-joined exactly as `array_join(slice(t, i, n), ' ')`; orders
@@ -244,6 +297,47 @@ case class Feats31(child: Expression, mod: Long) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_feats31"
+}
+
+/** `graft_bleu(c, r, maxN)` → array<struct<n: int, m: bigint, tot:
+  * bigint>> — the per-row BLEU clipped-match statistics (see
+  * [[TextKernels.bleuStats]]): the clip is row-local, so the q138 corpus
+  * rollup shuffles maxN rows per document instead of every gram. */
+case class BleuClipStats(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+
+  require(maxN >= 1 && maxN <= 8, s"graft_bleu maxN must be in [1,8], got $maxN")
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("m", LongType, nullable = false),
+    StructField("tot", LongType, nullable = false))), containsNull = false)
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bleu expects array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.bleuStats(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.bleuStats($a, $b, $maxN);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_bleu"
 }
 
 /** `graft_ngrams(t, maxN)` → array<struct<n: int, g: string>> — every

@@ -592,6 +592,9 @@ object GraftFunctions {
   val ngramsInfo = info(classOf[NGramStructs], "graft_ngrams",
     "graft_ngrams(t, maxN) - all (n, gram) structs for n = 1..maxN of a token array in one pass")
 
+  val bleuInfo = info(classOf[BleuClipStats], "graft_bleu",
+    "graft_bleu(c, r, maxN) - per-row BLEU clipped-match (n, m, tot) structs for n = 1..maxN")
+
   private def toInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
 
@@ -644,6 +647,11 @@ object GraftFunctions {
     if (!registry.functionExists(ngId)) {
       registry.registerFunction(ngId, ngramsInfo,
         (children: Seq[Expression]) => NGramStructs(children(0), toInt(children(1))))
+    }
+    val bleuId = FunctionIdentifier("graft_bleu")
+    if (!registry.functionExists(bleuId)) {
+      registry.registerFunction(bleuId, bleuInfo,
+        (children: Seq[Expression]) => BleuClipStats(children(0), children(1), toInt(children(2))))
     }
   }
 }

@@ -732,7 +732,7 @@ object Embeddings {
     * Long to n ≈ 9·10⁶ nodes at the default scale; shrink `scale` for
     * larger graphs.
     *
-    * Scale shape (round 15 — the hits_1m shave): the edge frame is
+    * Scale shape (rounds 15-16 — the hits_1m shave): the edge frame is
     * cached TWICE, pre-hash-partitioned on src and on dst (a pre-grouped
     * collect_list adjacency was measured SLOWER — the array payload
     * through the join plus the generator breaking the codegen pipeline
@@ -740,54 +740,93 @@ object Embeddings {
     * SPARSE — a node whose mass is 0 simply has no row (bit-identical:
     * a 0 contributes 0 to every sum, normalizes to 0, and cannot own
     * the max since masses are nonnegative) — with the node-complete
-    * zero-filled output rebuilt ONCE by the final left joins. Each
-    * half-step's edge join finds the edge side's partitioning already
-    * satisfied from the cache, so the recurring per-half-step work is
-    * the node-width mass shuffle + the map-side-combined contribution
-    * rollup. Two 1-row max frames broadcast back per iteration — no
-    * driver data beyond the maxes. Each half-step's raw-mass frame is
-    * consumed TWICE (its own max and the normalize), so it eagerly
+    * zero-filled output rebuilt ONCE by the final left joins.
+    *
+    * Round 16 shaves, each measured on the 1M anchor: (1) every
+    * mass↔edge join is a SHUFFLE_HASH join — sort-merge re-SORTED the
+    * 3M-row edge cache at every half-step; hashing builds the
+    * node-width mass side and streams the edges. (2) Each half-step's
+    * max is collected as ONE driver value (the bounded 1-row-argmax
+    * pattern, like the BPE merge loop) and embedded as a plan literal —
+    * the old broadcast-crossJoin wrapped the mass frame in a
+    * nested-loop join that hid its groupBy partitioning and forced an
+    * extra mass re-Exchange per join. Two alternatives were built,
+    * measured, and REJECTED: pinning cached-plan partitioning
+    * (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false)
+    * to stop the per-half-step edge re-exchange ran ~1.5× slower (it
+    * disables AQE inside the caches), and a co-partitioned RDD loop
+    * (narrow joins on one shared HashPartitioner — the true
+    * zero-edge-exchange shape) ran 2-10× slower and collapsed into
+    * disk spill: deserialized boxed-tuple caching is ~5-10× wider than
+    * Tungsten rows, which outweighs every exchange it saves. Each
+    * raw-mass frame is consumed twice (max + normalize), so it eagerly
     * localCheckpoints (the q118 BPE-loop pattern): without the cut the
-    * plan QUADRUPLES per iteration — 4³ copies of the edge join at the
-    * gate's 3 iterations, 4²⁰ at the cap — and with it plan depth and
-    * per-iteration cost stay flat by construction. */
-  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    * plan QUADRUPLES per iteration, and with it plan depth stays flat
+    * by construction. */
+  private[graft] def hitsDeclarative(edges: DataFrame, iters: Int,
+                                     scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
-    val e = edges.select(col("d1").as("src"), col("d2").as("dst"))
-    val eBySrc = graft.core.InternalCaches.persist(e.repartition(col("src")))
-    val eByDst = graft.core.InternalCaches.persist(e.repartition(col("dst")))
+    // ONE unpartitioned cache (round 16): the r15 double pre-partitioned
+    // cache bought nothing — AQE hides a cached plan's partitioning
+    // behind the InMemoryRelation, so every consumer re-exchanged the
+    // edge side anyway (plan-verified), and the second cache was a pure
+    // extra 3M-row shuffle at build time
+    val e = graft.core.InternalCaches.persist(
+      edges.select(col("d1").as("src"), col("d2").as("dst")))
     // checkpointed, not cached: the node set brackets the computation
-    // (hub init + the final zero-fill joins), and a cache here would
-    // embed the whole upstream edge plan in the output's plan string —
-    // the q166 constant-depth contract reads it
+    // (the final zero-fill joins), and a cache here would embed the
+    // whole upstream edge plan in the output's plan string — the q166
+    // constant-depth contract reads it
     val nodes = e.select(col("src").as("vec_id"))
       .union(e.select(col("dst").as("vec_id"))).distinct()
       .localCheckpoint(true)
-    var hub = nodes.select(col("vec_id"), lit(scale).as("h"))
+    def maxUnits(raw: DataFrame, c: String): Long =
+      raw.agg(greatest(max(col(c)), lit(1L))).head.getLong(0)
+    var hub: DataFrame = null
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      val ar = eBySrc
-        .join(hub.withColumnRenamed("vec_id", "hv"), col("src") === col("hv"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+    for (it <- 1 to iters) {
+      // iteration 1's hub is uniformly `scale`, so its half-step is a
+      // pure degree count — Σ_{u→v} scale = scale·indeg(v), the same
+      // Long arithmetic with the 3M-row join skipped entirely
+      val ar = (if (it == 1)
+        e.groupBy(col("dst")).agg((count(lit(1)) * scale).as("ar"))
+      else
+        e.join(hub.withColumnRenamed("vec_id", "hv").hint("shuffle_hash"),
+          col("src") === col("hv"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("ar")))
         .localCheckpoint(true)
-      val am = ar.agg(greatest(max(col("ar")), lit(1L)).as("am"))
-      auth = ar.crossJoin(broadcast(am))
-        .select(col("dst").as("vec_id"), expr(s"(ar * $scale) div am").as("a"))
-      val hr = eByDst
-        .join(auth.withColumnRenamed("vec_id", "av"), col("dst") === col("av"))
+      val am = maxUnits(ar, "ar")
+      auth = ar.select(col("dst").as("vec_id"),
+        expr(s"(ar * $scale) div ${am}L").as("a"))
+      val hr = e
+        .join(auth.withColumnRenamed("vec_id", "av").hint("shuffle_hash"),
+          col("dst") === col("av"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
         .localCheckpoint(true)
-      val hm = hr.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
-      hub = hr.crossJoin(broadcast(hm))
-        .select(col("src").as("vec_id"), expr(s"(hr * $scale) div hm").as("h"))
+      val hm = maxUnits(hr, "hr")
+      hub = hr.select(col("src").as("vec_id"),
+        expr(s"(hr * $scale) div ${hm}L").as("h"))
     }
     nodes
-      .join(hub.select(col("vec_id"), col("h").as("hub_units")), Seq("vec_id"), "left")
-      .join(auth.select(col("vec_id"), col("a").as("auth_units")), Seq("vec_id"), "left")
+      .join(hub.select(col("vec_id"), col("h").as("hub_units"))
+        .hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(auth.select(col("vec_id"), col("a").as("auth_units"))
+        .hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("hub_units"), lit(0L)).as("hub_units"),
         coalesce(col("auth_units"), lit(0L)).as("auth_units"))
   }
+
+  /** Production alias — see [[hitsDeclarative]] for the full engine
+    * design and the round-16 measurement record (a co-partitioned RDD
+    * loop was built and rejected: narrow joins on a shared
+    * HashPartitioner do eliminate the per-half-step edge exchanges, but
+    * deserialized boxed-tuple caching plus RDD-lane serialization made
+    * it 2-10× SLOWER than this Tungsten path at 1M nodes and drove the
+    * box into disk-spill collapse on later reps — the r15 adjacency
+    * experiment's lesson again, one layer deeper). */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame =
+    hitsDeclarative(edges, iters, scale)
 
   /** Gate: 3 HITS iterations over the q41 near-dup graph oriented
     * low-id → high-id (the q86 triangle orientation). */

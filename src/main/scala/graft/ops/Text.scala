@@ -2902,28 +2902,23 @@ object Text {
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(size(col("c"))).cast(LongType).as("c_len"),
         sum(size(col("r"))).cast(LongType).as("r_len"))
-    // ONE pass per side (round 16): the native graft_ngrams kernel emits
-    // all four orders' (n, gram) structs from a single scan — the earlier
-    // explode(1..4)-then-explode fan-out copied every (doc, tokens) row
-    // four times through the shuffle and made q138 the #2 sweep cost
-    // (3.7 s). Gram strings are byte-identical (space-joined slices), so
-    // the (doc, n, gram) clip-join key and the gate hash are unchanged.
-    def grams(src: String): Column = explode(expr(s"graft_ngrams($src, 4)"))
-    val cg = base
-      .select(col("grp"), col("doc_id"), grams("c").as("ng"))
-      .select(col("grp"), col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-      .groupBy(col("grp"), col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).cast(LongType).as("c_c"))
-    val rg = base
-      .select(col("doc_id"), grams("r").as("ng"))
-      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-      .groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).cast(LongType).as("c_r"))
-    val byN = cg.join(rg, Seq("doc_id", "n", "g"), "left")
+    // The clip is ROW-LOCAL (round 16): candidate and reference share the
+    // row, so min(cnt_c(g), cnt_r(g)) never needs a gram to leave the
+    // scan — the native graft_bleu kernel computes each order's clipped
+    // match and total per document in one compiled pass, and the corpus
+    // rollup shuffles FOUR rows per doc instead of every gram. The
+    // earlier declarative clip (explode per order → two (doc, n, gram)
+    // hash-agg exchanges → sort-merge join) was the #2 sweep cost at
+    // 3.7 s; gram identity is the same exact space-joined string, summed
+    // per (grp, n) in the same integer arithmetic, so the gate hash is
+    // unchanged. The DuckDB oracle keeps the explicit relational form.
+    val byN = base
+      .select(col("grp"), explode(expr("graft_bleu(c, r, 4)")).as("st"))
+      .select(col("grp"), col("st.n").as("n"), col("st.m").as("m0"),
+        col("st.tot").as("t0"))
       .groupBy(col("grp"), col("n"))
-      .agg(sum(least(col("c_c"), coalesce(col("c_r"), lit(0L))))
-        .cast(LongType).as("m"),
-        sum(col("c_c")).cast(LongType).as("tot"))
+      .agg(sum(col("m0")).cast(LongType).as("m"),
+        sum(col("t0")).cast(LongType).as("tot"))
     def pick(i: Int, c: String): Column =
       coalesce(max(when(col("n") === i, col(c))), lit(0L)).cast(LongType)
     val wide = byN.groupBy(col("grp"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
-import graft.functions.{CharEntropyStat, DotProduct, Feats31, GraftFunctions, Hash31, Int8RowStat, LcsLength, NGramStructs, ShingleHashes, ZOrder2}
+import graft.functions.{BleuClipStats, CharEntropyStat, DotProduct, Feats31, GraftFunctions, Hash31, Int8RowStat, LcsLength, NGramStructs, ShingleHashes, ZOrder2}
 
 /** Session extension registering the graft native functions, for sessions
   * configured with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ngrams"), GraftFunctions.ngramsInfo,
       (children: Seq[Expression]) => NGramStructs(children(0),
         children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_bleu"), GraftFunctions.bleuInfo,
+      (children: Seq[Expression]) => BleuClipStats(children(0), children(1),
+        children(2).eval(null).asInstanceOf[Number].intValue())))
     // band-join → equi-join rewrite (see BandJoinRule); also available on a
     // live session via spark.experimental.extraOptimizations
     ext.injectOptimizerRule(_ => BandJoinRule())

@@ -309,6 +309,41 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_bleu matches the declarative (doc, n, gram) clip on random pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c", "dd", "é日")
+    val docs = (Seq.fill(40)((
+      Seq.fill(rng.nextInt(14))(vocab(rng.nextInt(vocab.length))),
+      Seq.fill(rng.nextInt(14))(vocab(rng.nextInt(vocab.length))))) ++
+      Seq((Seq.empty[String], Seq("a")), (Seq("a", "a", "a"), Seq("a"))))
+      .zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+    val df = docs.toDF("id", "c", "r")
+    val native = df.selectExpr("id", "explode(graft_bleu(c, r, 4)) AS st")
+      .selectExpr("id", "st.n AS n", "st.m AS m", "st.tot AS tot")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // declarative clip: per (id, n, g), min(candidate count, ref count)
+    val cg = df.selectExpr("id", "explode(graft_ngrams(c, 4)) AS ng")
+      .selectExpr("id", "ng.n AS n", "ng.g AS g")
+      .groupBy("id", "n", "g").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    val rg = df.selectExpr("id", "explode(graft_ngrams(r, 4)) AS ng")
+      .selectExpr("id", "ng.n AS n", "ng.g AS g")
+      .groupBy("id", "n", "g").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    docs.foreach { case (id, c, _) =>
+      (1 to 4).foreach { n =>
+        val grams = cg.collect { case ((i, o, g), cnt) if i == id && o == n => (g, cnt) }
+        val m = grams.map { case (g, cnt) => math.min(cnt, rg.getOrElse((id, n, g), 0L)) }.sum
+        val tot = math.max(0, c.length - n + 1).toLong
+        assert(native((id, n)) == ((m, tot)),
+          s"bleu clip mismatch doc $id n=$n: native=${native((id, n))} want=($m,$tot)")
+      }
+    }
+  }
+
   test("graft_ngrams matches the per-order slice/join emission") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

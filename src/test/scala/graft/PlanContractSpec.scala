@@ -594,13 +594,14 @@ class PlanContractSpec extends SparkSpec {
         s"q147 epoch planned a single-partition exchange:\n$p")
       // PRODUCTION path (round 16, advisor): the trainer itself is an RDD
       // treeAggregate outside Catalyst, so assert its dataflow shape
-      // directly — the gradient scan stays as parallel as the cached
-      // input (never a driver/single-partition collapse) at depth 2; the
-      // bit-parity spec in EmbeddingsSpec ties its math to the twin above
+      // directly — the gradient scan's parallelism IS the input's (pin
+      // the input to 8 partitions and the scan must run at 8: the
+      // trainer never collapses the fold toward the driver) at depth 2;
+      // the bit-parity spec in EmbeddingsSpec ties its math to the twin
       val (_, _, parts, depth) =
-        graft.ops.Embeddings.logregTrainWeightsWithShape(emb, iters = 1)
-      assert(parts >= 2,
-        s"q147 production gradient scan collapsed to $parts partition(s)")
+        graft.ops.Embeddings.logregTrainWeightsWithShape(emb.repartition(8), iters = 1)
+      assert(parts == 8,
+        s"q147 production gradient scan ran at $parts partitions, not the input's 8")
       assert(depth == graft.ops.Embeddings.TreeAggDepth && depth == 2,
         s"q147 production treeAggregate depth drifted: $depth")
     } finally graft.core.InternalCaches.release(spark)
@@ -691,21 +692,23 @@ class PlanContractSpec extends SparkSpec {
     } finally graft.core.InternalCaches.release(spark)
   }
 
-  test("q166: HITS lineage is CUT per half-step — the plan stays constant-depth") {
-    // without the eager localCheckpoint the plan quadruples per iteration
-    // (the raw-mass frame feeds both its max and the normalize); with it
-    // the final plan reads checkpointed RDDs and carries exactly the two
-    // last-iteration 1-row max crossJoins
+  test("q166: HITS lineage is CUT per half-step — hash joins, literal maxes, no sorts") {
+    // round 16: the per-half-step max rides as a plan LITERAL (no 1-row
+    // crossJoins — the old BroadcastNestedLoopJoins hid the mass frame's
+    // partitioning), every mass↔edge join is a hash join (sort-merge
+    // re-sorted the edge cache each half-step), and the eager
+    // localCheckpoint still cuts lineage so the final plan carries only
+    // the zero-fill joins over checkpoint scans
     try {
       val p = plan("q166_hits")
       assert(p.contains("Scan ExistingRDD"),
         s"q166 lineage cut not live (no checkpoint scan):\n$p")
-      assert(!p.contains("CartesianProduct"), s"q166 planned a cartesian:\n$p")
-      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2,
-        s"q166 expected the two 1-row max crossJoins only:\n$p")
-      assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
-        .findAllIn(p).length <= 2,
-        s"q166 plan re-grew past the final join + residue:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"q166 planned a nested loop (the max must be a literal):\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"q166 re-sorts a side at the final zero-fill:\n$p")
+      assert("BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length <= 2,
+        s"q166 plan re-grew past the two zero-fill joins:\n$p")
     } finally graft.core.InternalCaches.release(spark)
   }
 
