@@ -20,12 +20,20 @@ object TimeProbe {
       if (args.isEmpty) return
       sys.exit(2)
     }
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // SPARK_GRAFT_SERIALIZER=kryo opts this probe session into the same
+    // Kryo RDD-lane serializer Bench runs under — the A/B lever for
+    // bisecting serializer-sensitive drift (run the same queries with and
+    // without it in one quiet window). Default = Spark's JavaSerializer,
+    // the probe's historical configuration, so committed PROBE_r*.txt
+    // baselines stay comparable.
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.env.get("SPARK_GRAFT_SERIALIZER").contains("kryo"))
+      builder.config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // `all` expands to the full sorted gate inventory — the sweep that
     // tools/compare_probe.py cross-checks a bench artifact against

