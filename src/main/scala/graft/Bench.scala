@@ -49,14 +49,76 @@ object Bench {
       .split("\\s+")(0).toDouble
   } catch { case e if scala.util.control.NonFatal(e) => -1.0 }
 
-  /** Host-wide busy jiffies (every /proc/stat cpu field except idle and
-    * iowait, USER_HZ = 100) — one half of the FOREIGN-WORK meter below.
-    * -1 when unreadable. */
+  /** GLOBAL WALL-CLOCK BUDGET (round 17 — the r16 driver bench died rc 124
+    * with `parsed: null` because the probe-requeue cascade, the isolated
+    * re-measure phase, and the 900 s load-gate sleeps compose without any
+    * total cap). Once `budgetExhausted`, every OPTIONAL phase degrades —
+    * requeue rounds, isolated re-measures, load-gate sleeps, anchor extra
+    * reps all skip, and anchors drop to 1 warm rep — so the run always
+    * reaches the contract line, which then carries
+    * `"budget_exhausted":true`. Contended evidence beats zero evidence.
+    * SPARK_GRAFT_WALL_BUDGET (seconds, <= 0 disables) defaults to 1500 —
+    * a clean full run finishes well under it, and the degraded tail keeps
+    * even a contended run inside the driver's timeout window. */
+  private[graft] val wallStartNs: Long = System.nanoTime()
+  private[graft] def wallBudgetSec(): Long = sys.env.get("SPARK_GRAFT_WALL_BUDGET")
+    .flatMap(_.toLongOption).getOrElse(1500L)
+  @volatile private[graft] var budgetTripped = false
+  private[graft] def budgetExhausted(): Boolean = {
+    val b = wallBudgetSec()
+    val ex = b > 0 && (System.nanoTime() - wallStartNs) / 1e9 > b
+    if (ex && !budgetTripped) {
+      budgetTripped = true
+      System.err.println(f"[bench] WALL BUDGET EXHAUSTED after " +
+        f"${(System.nanoTime() - wallStartNs) / 1e9}%.0f s (budget ${b}%d s) — " +
+        "skipping all remaining requeues/isolation/load-waits/extra-reps")
+    }
+    ex
+  }
+
+  /** USER_HZ read once via `getconf CLK_TCK` (jiffies → seconds); falls
+    * back to the Linux-universal 100 when the probe fails. */
+  private[graft] lazy val userHz: Double = try {
+    val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+    p.waitFor()
+    out.toDoubleOption.filter(_ > 0).getOrElse(100.0)
+  } catch { case e if scala.util.control.NonFatal(e) => 100.0 }
+
+  /** Host-wide busy jiffies — every /proc/stat cpu field except idle (3),
+    * iowait (4), and guest/guest_nice (8, 9 — already folded into
+    * user/nice on Linux, so summing them double-counts a VM-hosting
+    * box's guest time). Includes STEAL (7): jiffies the hypervisor gave
+    * to co-tenant VMs count as foreign work against this box, which the
+    * round-17 probes measured at ~1 core even while this box idled.
+    * One half of the FOREIGN-WORK meter below. -1 when unreadable. */
   private[graft] def hostBusyJiffies(): Long = try {
     val line = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/stat")), "UTF-8").linesIterator.next()
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    f.zipWithIndex.collect {
+      case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v }.sum
+  } catch { case e if scala.util.control.NonFatal(e) => -1L }
+
+  /** Host-wide iowait jiffies (/proc/stat cpu field 4) — the I/O-noise
+    * meter beside [[hostBusyJiffies]]: this box's documented dominant
+    * noise mode is D-state I/O contention (loadavg 10-25 at ~0 foreign
+    * CPU — the mode that contaminated PROBE_r16's q34/q35/q57/q58 vectors
+    * 6-27x), which a CPU-only meter reads as CLEAN. -1 when unreadable. */
+  private[graft] def hostIowaitJiffies(): Long = try {
+    val line = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8").linesIterator.next()
+    line.trim.split("\\s+").drop(1).map(_.toLong).lift(4).getOrElse(-1L)
+  } catch { case e if scala.util.control.NonFatal(e) => -1L }
+
+  /** Instantaneous count of D-state (uninterruptible-sleep) processes
+    * (`procs_blocked` in /proc/stat) — the second I/O-contention signal.
+    * -1 when unreadable. */
+  private[graft] def procsBlocked(): Long = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat")), "UTF-8").linesIterator
+      .find(_.startsWith("procs_blocked"))
+      .map(_.split("\\s+")(1).toLong).getOrElse(-1L)
   } catch { case e if scala.util.control.NonFatal(e) => -1L }
 
   /** This JVM's cumulative CPU time in ns (all threads, GC included).
@@ -74,18 +136,28 @@ object Bench {
     * gate admits it and loadavg_post is dominated by the anchor's own 32
     * threads, but host-minus-self CPU cleanly separates our work from
     * everyone else's regardless of how hard the anchor itself runs).
-    * Returns (seconds, foreignCores); foreignCores is -1 when either
-    * meter is unreadable. */
-  private[graft] def timeWithForeign(f: => Unit): (Double, Double) = {
-    val b0 = hostBusyJiffies(); val c0 = procCpuNs()
+    * Round 17 adds the I/O face of the same meter: average host iowait
+    * cores burned during `f` and the peak D-state process count sampled
+    * at the rep's endpoints — the exclusion logic below consumes BOTH
+    * (a rep can be I/O-starved at zero foreign CPU). Meters read -1 when
+    * unreadable. */
+  private[graft] final case class RepMeter(sec: Double, foreign: Double,
+                                           iowaitCores: Double, blocked: Long)
+  private[graft] def timeWithForeign(f: => Unit): RepMeter = {
+    val b0 = hostBusyJiffies(); val c0 = procCpuNs(); val w0 = hostIowaitJiffies()
+    val blk0 = procsBlocked()
     val t0 = System.nanoTime()
     f
     val sec = (System.nanoTime() - t0) / 1e9
-    val b1 = hostBusyJiffies(); val c1 = procCpuNs()
+    val b1 = hostBusyJiffies(); val c1 = procCpuNs(); val w1 = hostIowaitJiffies()
+    val blk1 = procsBlocked()
     val foreign =
       if (b0 < 0 || b1 < 0 || c0 < 0 || c1 < 0 || sec <= 0) -1.0
-      else math.max(0.0, (b1 - b0) / 100.0 - (c1 - c0) / 1e9) / sec
-    (sec, foreign)
+      else math.max(0.0, (b1 - b0) / userHz - (c1 - c0) / 1e9) / sec
+    val iowait =
+      if (w0 < 0 || w1 < 0 || sec <= 0) -1.0
+      else math.max(0.0, (w1 - w0) / userHz) / sec
+    RepMeter(sec, foreign, iowait, math.max(blk0, blk1))
   }
 
   /** Foreign-cores bar above which an anchor rep counts as CONTENDED
@@ -94,6 +166,28 @@ object Bench {
     * drifted windows carried ambient loads of 8-15. */
   private[graft] def foreignGate(): Double = sys.env.get("SPARK_GRAFT_FOREIGN_GATE")
     .flatMap(_.toDoubleOption).getOrElse(3.0)
+
+  /** Iowait-cores bar above which a rep counts as CONTENDED even at zero
+    * foreign CPU (SPARK_GRAFT_IOWAIT_GATE, default 2.0 cores; <= 0
+    * disables) — a CPU-saturating anchor on warm page cache shows ~0
+    * host iowait, while the box's D-state episodes show several cores. */
+  private[graft] def iowaitGate(): Double = sys.env.get("SPARK_GRAFT_IOWAIT_GATE")
+    .flatMap(_.toDoubleOption).getOrElse(2.0)
+
+  /** D-state process-count bar for the same exclusion
+    * (SPARK_GRAFT_BLOCKED_GATE, default 8; <= 0 disables) — this bench's
+    * own writes park 0-2 procs in D briefly; the documented noise windows
+    * show tens. */
+  private[graft] def blockedGate(): Long = sys.env.get("SPARK_GRAFT_BLOCKED_GATE")
+    .flatMap(_.toLongOption).getOrElse(8L)
+
+  /** A rep measured against more contention than ANY gate admits —
+    * foreign CPU cores, host iowait cores, or a D-state pile-up. */
+  private[graft] def contendedRep(r: RepMeter): Boolean = {
+    val fThr = foreignGate(); val wThr = iowaitGate(); val bThr = blockedGate()
+    (fThr > 0 && r.foreign > fThr) || (wThr > 0 && r.iowaitCores > wThr) ||
+      (bThr > 0 && r.blocked > bThr)
+  }
 
   /** Ambient-load GATE for the anchor sections (round 13 — the r12 BIG
     * tier measured at loadavg 4-27 and published a 2.5x-inflated
@@ -119,7 +213,7 @@ object Bench {
       .flatMap(_.toLongOption).getOrElse(900L)
     var l = loadAvg()
     var waited = 0L
-    while (thr > 0 && l >= thr && waited < maxWait) {
+    while (thr > 0 && l >= thr && waited < maxWait && !budgetExhausted()) {
       System.err.println(f"[bench] $name%s deferred: ambient loadavg $l%.2f >= " +
         f"$thr%.2f (waited $waited%d s of $maxWait%d)")
       Thread.sleep(20000L)
@@ -181,7 +275,8 @@ object Bench {
       queryMedians: Vector[(String, Double)],
       refSections: Seq[(String, Vector[(String, String)])],
       budget: Int = ContractBudget,
-      nIsolated: Int = 0): (String, Int, Seq[String]) = {
+      nIsolated: Int = 0,
+      budgetExhausted: Boolean = false): (String, Int, Seq[String]) = {
     val shedOrder = Seq("reference_graph_1m", "reference_vec_1m", "reference_text_skew",
       "reference_pipeline_1m", "reference_text_1m", "reference_100m",
       "reference_text", "reference_10m", "reference_1m", "reference")
@@ -193,7 +288,8 @@ object Bench {
       val qs = qEntries.map { case (k, m) => "\"" + k + "\":" + f"$m%.2f" }
         .mkString("{", ",", "}")
       val shedMark = (if (qShed > 0) s""","queries_shed":$qShed""" else "") +
-        (if (nIsolated > 0) s""","queries_isolated":$nIsolated""" else "")
+        (if (nIsolated > 0) s""","queries_isolated":$nIsolated""" else "") +
+        (if (budgetExhausted) s""","budget_exhausted":true""" else "")
       val refs = sections.map { case (sec, kvs) =>
         s""","$sec":${kvs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
       }.mkString
@@ -329,7 +425,7 @@ object Bench {
     val flagged = runsByQ.collect {
       case (n, v) if !failedQ(n) && Bench.highVarianceLine(n, v).isDefined => n
     }.toSet
-    if (flagged.nonEmpty) {
+    if (flagged.nonEmpty && !Bench.budgetExhausted()) {
       System.err.println(s"[bench] requeueing ${flagged.size} HIGH VARIANCE " +
         s"queries for one extra round: ${flagged.mkString(", ")}")
       roundLoads("requeue") = Bench.loadAvg()
@@ -364,7 +460,7 @@ object Bench {
     }
     var probeExtra = 0
     var probeFlagged = qseq.collect { case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
-    while (probeExtra < 5 && probeFlagged.nonEmpty) {
+    while (probeExtra < 5 && probeFlagged.nonEmpty && !Bench.budgetExhausted()) {
       System.err.println(s"[bench] probe-divergence requeue ${probeExtra + 1}: " +
         probeFlagged.toSeq.sorted.map { n =>
           f"$n (median ${medianValid(runsByQ(n))}%.2f vs steady ${probeSteady(n)}%.2f)"
@@ -403,14 +499,20 @@ object Bench {
     // the substitution is auditable; a query whose isolated runs are
     // still slow publishes that honest slow median.
     val (isolatedJson, isolatedMedian): (String, Map[String, Double]) = {
-      val flaggedNow = qseq.collect {
-        case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
+      val flaggedNow = if (Bench.budgetExhausted()) Set.empty[String]
+        else qseq.collect {
+          case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
       if (flaggedNow.isEmpty) ("", Map.empty[String, Double]) else {
         System.err.println(s"[bench] isolated steady-state re-measure of " +
           s"${flaggedNow.size} over-probe-bar queries: ${flaggedNow.toSeq.sorted.mkString(", ")}")
         val load0 = Bench.loadAvg()
         val meds = scala.collection.mutable.HashMap.empty[String, Double]
         val entries = qseq.filter(q => flaggedNow(q._1)).map { case (name, fn) =>
+          // the budget can trip MID-phase (31 isolations × 4 runs was the
+          // r16 cascade): remaining queries skip with an explicit marker
+          if (Bench.budgetExhausted())
+            f""""$name":{"runs":[],"steady":-1.0,"probe":${probeSteady.getOrElse(name, -1.0)}%.3f,"skipped":"wall_budget"}"""
+          else {
           graft.core.InternalCaches.release(spark)
           try {
             once(fn)
@@ -421,6 +523,7 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name isolated re-measure failed: ${e.getMessage}")
             f""""$name":{"runs":[],"steady":-1.0,"probe":${probeSteady.getOrElse(name, -1.0)}%.3f}"""
+          }
           }
         }
         (f""","isolated_steady":{${entries.mkString(",")},"loadavg":$load0%.2f}""",
@@ -499,21 +602,26 @@ object Bench {
           .asScala.map(_.getCollectionTime.max(0L)).sum
       }
       val gc0 = gcMs()
-      val fThr = Bench.foreignGate()
-      val (cold, coldForeign) = Bench.timeWithForeign(f)
-      var reps = Vector.fill(warmReps)(Bench.timeWithForeign(f))
-      def warms = reps.map(_._1)
-      // A rep is CONTENDED when other processes burned > fThr cores
-      // during it — the post-run load breach the round-15 verdict asked
-      // the runner to ACT on (the pre-anchor gate admits windows that
-      // turn loaded mid-run; see timeWithForeign).
-      def contended(r: (Double, Double)) = fThr > 0 && r._2 > fThr
+      val cold = Bench.timeWithForeign(f)
+      // past the wall budget an anchor runs ONE warm rep — a degraded
+      // reading with its contention meters attached beats rc 124
+      val effReps = if (Bench.budgetExhausted()) 1 else warmReps
+      var reps = Vector.fill(effReps)(Bench.timeWithForeign(f))
+      def warms = reps.map(_.sec)
+      // A rep is CONTENDED when any meter breached its gate during it —
+      // foreign CPU cores (round 16), host iowait cores or a D-state
+      // pile-up (round 17 — the CPU meter alone read this box's dominant
+      // I/O-noise mode as CLEAN). The pre-anchor gate admits windows
+      // that turn loaded mid-run; these post-run meters catch them.
+      def contended(r: Bench.RepMeter) = Bench.contendedRep(r)
       var extra = 0
       while (extra < 2 && warms.length > 1 && warms.min > 0 &&
-          (warms.max / warms.min > 1.5 || reps.forall(contended))) {
+          (warms.max / warms.min > 1.5 || reps.forall(contended)) &&
+          !Bench.budgetExhausted()) {
         if (reps.forall(contended))
-          System.err.println(f"[bench] $name%s: every warm rep ran against > " +
-            f"$fThr%.1f foreign cores — re-gating and requeueing one rep")
+          System.err.println(f"[bench] $name%s: every warm rep ran against " +
+            "gate-breaching contention (foreign CPU / iowait / D-state) — " +
+            "re-gating and requeueing one rep")
         else
           System.err.println(f"[bench] $name%s anchor dispersion " +
             f"${warms.max / warms.min}%.2f > 1.5 — requeueing one rep")
@@ -523,14 +631,14 @@ object Bench {
       }
       dispersionGuard(name, warms)
       // Published warm = median of the STEADY cluster — round 14: runs
-      // within 1.5x of the min; round 16: reps measured against > fThr
-      // foreign cores are additionally excluded when at least one clean
-      // rep remains (a contended rep can land inside the 1.5x band and
-      // still inflate the median). The FULL vector and the per-rep
-      // foreign-cores stay in the artifact, so every exclusion is
+      // within 1.5x of the min; round 16: reps measured against
+      // gate-breaching contention are additionally excluded when at
+      // least one clean rep remains (a contended rep can land inside the
+      // 1.5x band and still inflate the median). The FULL vector and the
+      // per-rep meters stay in the artifact, so every exclusion is
       // auditable.
       val clean = reps.filterNot(contended)
-      val steadyPool = if (clean.nonEmpty) clean.map(_._1) else warms
+      val steadyPool = if (clean.nonEmpty) clean.map(_.sec) else warms
       val steady = steadyPool.filter(_ <= steadyPool.min * 1.5)
       val warmMed = median(steady)
       // Transparency (round 15, advisor): when the steady cluster
@@ -544,11 +652,17 @@ object Bench {
             f""""${name}_warm_excluded":${warms.size - steady.size}%d,"""
         else ""
       val runs = warms.map(x => f"$x%.3f").mkString("[", ",", "]")
-      val foreigns = (coldForeign +: reps.map(_._2))
-        .map(x => f"$x%.2f").mkString("[", ",", "]")
+      // the cold rep's meters publish under their own *_cold_* keys
+      // (round 17, advisor: the old prepended layout left *_foreign_cores
+      // off-by-one against *_warm_runs for anyone auditing exclusions)
+      val foreigns = reps.map(r => f"${r.foreign}%.2f").mkString("[", ",", "]")
+      val iowaits = reps.map(r => f"${r.iowaitCores}%.2f").mkString("[", ",", "]")
+      val blockeds = reps.map(_.blocked).mkString("[", ",", "]")
       addCompact(section, name, f"$warmMed%.2f")
-      f""""${name}_cold":$cold%.3f,"${name}_warm":$warmMed%.3f,""" +
+      f""""${name}_cold":${cold.sec}%.3f,"${name}_cold_foreign":${cold.foreign}%.2f,""" +
+        f""""${name}_cold_iowait":${cold.iowaitCores}%.2f,"${name}_warm":$warmMed%.3f,""" +
         f""""${name}_warm_runs":$runs%s,"${name}_foreign_cores":$foreigns%s,""" +
+        f""""${name}_iowait_cores":$iowaits%s,"${name}_procs_blocked":$blockeds%s,""" +
         f""""${name}_mem_headroom_mb":${heapHeadroomMb()}%d,""" +
         f""""${name}_loadavg":$ambient%.2f,"${name}_load_wait_s":$waited%d,""" +
         f""""${name}_loadavg_post":${loadAvg()}%.2f,$fullProvenance""" +
@@ -1330,7 +1444,10 @@ object Bench {
       }.mkString(",")
       s""","published_source":{$entries}"""
     }
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson$isolatedJson$provenanceJson,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
+    val budgetMark = if (Bench.budgetTripped)
+      f""","budget_exhausted":true,"budget_sec":${Bench.wallBudgetSec()}%d,"elapsed_sec":${(System.nanoTime() - Bench.wallStartNs) / 1e9}%.0f"""
+    else ""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"round_loadavg":$loadsJson$isolatedJson$provenanceJson$budgetMark,"sf":"$sfDir"$ref$ref1m$ref10m$refText$refTextSkew$refText1m$refPipe1m$refTok1m$refVec1m$refGraph1m$ref100m}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -1340,7 +1457,8 @@ object Bench {
     val (compact, qShed, sectionsShed) = compactContractLine(
       total, sfDir,
       results.toVector.map { case (k, v) => k -> publishedMedian(k, v) },
-      compactRef.toSeq, nIsolated = isolatedMedian.size)
+      compactRef.toSeq, nIsolated = isolatedMedian.size,
+      budgetExhausted = Bench.budgetTripped)
     if (qShed > 0)
       System.err.println(s"[bench] compact line over budget; shed the $qShed cheapest per-query medians (all ${results.size} remain in BENCH_DETAIL.json)")
     for (victim <- sectionsShed)

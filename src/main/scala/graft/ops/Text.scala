@@ -2886,6 +2886,17 @@ object Text {
     * the division, exactly as the reference implementation does (sentence
     * BLEU then averaging is a different, non-standard statistic).
     *
+    * PRECONDITION (round 17, advisor): each input ROW is one independent
+    * (candidate, reference) pair — the row-local clip counts a candidate
+    * gram against ITS OWN row's reference only. Rows are not merged by
+    * `doc_id` (the column is payload here, not a key): feeding several
+    * rows that share a doc_id clips each against its own reference,
+    * whereas a (doc_id, n, gram)-keyed relational clip would merge the
+    * duplicate rows' reference counts before clipping. Per-row clipping
+    * is the standard corpus-BLEU reading (a multi-reference BLEU needs
+    * the reference SET on one row); keep doc_id unique per pair if the
+    * relational oracle must agree.
+    *
     * Scale shape: one scan of the pair corpus; n-gram counts key by
     * (doc_id, n, gram) so the clip join is co-partitioned with no hot key
     * (a gram repeated across the corpus never meets itself across
@@ -3765,9 +3776,14 @@ object Text {
     * Scale shape (q122's contract, two tables bigger): ALL model tables
     * are train-corpus-bounded and broadcast onto the eval side's 5-gram
     * explode — scoring is one eval-corpus scan with zero eval-row
-    * shuffles (plan-asserted: 9 BroadcastHashJoins + the 1-row totals
-    * BNLJ, no SortMergeJoin); training is one cached train-corpus scan +
-    * four bounded n-gram rollups. Each backoff tier divides a BIGINT by a
+    * shuffles (plan-asserted: 5 eval-side BroadcastHashJoins + 4
+    * model-side prefix joins inside the broadcast subtrees + the 1-row
+    * totals BNLJ, no SortMergeJoin); training is one cached train-corpus
+    * scan + four bounded n-gram rollups, each model row PREFIX-FUSED with
+    * its backoff denominator (round 17 — the denominator gram is always
+    * the numerator's prefix, so one train-bounded join per tier replaces
+    * a per-eval-row broadcast probe; 9 → 5 probes per eval row, values
+    * bit-identical). Each backoff tier divides a BIGINT by a
     * BIGINT after one left-to-right α-product — the multiplication order
     * is pinned (α, then (α·α), then ((α·α)·α), then (((α·α)·α)·α)) so the
     * oracle reproduces the IEEE chain bit-for-bit. A seen n-gram
@@ -3792,6 +3808,24 @@ object Text {
     val n2 = grams(2, "n2")
     val n1 = trainTok.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast(LongType).as("n1"))
+    // PREFIX-FUSED model tables (round 17 — halves the eval-side join
+    // count 9 → 5): every backoff denominator is the PREFIX context of
+    // its tier's numerator gram (n5/n4(w1..w4), α·n4/n3(w2w3w4),
+    // α²·n3/n2(w3w4), α³·n2/n1(w4)), so each n-gram model row carries its
+    // own prefix-context count via ONE train-bounded inner join here
+    // (a seen n-gram's prefix is always seen, so inner loses nothing)
+    // instead of a second broadcast join against every eval row. Each
+    // denominator is only consumed when its numerator hit, so the carried
+    // value is exactly sufficient; counts, divisions, and the α chain are
+    // bit-identical to the unfused form.
+    val n5m = n5.join(broadcast(n4.withColumnRenamed("n4", "n4_ctx")),
+      Seq("w1", "w2", "w3", "w4"))
+    val n4m = n4.join(broadcast(n3.withColumnRenamed("n3", "n3_ctx")),
+      Seq("w1", "w2", "w3"))
+    val n3m = n3.join(broadcast(n2.withColumnRenamed("n2", "n2_ctx")),
+      Seq("w1", "w2"))
+    val n2m = n2.join(broadcast(n1.select(col("w").as("w1"),
+      col("n1").as("n1_ctx"))), Seq("w1"))
     val tot = trainTok.select(explode(col("t")).as("w"))
       .agg(count(lit(1)).cast(LongType).as("nn"),
         countDistinct(col("w")).cast(LongType).as("v"))
@@ -3802,24 +3836,17 @@ object Text {
     withTokens(eval).filter(size(col("t")) >= 5)
       .select(col("doc_id"), explode(gramExpr(5)).as("g"))
       .select(col("doc_id") +: (1 to 5).map(j => col(s"g.w$j")): _*)
-      .join(broadcast(n5), Seq("w1", "w2", "w3", "w4", "w5"), "left")
-      .join(broadcast(n4.withColumnRenamed("n4", "n4_ctx")),
-        Seq("w1", "w2", "w3", "w4"), "left")
-      .join(broadcast(n4.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("w3").as("w4"), col("w4").as("w5"), col("n4").as("n4_hit"))),
+      .join(broadcast(n5m), Seq("w1", "w2", "w3", "w4", "w5"), "left")
+      .join(broadcast(n4m.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("w3").as("w4"), col("w4").as("w5"), col("n4").as("n4_hit"),
+        col("n3_ctx"))),
         Seq("w2", "w3", "w4", "w5"), "left")
-      .join(broadcast(n3.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("w3").as("w4"), col("n3").as("n3_ctx"))),
-        Seq("w2", "w3", "w4"), "left")
-      .join(broadcast(n3.select(col("w1").as("w3"), col("w2").as("w4"),
-        col("w3").as("w5"), col("n3").as("n3_hit"))),
+      .join(broadcast(n3m.select(col("w1").as("w3"), col("w2").as("w4"),
+        col("w3").as("w5"), col("n3").as("n3_hit"), col("n2_ctx"))),
         Seq("w3", "w4", "w5"), "left")
-      .join(broadcast(n2.select(col("w1").as("w3"), col("w2").as("w4"),
-        col("n2").as("n2_ctx"))), Seq("w3", "w4"), "left")
-      .join(broadcast(n2.select(col("w1").as("w4"), col("w2").as("w5"),
-        col("n2").as("n2_hit"))), Seq("w4", "w5"), "left")
-      .join(broadcast(n1.select(col("w").as("w4"), col("n1").as("n1_4"))),
-        Seq("w4"), "left")
+      .join(broadcast(n2m.select(col("w1").as("w4"), col("w2").as("w5"),
+        col("n2").as("n2_hit"), col("n1_ctx").as("n1_4"))),
+        Seq("w4", "w5"), "left")
       .join(broadcast(n1.select(col("w").as("w5"), col("n1").as("n1_5"))),
         Seq("w5"), "left")
       .crossJoin(broadcast(tot))

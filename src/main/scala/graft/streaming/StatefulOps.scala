@@ -240,10 +240,28 @@ object StatefulOps {
       while (out.lengthCompare(2) >= 0 && out.head._1 == out(1)._1) {
         val merged = collapse(out(1)._2.unionByName(out.head._2))
           .localCheckpoint(true)
+        // free the two consumed segments NOW (round 17, advisor): their
+        // checkpoint blocks otherwise linger until the ContextCleaner
+        // GCs the frames, so a 2^k merge boundary transiently held ~2x
+        // that span's storage; the merged checkpoint has materialized,
+        // so nothing reads them again
+        unpersistSegment(out.head._2); unpersistSegment(out(1)._2)
         out = (out.head._1 + 1, merged) :: out.drop(2)
       }
       out
     }
+
+    /** Drop a superseded segment's local-checkpoint storage. A
+      * localCheckpointed frame is a LogicalRDD over the persisted
+      * internal RDD — unpersist that RDD directly (blocking = false; a
+      * failure degrades to the old GC-driven freeing). */
+    private def unpersistSegment(df: DataFrame): Unit = try {
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case e if scala.util.control.NonFatal(e) => () }
 
     /** Ingest one micro-batch of (doc_id, source, text) rows. Amortized
       * cost is batch-bounded: the new frames materialize as level-0

@@ -76,4 +76,56 @@ class BenchMathSpec extends AnyFunSuite {
     val (small, 0, Nil) = Bench.compactContractLine(5.0, "sf", queries.take(10), sections)
     assert(!small.contains("queries_shed") && small.length <= Bench.ContractBudget)
   }
+
+  test("compactContractLine: budget_exhausted marker survives shedding and stays parseable") {
+    val queries = (1 to 91).map(i => f"q${i}%02d_some_operator_name" -> (i % 7) * 0.37).toVector
+    val (line, _, _) = Bench.compactContractLine(40.0, "sf", queries, Seq.empty,
+      budgetExhausted = true)
+    assert(line.contains(""""budget_exhausted":true"""), line)
+    assert(line.length <= Bench.ContractBudget)
+    // the marker is valid JSON in place (the driver json-parses the line)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    val (clean, _, _) = Bench.compactContractLine(40.0, "sf", queries.take(5), Seq.empty)
+    assert(!clean.contains("budget_exhausted"))
+  }
+
+  test("contendedRep: foreign CPU, iowait, or D-state pile-up each trip the gate") {
+    def rep(f: Double = 0.0, w: Double = 0.0, b: Long = 0L) =
+      Bench.RepMeter(1.0, f, w, b)
+    assert(!Bench.contendedRep(rep()))
+    assert(Bench.contendedRep(rep(f = 10.0)), "foreign CPU breach must count")
+    assert(Bench.contendedRep(rep(w = 10.0)),
+      "iowait breach at zero foreign CPU must count (the D-state I/O mode)")
+    assert(Bench.contendedRep(rep(b = 40L)), "D-state pile-up must count")
+    // unreadable meters (-1) never count as contention
+    assert(!Bench.contendedRep(Bench.RepMeter(1.0, -1.0, -1.0, -1L)))
+  }
+
+  test("probe guard: dispersion ignores the JIT run, catches the noise-window signature") {
+    // PROBE_r16's contaminated q34 vector — warm swing 24.77/4.24 > 4x
+    assert(TimeProbe.dispersed(Seq(3.12, 24.77, 36.25, 15.09, 4.24)))
+    // a big FIRST run alone is expected JIT, not contamination
+    assert(!TimeProbe.dispersed(Seq(13.43, 2.86, 1.89, 1.82, 2.22)))
+    // PROBE_r16's q35 (uniform inflation, warm swing only 3.0x) does NOT
+    // trip dispersion — that is what the best-known-steady cross-check is
+    // for (exercised in TimeProbe.main against committed probe files)
+    assert(!TimeProbe.dispersed(Seq(38.64, 20.09, 6.77, 12.33, 10.75)))
+    assert(!TimeProbe.dispersed(Seq(1.0)))
+  }
+
+  test("host meters read this box: busy/iowait jiffies and procs_blocked are live") {
+    // on Linux all three read nonnegative; elsewhere they degrade to -1
+    // without throwing (the meters must never take the bench down)
+    val busy = Bench.hostBusyJiffies(); val io = Bench.hostIowaitJiffies()
+    val blk = Bench.procsBlocked()
+    if (new java.io.File("/proc/stat").isFile) {
+      assert(busy > 0); assert(io >= 0); assert(blk >= 0)
+    } else { assert(busy == -1L && io == -1L && blk == -1L) }
+    assert(Bench.userHz > 0)
+    val m = Bench.timeWithForeign { Thread.sleep(50) }
+    assert(m.sec >= 0.05)
+    // a sleeping measurement burns ~no foreign cores on a quiet box; the
+    // meter must at minimum come back finite and >= -1
+    assert(m.foreign >= -1.0 && m.iowaitCores >= -1.0)
+  }
 }

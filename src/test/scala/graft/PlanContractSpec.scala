@@ -455,8 +455,12 @@ class PlanContractSpec extends SparkSpec {
         assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == wantBnlj,
           s"$q expected exactly $wantBnlj 1-row totals broadcast crossJoins:\n$p")
         val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-        // q127: 5-gram hit + 4-gram ctx/hit + 3-gram ctx/hit + 2-gram
-        // ctx/hit + two unigram lookups = 9 broadcast model joins
+        // q127 (round 17, prefix-fused): FIVE eval-side joins (5/4/3/2-gram
+        // hit tables each carrying their prefix-context count, + unigram)
+        // plus FOUR model-side prefix joins inside the broadcast subtrees
+        // (train-bounded, never see an eval row) = 9 BHJs in the plan —
+        // same count as the unfused r16 shape, but eval rows now pass 5
+        // hash probes instead of 9.
         // q156: bigram + left-continuation + right-continuation = 3
         val want = if (q.startsWith("q127")) 9 else if (q.startsWith("q122")) 5
           else if (q.startsWith("q156")) 3 else 2

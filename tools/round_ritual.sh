@@ -48,9 +48,22 @@ python3 tools/check_oracle.py testdata_sf1 /tmp/ritual_sf1 CORRECTNESS_sf1.json 
 # bench and compare grade against the SAME readings, so every flagged
 # query gets an isolated re-measure by construction.
 echo "== [4/7] TimeProbe sweep -> PROBE_r$R.txt"
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
-  sbt -batch "runMain graft.TimeProbe all" 2>/dev/null | grep '^PROBE' > "PROBE_r$R.txt"
-wc -l "PROBE_r$R.txt"
+# The probe self-guards (round 17): contaminated vectors re-measure, print
+# as PROBE-SUSPECT (no parser matches them), and exit 3 — retry the whole
+# sweep up to twice in that case; a probe with suspect lines blinds the
+# next round's regression bar (PROBE_r16 shipped 6-27x inflated steadies).
+for attempt in 1 2 3; do
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.TimeProbe all" 2>/dev/null | grep '^PROBE' > "PROBE_r$R.txt"
+  rc=$?
+  if ! grep -q '^PROBE-SUSPECT' "PROBE_r$R.txt"; then break; fi
+  echo "   probe attempt $attempt had SUSPECT lines (rc=$rc); waiting for a quieter window"
+  sleep 120
+done
+grep -c '^PROBE ' "PROBE_r$R.txt" || true
+if grep -q '^PROBE-SUSPECT' "PROBE_r$R.txt"; then
+  echo "   WARNING: PROBE_r$R.txt still carries SUSPECT lines — their steadies are withheld"
+fi
 
 echo "== [5/7] bench @ $SF"
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
