@@ -779,7 +779,7 @@ object Embeddings {
     // constant-depth contract reads it
     val nodes = e.select(col("src").as("vec_id"))
       .union(e.select(col("dst").as("vec_id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: only the final zero-fill reads it
     def maxUnits(raw: DataFrame, c: String): Long =
       raw.agg(greatest(max(col(c)), lit(1L))).head.getLong(0)
     var hub: DataFrame = null
@@ -976,27 +976,30 @@ object Embeddings {
     * survivor frame the semi-joins consumed stayed node-sized forever.
     * An empty eliminated set is a fixed point, so the loop EXITS EARLY
     * (further peels are identity — the returned degrees are unchanged).
-    * The shrinking edge list eagerly localCheckpoints per round (the
-    * q166 pattern — the edge frame is consumed by both the degree agg
-    * and the filter, and the peel count bounds the lineage). Output is
-    * the survivors' degree table — all integers. */
+    * The shrinking edge list localCheckpoints per round (the q166
+    * pattern — the edge frame is consumed by both the degree agg and
+    * the filter, and the peel count bounds the lineage); round 17 made
+    * the checkpoints LAZY, so each round's first consumer (the dropped
+    * set's isEmpty probe / the next degree agg) materializes them in
+    * its own pass instead of a dedicated job per frame. Output is the
+    * survivors' degree table — all integers. */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1 && iters <= 20, s"bad k=$k/iters=$iters")
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array(col("d1"), col("d2"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).cast(LongType).as("deg"))
-    var e = edges.select(col("d1"), col("d2")).localCheckpoint(true)
+    var e = edges.select(col("d1"), col("d2")).localCheckpoint(false)
     var converged = false
     for (_ <- 1 to iters if !converged) {
       // consumed three times (isEmpty + both anti joins) — checkpoint
       val dropped = degrees(e).filter(col("deg") < k.toLong)
-        .select(col("vec_id")).localCheckpoint(true)
+        .select(col("vec_id")).localCheckpoint(false)
       if (dropped.isEmpty) converged = true
       else e = e
         .join(dropped.withColumnRenamed("vec_id", "d1"), Seq("d1"), "left_anti")
         .join(dropped.withColumnRenamed("vec_id", "d2"), Seq("d2"), "left_anti")
         .select(col("d1"), col("d2"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     degrees(e)
   }

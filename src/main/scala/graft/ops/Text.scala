@@ -2588,19 +2588,23 @@ object Text {
           lit(" ")))
         .coalesce(4))
     var cur = words.select(col("freq"), col("s"))
-    // Lineage discipline (round 12): each merge EAGERLY localCheckpoints
-    // the word table — one O(vocab) job that applies the single replace
-    // over the previous checkpoint's in-memory blocks and truncates
-    // lineage to a depth-1 LogicalRDD. That makes per-merge cost flat BY
+    // Lineage discipline (round 12, job count round 17): each merge
+    // localCheckpoints the word table, truncating lineage to a depth-1
+    // LogicalRDD at plan-build time — per-merge cost is flat BY
     // CONSTRUCTION out to production merge counts (the bpe_train_1m_256
     // anchor measures it): no replace chain ever re-executes (the r11
     // persist-based scheme unpersisted the parent before the lazily
     // persisted child ran, silently replaying the whole chain each
-    // iteration), and no plan or cache-entry chain accumulates (a chain
-    // of nested InMemoryRelations blew up AQE's plan-string rendering at
-    // depth ~24). Superseded checkpoint blocks are reclaimed by the
-    // ContextCleaner once unreferenced; `words` stays registered for the
-    // batch-boundary release. Cluster caveat, by design: localCheckpoint
+    // iteration — note that failure mode was PERSIST lifecycle, not
+    // checkpoint laziness), and no plan or cache-entry chain accumulates
+    // (a chain of nested InMemoryRelations blew up AQE's plan-string
+    // rendering at depth ~24). Round 17 made the checkpoint LAZY: the
+    // next iteration's argmax job materializes it in the same pass, so
+    // each merge costs ONE vocab-table pass, not an eager
+    // materialization job plus the argmax. Superseded checkpoint blocks
+    // are reclaimed by the ContextCleaner once unreferenced; `words`
+    // stays registered for the batch-boundary release. Cluster caveat,
+    // by design: localCheckpoint
     // trades fault-tolerance for speed — an executor loss mid-training
     // fails the job (acceptable: training re-runs from the corpus, which
     // IS the reliable input); a deployment that can't re-run swaps in
@@ -2623,14 +2627,22 @@ object Text {
         merges += ((it.toLong, a, b, a + b, cnt))
         // the pattern/replacement travel as lit() columns, never through a
         // SQL string literal — backslash- and multi-byte-safe (q123)
+        // LAZY checkpoint (round 17, the HITS half-step recipe): the NEXT
+        // iteration's argmax job is the first action over this frame, so
+        // it materializes the checkpoint as a side effect — the eager
+        // variant ran a dedicated O(vocab) materialization job first,
+        // doubling per-merge passes (2 -> 1 vocab-table passes/merge; at
+        // the 1M 4k-merge anchor that is 4096 fewer jobs). Lineage is
+        // still cut at call time (a lazy checkpoint returns a LogicalRDD
+        // immediately), so plan depth stays 1 by construction.
         cur = cur.withColumn("s",
             replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
-    // the final checkpointed table is already materialized for an
-    // immediate consumer (bpeSegmentCounts); its blocks free with the
-    // frame (ContextCleaner), not via the cache registry
+    // the final table materializes with its first consumer
+    // (bpeSegmentCounts / the caller's collect); its blocks free with
+    // the frame (ContextCleaner), not via the cache registry
     (merges.toSeq, cur)
   }
 
@@ -2695,7 +2707,12 @@ object Text {
         replace(acc, lit(s" $a  $b "), lit(s" ${a + b} "))
       }
       cur = cur.withColumn("s", chained)
-      if (merges.length > chunkEvery) cur = cur.localCheckpoint(true)
+      // LAZY (round 17): each chunk boundary still cuts the SQL plan (a
+      // lazy checkpoint is a LogicalRDD immediately, so expression depth
+      // per codegen'd projection stays <= chunkEvery replaces), but the
+      // chain now materializes inside the ONE consumer job instead of one
+      // eager job per chunk — merges/chunkEvery fewer jobs, same blocks.
+      if (merges.length > chunkEvery) cur = cur.localCheckpoint(false)
     }
     cur
       .select(col("freq"), explode(expr("split(trim(s), '  ')")).as("sym"))
@@ -2769,7 +2786,8 @@ object Text {
         replace(acc, lit(s" $a  $b "), lit(s" ${a + b} "))
       }
       cur = cur.withColumn("s", chained)
-      if (merges.length > chunkEvery) cur = cur.localCheckpoint(true)
+      // LAZY chunk boundaries — see bpeApplyMerges (round 17)
+      if (merges.length > chunkEvery) cur = cur.localCheckpoint(false)
     }
     cur
       .withColumn("k",
@@ -4355,7 +4373,7 @@ object Text {
     var state = words.filter(length(col("w")) <= maxWordLen)
       .withColumn("pos", lit(1L))
       .withColumn("pieces", expr("CAST(array() AS array<string>)"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var step = 0
     while (step < maxWordLen &&
            !state.filter(col("pos") <= length(col("w"))).isEmpty) {
@@ -4374,7 +4392,13 @@ object Text {
             col("pos") + length(col("piece"))).otherwise(col("pos")))
         .select(col("w"), col("cnt"), col("next_pos").as("pos"),
           col("next_pieces").as("pieces"))
-        .localCheckpoint(true)
+        // LAZY (round 17): the loop guard's isEmpty probe is the first
+        // action — it materializes what it scans and the checkpoint
+        // finalizer fills in any partitions the short-circuit skipped.
+        // Gate-scale wall is identical to eager (DevJobProbe A/B: 5.68
+        // vs 5.66 s, 60 -> 54 jobs); the win is the saved full-table
+        // materialization pass per step at 1M-scale vocab tables.
+        .localCheckpoint(false)
       step += 1
     }
     val unk = words.filter(length(col("w")) > maxWordLen)
@@ -4460,9 +4484,11 @@ object Text {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += ((it.toLong, a, b, a + b,
           top(0).getAs[Long]("cnt"), top(0).getAs[Long]("score18")))
+        // LAZY — the next iteration's argmax materializes it (round 17,
+        // see bpeTrain): one vocab-table pass per merge instead of two
         cur = cur.withColumn("s",
             replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt", "score18")
@@ -4687,23 +4713,29 @@ object Text {
       withTokens(docs).select(explode(col("t")).as("w"))
         .filter(length(col("w")).between(1, maxWordLen))
         .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    // LAZY checkpoints throughout the EM loop (round 17): every frame's
+    // first consumer job materializes it (vocab -> the DP's broadcast
+    // build, ec -> the singles join, masses -> next round's vocab), so
+    // each round drops three dedicated materialization jobs while the
+    // lineage cuts (and the multi-consumer block reuse they exist for)
+    // are unchanged — a lazy checkpoint is a LogicalRDD immediately.
     var masses = seedPieces(words, maxPieceLen, thrDiv)
       .select(col("p"), col("freq").as("mass"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to nIters) {
-      val vocab = pieceLogProbs(masses, "mass").localCheckpoint(true)
+      val vocab = pieceLogProbs(masses, "mass").localCheckpoint(false)
       val seg = viterbiStages(words, vocab, maxPieceLen, maxWordLen)
       val ec = seg
         .select(col("cnt"), explode(split(col("seq"), " ")).as("p"))
         .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("ec"))
-        .coalesce(1).localCheckpoint(true) // consumed by singles AND multi
+        .coalesce(1).localCheckpoint(false) // consumed by singles AND multi
       val alphabet = masses.filter(length(col("p")) === 1).select(col("p"))
       val singles = alphabet.join(ec, Seq("p"), "left")
         .select(col("p"), (coalesce(col("ec"), lit(0L)) + 1L).as("mass"))
       val multi = ec.filter(length(col("p")) >= 2)
         .orderBy(col("ec").desc, col("p").asc).limit(vocabV)
         .select(col("p"), col("ec").as("mass"))
-      masses = singles.unionByName(multi).coalesce(1).localCheckpoint(true)
+      masses = singles.unionByName(multi).coalesce(1).localCheckpoint(false)
     }
     pieceLogProbs(masses, "mass")
       .join(masses, Seq("p"))
@@ -4733,7 +4765,7 @@ object Text {
     require(topK >= 1, s"bad topK $topK")
     val model = unigramTrain(train, maxPieceLen, maxWordLen, thrDiv, nIters, vocabV)
       .select(col("piece").as("p"), col("l"), col("lp9"))
-      .coalesce(1).localCheckpoint(true)
+      .coalesce(1).localCheckpoint(false)
     val words = graft.core.InternalCaches.persist(
       withTokens(eval).select(explode(col("t")).as("w"))
         .filter(length(col("w")) >= 1)
