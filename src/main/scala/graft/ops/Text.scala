@@ -2637,7 +2637,7 @@ object Text {
         // immediately), so plan depth stays 1 by construction.
         cur = cur.withColumn("s",
             replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
-          .localCheckpoint(false)
+          .localCheckpoint(sys.props.get("graft.ckpt.eager").contains("true"))
       }
     }
     // the final table materializes with its first consumer
