@@ -30,12 +30,38 @@ import org.apache.spark.sql.SparkSession
   * compare_probe deliberately do not match) and the probe exits 3 so a
   * scripted regeneration knows to re-run in a quieter window. */
 object TimeProbe {
+  /** ENVIRONMENT EPOCH (round 18): first non-comment integer line of
+    * PROBE_EPOCH in `dir` (0 when absent/unparseable). Probes from rounds
+    * BEFORE the epoch are retired from the best-known-steady bar. The r17
+    * judge's same-window code A/B proved the box can no longer produce the
+    * r15-era steadies for many-tiny-job loops (r15 code itself ran
+    * q94_pagerank at 2.15 s vs its committed 1.07 s while single-job
+    * controls matched exactly), so grading against the all-time MIN
+    * permanently flagged ~20-30 healthy queries per bench run — the
+    * requeue/isolation cascade that blew two driver windows. Bumping the
+    * epoch is an evidence-backed act: PROBE_EPOCH documents the A/B. */
+  private[graft] def probeEpoch(dir: java.io.File = new java.io.File(".")): Int = try {
+    val f = new java.io.File(dir, "PROBE_EPOCH")
+    if (!f.isFile) 0 else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(_.trim)
+        .find(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap(_.toIntOption).getOrElse(0)
+      finally src.close()
+    }
+  } catch { case e if scala.util.control.NonFatal(e) => 0 }
+
   /** Best-known steady per query: the MIN across every committed
-    * PROBE_r*.txt — the strictest "this box has run it this fast" bar. */
-  private[graft] def bestKnownSteady(): Map[String, Double] = try {
-    val files = Option(new java.io.File(".").listFiles())
+    * PROBE_r*.txt at or after the environment epoch — the strictest
+    * "this box, in its CURRENT regime, has run it this fast" bar. */
+  private[graft] def bestKnownSteady(dir: java.io.File = new java.io.File(".")): Map[String, Double] = try {
+    val epoch = probeEpoch(dir)
+    val files = Option(dir.listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.getName.matches("PROBE_r\\d+\\.txt"))
+      .filter { f =>
+        f.getName.matches("PROBE_r\\d+\\.txt") &&
+          f.getName.replaceAll("\\D", "").toInt >= epoch
+      }
     files.flatMap { f =>
       val src = scala.io.Source.fromFile(f)
       try Bench.parseProbeSteady(src.getLines()).toSeq finally src.close()
@@ -100,6 +126,15 @@ object TimeProbe {
         System.err.println(f"[probe] $name flagged (dispersed=${dispersed(vecs.head)} " +
           f"overRef=${overRef(vecs.minBy(_.min))} best=${vecs.map(_.min).min}%.2f " +
           f"ref=${ref.getOrElse(name, -1.0)}%.2f) — re-measuring")
+        // Re-measure vectors must genuinely be MINUTES apart (round 18,
+        // advisor): back-to-back vectors all sit inside one multi-minute
+        // noise window, reproduce within the 1.25x mins band, and print a
+        // contaminated steady as REGRESSION? — the exact PROBE_r16 failure
+        // the guard was built to withhold. Default 75 s between vectors;
+        // SPARK_GRAFT_PROBE_RESLEEP (seconds, 0 disables for tests).
+        val sleepS = sys.env.get("SPARK_GRAFT_PROBE_RESLEEP")
+          .flatMap(_.toLongOption).getOrElse(75L)
+        if (sleepS > 0) Thread.sleep(sleepS * 1000L)
         vecs = vector(name) :: vecs
       }
       val best = vecs.minBy(_.min)

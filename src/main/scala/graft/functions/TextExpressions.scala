@@ -209,6 +209,35 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Greedy maximal-munch walk for [[GreedyMunch]]: from each position,
+    * emit the longest vocab piece (ties impossible — one candidate per
+    * length), falling back to the single character (always a vocab member
+    * by the caller's construction — every char of every corpus word is in
+    * the length-1 vocabulary). Code-point indexing throughout, matching
+    * SQL substring()/length(). The empty word segments to an empty
+    * array, like the join ladder's never-entered loop. */
+  def munch(w: UTF8String, vocab: java.util.HashSet[UTF8String],
+            maxPieceLen: Int): ArrayData = {
+    val n = w.numChars()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.max(1, n))
+    var pos = 0
+    while (pos < n) {
+      var piece: UTF8String = null
+      var l = math.min(maxPieceLen, n - pos)
+      while (piece == null && l >= 2) {
+        val cand = w.substring(pos, pos + l)
+        if (vocab.contains(cand)) piece = cand
+        l -= 1
+      }
+      var step = 1
+      if (piece == null) piece = w.substring(pos, pos + 1)
+      else step = piece.numChars()
+      out += piece
+      pos += step
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_entropy(text)` → struct<n_distinct: bigint, entropy: double> —
@@ -370,4 +399,67 @@ case class NGramStructs(child: Expression, maxN: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_ngrams"
+}
+
+/** Greedy maximal-munch segmentation of one word against a fixed piece
+  * vocabulary — the q134 WordPiece inference walk as ONE compiled pass.
+  *
+  * Why an expression (round 18): the loop formulation ran ≤ maxWordLen
+  * dataframe steps, each a guarded projection over maxPieceLen broadcast
+  * vocab joins plus a localCheckpoint and an isEmpty loop-guard probe —
+  * ~2 driver round-trips per step, ~32 jobs per call, which is exactly
+  * the many-tiny-job shape this box's scheduler regime punishes (q134 was
+  * the top clean-window sweep cost at ~2.7 s). The vocabulary is BOUNDED
+  * by construction — length-l pieces need corpus mass ≥ total/thrDiv, so
+  * ≤ thrDiv·(avg word len) entries per length, plus the charset — so the
+  * whole walk is a per-row pure function of (word, vocab): one projection,
+  * zero joins, zero checkpoints, zero loop-guard probes. Same recipe as
+  * the q140 Viterbi broadcast-map fold.
+  *
+  * Bit-identity with the join ladder (and the DuckDB recursive-CTE
+  * oracle): at each position try the LONGEST candidate first
+  * (coalesce(p_maxLen..p1) order); candidates shorter than l because the
+  * word ran out cannot falsely match a length-l vocab entry (string
+  * equality implies equal length — the join compared substring(w,pos,l)
+  * against length-l keys, same effect); the length-1 vocabulary contains
+  * every character of every corpus word by construction, so the
+  * single-char fallback always terminates the walk exactly as the p1 join
+  * row did. All indices are CODE POINTS (UTF8String.substring/numChars),
+  * matching SQL substring()/length() semantics. */
+case class GreedyMunch(child: Expression, vocab: Seq[String], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  require(maxPieceLen >= 1 && maxPieceLen <= 64,
+    s"graft_munch maxPieceLen must be in [1,64], got $maxPieceLen")
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_munch expects a string argument, got ${child.dataType.simpleString}")
+
+  /** Vocabulary as a hash set of UTF8String (what the scan hands eval);
+    * rebuilt lazily on each executor after deserialization. */
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, vocab.size * 2))
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.munch(a.asInstanceOf[UTF8String], lookup, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("munchVocab", lookup, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.munch($a, $setRef, $maxPieceLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_munch"
 }

@@ -4341,12 +4341,19 @@ object Text {
     *           occurrences), top-K bounded heap
     *
     * Scale shape: ALL work after the one corpus token scan runs on the
-    * vocab-BOUNDED distinct-word table. The greedy loop advances ≥ 1
-    * character per step, so ≤ maxWordLen iterations, each a guarded
-    * projection over maxPieceLen BROADCAST vocab joins; every iteration
-    * eagerly localCheckpoints (the q118 lineage-cut recipe) so plan depth
-    * and per-step cost stay flat, and the loop exits early once every
-    * word is consumed. The DuckDB oracle expresses the same greedy walk
+    * vocab-BOUNDED distinct-word table. Round 18 — the greedy walk is the
+    * native [[graft.functions.GreedyMunch]] kernel in ONE projection: the
+    * piece vocabulary is bounded by construction (length-l pieces need
+    * corpus mass ≥ total/thrDiv → ≤ ~thrDiv·avgLen entries per length,
+    * plus the charset), so it collects to the driver and rides the
+    * serialized expression to every task — zero joins, zero per-step
+    * checkpoints, zero loop-guard probes. The former formulation ran
+    * ≤ maxWordLen dataframe steps of maxPieceLen broadcast joins each
+    * (~2 driver round-trips per step — the many-tiny-job shape the
+    * round-17 A/B showed this box's scheduler punishes; q134 was the top
+    * clean-window sweep cost at ~2.7 s). Same recipe as the q140 Viterbi
+    * broadcast-map fold; segmentation output is bit-identical (spec- and
+    * gate-asserted). The DuckDB oracle expresses the same greedy walk
     * as a recursive CTE over the identical vocab tables, so the gate
     * hash-matches the full segmentation, not just its shape. */
   def wordpieceSegment(docs: DataFrame, maxPieceLen: Int = 4,
@@ -4370,37 +4377,18 @@ object Text {
         (1 -> words.select(explode(expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p1"))
           .distinct())).toMap
-    var state = words.filter(length(col("w")) <= maxWordLen)
-      .withColumn("pos", lit(1L))
-      .withColumn("pieces", expr("CAST(array() AS array<string>)"))
-      .localCheckpoint(false)
-    var step = 0
-    while (step < maxWordLen &&
-           !state.filter(col("pos") <= length(col("w"))).isEmpty) {
-      var st = state
-      for (l <- maxPieceLen to 1 by -1)
-        st = st.join(broadcast(vocabs(l)),
-          expr(s"p$l = substring(w, CAST(pos AS INT), $l)"), "left")
-      state = st
-        .withColumn("piece",
-          coalesce((maxPieceLen to 1 by -1).map(l => col(s"p$l")): _*))
-        .withColumn("next_pieces",
-          when(col("pos") <= length(col("w")),
-            concat(col("pieces"), array(col("piece")))).otherwise(col("pieces")))
-        .withColumn("next_pos",
-          when(col("pos") <= length(col("w")),
-            col("pos") + length(col("piece"))).otherwise(col("pos")))
-        .select(col("w"), col("cnt"), col("next_pos").as("pos"),
-          col("next_pieces").as("pieces"))
-        // LAZY (round 17): the loop guard's isEmpty probe is the first
-        // action — it materializes what it scans and the checkpoint
-        // finalizer fills in any partitions the short-circuit skipped.
-        // Gate-scale wall is identical to eager (DevJobProbe A/B: 5.68
-        // vs 5.66 s, 60 -> 54 jobs); the win is the saved full-table
-        // materialization pass per step at 1M-scale vocab tables.
-        .localCheckpoint(false)
-      step += 1
-    }
+    // bounded collects: each p_l table holds pieces with corpus mass
+    // ≥ total/thrDiv (≤ ~thrDiv·avgLen rows), p1 is the corpus charset
+    val vocabStrings: Seq[String] =
+      (2 to maxPieceLen).flatMap(l =>
+        vocabs(l).collect().map(_.getString(0)).toSeq) ++
+        vocabs(1).collect().map(_.getString(0)).toSeq
+    val state = words.filter(length(col("w")) <= maxWordLen)
+      .select(col("w"), col("cnt"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.GreedyMunch(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("w")),
+            vocabStrings, maxPieceLen)).as("pieces"))
     val unk = words.filter(length(col("w")) > maxWordLen)
       .select(col("w"), col("cnt"), array(lit("[UNK]")).as("pieces"))
     state.select(col("w"), col("cnt"), col("pieces")).union(unk)

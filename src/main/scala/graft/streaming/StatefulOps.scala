@@ -288,7 +288,15 @@ object StatefulOps {
       * batch-funnel-equal by construction (same flag projections, same
       * rollup, current-canonical u_keep; min is associative, so the
       * groupBy over the O(log batches) canon segments is the canonical
-      * table). */
+      * table).
+      *
+      * The returned frame is EAGERLY materialized (round 18, advisor):
+      * [[push]] unpersists consumed segments at every 2^k merge boundary,
+      * so a LAZY report plan held across a later [[ingestBatch]] would
+      * reference checkpoint blocks that no longer exist and fail on its
+      * first action. The rollup is a per-source handful of rows, so
+      * checkpointing it here costs one small job and makes every report
+      * handle self-contained for the rest of the session. */
     def report(): DataFrame = synchronized {
       if (flagSegs.isEmpty)
         throw new IllegalStateException("StreamingFunnel: no batches ingested")
@@ -298,6 +306,7 @@ object StatefulOps {
       graft.ops.Text.funnelRollup(f.join(canon, "h")
         .withColumn("u_keep", (col("doc_id") === col("cid"))
           .cast(org.apache.spark.sql.types.LongType)))
+        .localCheckpoint(true)
     }
   }
 }

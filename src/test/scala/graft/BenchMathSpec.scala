@@ -89,6 +89,41 @@ class BenchMathSpec extends AnyFunSuite {
     assert(!clean.contains("budget_exhausted"))
   }
 
+  test("compactContractLine: sigterm marker (the emergency-hook line) stays parseable") {
+    val queries = (1 to 91).map(i => f"q${i}%02d_some_operator_name" -> (i % 7) * 0.37).toVector
+    val (line, _, _) = Bench.compactContractLine(40.0, "sf", queries, Seq.empty,
+      budgetExhausted = true, sigterm = true)
+    assert(line.contains(""""sigterm":true""") &&
+      line.contains(""""budget_exhausted":true"""), line)
+    assert(line.length <= Bench.ContractBudget)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    val (normal, _, _) = Bench.compactContractLine(40.0, "sf", queries.take(5), Seq.empty)
+    assert(!normal.contains("sigterm"))
+  }
+
+  test("probe epoch retires pre-epoch steadies from the best-known bar") {
+    val dir = java.nio.file.Files.createTempDirectory("probe_epoch").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        body.getBytes("UTF-8"))
+    // r15: the unreachable-era steady the r17 judge's code A/B retired;
+    // r17: the current regime's bar
+    write("PROBE_r15.txt", "PROBE q94_pagerank 1.20 1.07 1.10\nPROBE q01_agg 0.10 0.08\n")
+    write("PROBE_r17.txt", "PROBE q94_pagerank 2.30 2.15 2.20\nPROBE q01_agg 0.10 0.09\n")
+    // no epoch file -> all probes count (the historical MIN)
+    assert(TimeProbe.probeEpoch(dir) == 0)
+    assert(TimeProbe.bestKnownSteady(dir)("q94_pagerank") == 1.07)
+    // epoch 17 (comment lines tolerated) -> r15 is retired, r17's min rules
+    write("PROBE_EPOCH", "# environment epoch\n17\n# evidence: judge A/B\n")
+    assert(TimeProbe.probeEpoch(dir) == 17)
+    val bar = TimeProbe.bestKnownSteady(dir)
+    assert(bar("q94_pagerank") == 2.15)
+    assert(bar("q01_agg") == 0.09)
+    // a malformed epoch file degrades to 0, never throws
+    write("PROBE_EPOCH", "not-a-number\n")
+    assert(TimeProbe.probeEpoch(dir) == 0)
+  }
+
   test("contendedRep: foreign CPU, iowait, or D-state pile-up each trip the gate") {
     def rep(f: Double = 0.0, w: Double = 0.0, b: Long = 0L) =
       Bench.RepMeter(1.0, f, w, b)

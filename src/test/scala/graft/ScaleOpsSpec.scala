@@ -267,6 +267,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("StreamingFunnel: a held report() handle survives later ingests past a merge boundary") {
+    import spark.implicits._
+    // round-18 advisor: push() eagerly unpersists consumed segments at 2^k
+    // merge boundaries, so a LAZY report plan held across a later
+    // ingestBatch referenced dropped checkpoint blocks and failed on its
+    // first action. report() now materializes before returning — a handle
+    // taken after batch 1 must still collect (to the batch-1 truth) after
+    // batches 2-4 have merged batch 1's segments away.
+    val corpus = graft.ops.Text.funnelGateCorpus(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val chunks = corpus.zipWithIndex.groupMap(_._2 % 4)(_._1)
+    val funnel = new StatefulOps.StreamingFunnel
+    funnel.ingestBatch(chunks(0).toSeq.toDF("doc_id", "source", "text"))
+    val held = funnel.report()
+    val heldWant = graft.ops.Text.filterFunnel(
+        chunks(0).toSeq.toDF("doc_id", "source", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    (1 until 4).foreach { i =>
+      funnel.ingestBatch(chunks(i).toSeq.toDF("doc_id", "source", "text"))
+    }
+    // 4 batches -> one level-2 segment: every batch-1-era segment has been
+    // consumed and unpersisted by now
+    assert(funnel.segmentCounts == ((1, 1)))
+    val heldGot = held.collect().map(_.toString).sorted.toSeq
+    assert(heldGot == heldWant,
+      s"held report handle no longer actionable/correct: $heldGot vs $heldWant")
+  }
+
   test("streamingDriftBuckets: converged stream counts reproduce the batch PSI exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -55,7 +55,7 @@ echo "== [4/7] TimeProbe sweep -> PROBE_r$R.txt"
 for attempt in 1 2 3; do
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
     sbt -batch "runMain graft.TimeProbe all" 2>/dev/null | grep '^PROBE' > "PROBE_r$R.txt"
-  rc=$?
+  rc=${PIPESTATUS[0]} # the probe's own exit code (3 = suspects), not grep's
   if ! grep -q '^PROBE-SUSPECT' "PROBE_r$R.txt"; then break; fi
   echo "   probe attempt $attempt had SUSPECT lines (rc=$rc); waiting for a quieter window"
   sleep 120
@@ -76,7 +76,14 @@ python3 tools/compare_probe.py BENCH_DETAIL.json "PROBE_r$R.txt" \
   || echo "   ^ flagged queries: explain in README (tight run vectors = contention) or re-measure"
 
 echo "== [7/7] BIG tier -> BENCH_BIG_r$R.json"
+# The BIG tier legitimately exceeds the default wall budget (bpe_train_1m_4k
+# alone runs ~10 min) — r17 ran it with the 1500 s default, so every anchor
+# after the trip measured with load gates disabled at ambient loadavg 16-31
+# (the verdict's "degraded evidence on clean keys"). This is a local run
+# with no driver timeout: give it a budget that covers a clean full pass so
+# the load/meter gates stay armed throughout.
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BIG=1 \
+  SPARK_GRAFT_WALL_BUDGET=10800 \
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_BENCH_DETAIL="BENCH_BIG_r$R.json" \
   sbt -batch "runMain graft.Bench" > /dev/null || exit 1
 
@@ -85,7 +92,7 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BIG=1 \
 # artifacts (BENCH_r*.json, CORRECTNESS_r*.json) invalidating README claims
 # until someone committed by hand. `git add` here, commit with the round's
 # closing commit; round end must show a clean `git status`.
-git add -- PROBE_r*.txt BENCH_DETAIL.json BENCH_BIG_r*.json \
+git add -- PROBE_r*.txt PROBE_EPOCH BENCH_DETAIL.json BENCH_BIG_r*.json \
   CORRECTNESS_sf1.json 2>/dev/null
 ls BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json 2>/dev/null \
   | xargs -r git add --
