@@ -587,8 +587,35 @@ object Bench {
       val med = medianValid(runsByQ(name))
       med > 0.5 && med > 1.5 * math.max(st, 0.01)
     }
+    // CASCADE CAP (round 18, second fix): with FRESH probe bars the
+    // requeue set is no longer driven by stale steadies — but a uniformly
+    // contended sweep window still pushes most sub-second queries over
+    // the 1.5x bar at once (observed same-day: ~70 of 180 flagged at
+    // ambient loadavg 2-4, and 5 requeue rounds x 70 queries ate the
+    // whole wall budget before the isolation phase could publish better
+    // medians for ANY of them). A flag count that large is a WINDOW
+    // signature, not per-query noise: cap requeue+isolation to the top
+    // SPARK_GRAFT_PROBE_REQUEUE_CAP (default 15) queries by ABSOLUTE
+    // excess over their steadies — the only ones whose phantom seconds
+    // move the headline — so both phases always fit the budget and the
+    // expensive queries get their isolated re-measure.
+    val requeueCap = sys.env.get("SPARK_GRAFT_PROBE_REQUEUE_CAP")
+      .flatMap(_.toIntOption).getOrElse(15).max(1)
+    def probeExcess(n: String): Double =
+      medianValid(runsByQ(n)) - probeSteady.getOrElse(n, 0.0)
+    val allFlagged = qseq.collect { case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
+    val cappedFlagged: Set[String] =
+      if (allFlagged.size <= requeueCap) allFlagged
+      else {
+        val keep = allFlagged.toSeq.sortBy(n => -probeExcess(n)).take(requeueCap).toSet
+        System.err.println(s"[bench] ${allFlagged.size} queries over the probe bar — " +
+          s"an ambient-window signature; capping requeue+isolation to the top " +
+          s"$requeueCap by absolute excess (the ${allFlagged.size - requeueCap} " +
+          "others keep their interleaved medians)")
+        keep
+      }
     var probeExtra = 0
-    var probeFlagged = qseq.collect { case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
+    var probeFlagged = cappedFlagged
     while (probeExtra < 5 && probeFlagged.nonEmpty && !Bench.budgetExhausted()) {
       System.err.println(s"[bench] probe-divergence requeue ${probeExtra + 1}: " +
         probeFlagged.toSeq.sorted.map { n =>
@@ -640,9 +667,10 @@ object Bench {
     // query). The isolated block stays in the artifact as evidence either
     // way, with per-rep meters and a "published" field naming the winner.
     val (isolatedJson, isolatedMedian): (String, Map[String, Double]) = {
+      // isolation honors the same cascade cap: only the capped set is
+      // eligible (the uncapped remainder publishes interleaved medians)
       val flaggedNow = if (Bench.budgetExhausted()) Set.empty[String]
-        else qseq.collect {
-          case (n, _) if !failedQ(n) && overProbeBar(n) => n }.toSet
+        else cappedFlagged.filter(n => !failedQ(n) && overProbeBar(n))
       if (flaggedNow.isEmpty) ("", Map.empty[String, Double]) else {
         System.err.println(s"[bench] isolated steady-state re-measure of " +
           s"${flaggedNow.size} over-probe-bar queries: ${flaggedNow.toSeq.sorted.mkString(", ")}")
