@@ -238,6 +238,139 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Schema of [[gopherRep]]'s result — the q135 battery's per-document
+    * integer statistics, one struct per row. */
+  val gopherRepType: StructType = StructType(
+    (Seq("n_lines", "n_dup_lines", "dup_line_chars", "line_chars",
+      "tot_chars", "top2_chars", "top3_chars", "top4_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars"))
+      .map(StructField(_, LongType, nullable = false)))
+
+  /** q135's whole per-document Gopher repetition battery as ONE compiled
+    * pass (round 19) — replaces nine interpreted array_sort + aggregate
+    * HOF folds per row, the top steady non-profile cost of the sweep.
+    * Bit-identity with the SQL formulation (and the DuckDB oracle):
+    *  - lines = split(text, '\n', -1), tokens = split(text, '\\s+', -1)
+    *    with empties filtered — the same Java regex semantics Spark's
+    *    split runs;
+    *  - every char count is CODE POINTS (SQL length());
+    *  - the top-n winner is max count with ties to the UTF8-binary-
+    *    smallest n-gram (the SQL ascending binary sort + strictly-greater
+    *    fold kept the first of a tie);
+    *  - dup-n covered chars are the UNION of [s, s+n-1] over ascending
+    *    duplicate starts — the SQL one-pass interval merge, walked with a
+    *    covered-through pointer so overlap never double-counts. */
+  def gopherRep(text: UTF8String): InternalRow = {
+    val s = text.toString
+    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    val lines = s.split("\n", -1)
+    var lineChars = 0L
+    val lineCnt = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      lineChars += cp(l)
+      val e = lineCnt.get(l)
+      if (e == null) lineCnt.put(l, Array(1L)) else e(0) += 1L
+      i += 1
+    }
+    var dupLineChars = 0L
+    val lit = lineCnt.entrySet().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      if (e.getValue()(0) > 1L)
+        dupLineChars += (e.getValue()(0) - 1L) * cp(e.getKey)
+    }
+    val nLines = lines.length.toLong
+    val nDupLines = nLines - lineCnt.size.toLong
+    val raw = s.split("\\s+", -1)
+    var nTok = 0
+    i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) nTok += 1; i += 1 }
+    val tk = new Array[String](nTok)
+    val tkLen = new Array[Long](nTok)
+    var totChars = 0L
+    var j = 0
+    i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) {
+        tk(j) = raw(i); tkLen(j) = cp(raw(i)); totChars += tkLen(j); j += 1
+      }
+      i += 1
+    }
+    def gram(start: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var p = start
+      while (p < start + n) {
+        if (p > start) sb.append(' ')
+        sb.append(tk(p))
+        p += 1
+      }
+      sb.toString
+    }
+    // binary (UTF-8 byte) order — what SQL array_sort applies to strings;
+    // consulted only on count ties, so the per-tie allocation is cold
+    def utf8Less(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    def topChars(n: Int): Long = {
+      val m = nTok - n + 1
+      if (m < 1) return 0L
+      val cnt = new java.util.HashMap[String, Array[Long]](m * 2)
+      var p = 0
+      while (p < m) {
+        val g = gram(p, n)
+        val e = cnt.get(g)
+        if (e == null) cnt.put(g, Array(1L)) else e(0) += 1L
+        p += 1
+      }
+      var bestCnt = 0L
+      var bestNg: String = null
+      val it = cnt.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c > bestCnt || (c == bestCnt && utf8Less(e.getKey, bestNg))) {
+          bestCnt = c; bestNg = e.getKey
+        }
+      }
+      // length(join) - (n-1) = token chars only: the n-1 single-space
+      // separators subtract straight off the joined string's length
+      bestCnt * (cp(bestNg) - (n - 1).toLong)
+    }
+    def dupChars(n: Int): Long = {
+      val m = nTok - n + 1
+      if (m < 1) return 0L
+      val grams = new Array[String](m)
+      val cnt = new java.util.HashMap[String, Array[Long]](m * 2)
+      var p = 0
+      while (p < m) {
+        val g = gram(p, n)
+        grams(p) = g
+        val e = cnt.get(g)
+        if (e == null) cnt.put(g, Array(1L)) else e(0) += 1L
+        p += 1
+      }
+      var covered = 0L
+      var prevEnd = -1
+      p = 0
+      while (p < m) {
+        if (cnt.get(grams(p))(0) > 1L) {
+          val e0 = p + n - 1
+          var q = math.max(p, prevEnd + 1)
+          while (q <= e0) { covered += tkLen(q); q += 1 }
+          prevEnd = e0
+        }
+        p += 1
+      }
+      covered
+    }
+    new GenericInternalRow(Array[Any](
+      nLines, nDupLines, dupLineChars, lineChars, totChars,
+      topChars(2), topChars(3), topChars(4),
+      dupChars(5), dupChars(6), dupChars(7), dupChars(8),
+      dupChars(9), dupChars(10)))
+  }
 }
 
 /** `graft_entropy(text)` → struct<n_distinct: bigint, entropy: double> —
@@ -461,5 +594,42 @@ case class GreedyMunch(child: Expression, vocab: Seq[String], maxPieceLen: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
+  /** The vocab Seq must not print itself into plan strings, toString, or
+    * error messages (round 19, advisor — the default product-based
+    * renderings embed the full vocabulary, hundreds of strings, in every
+    * explain/UI line this expression appears on): render its size. */
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, s"vocab(${vocab.size})", maxPieceLen)
+  override protected def flatArguments: Iterator[Any] =
+    Iterator(child, s"vocab(${vocab.size})", maxPieceLen)
+
   override def prettyName: String = "graft_munch"
+}
+
+/** `graft_gopher_rep(text)` → struct of the q135 Gopher repetition
+  * battery's 14 per-document integer statistics, one compiled kernel call
+  * inside WholeStageCodegen (see [[TextKernels.gopherRep]] for the
+  * bit-identity contract with the HOF/oracle formulation). */
+case class GopherRepStats(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = TextKernels.gopherRepType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_gopher_rep expects a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.gopherRep(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.gopherRep($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_gopher_rep"
 }

@@ -4948,108 +4948,48 @@ object Text {
     * n-gram's char length is length(join) − (n−1): join separators out,
     * token chars only.
     *
-    * Scale shape: per-line and per-n-gram counts shuffle on
-    * (doc_id, line) / (doc_id, n, ngram) — key cardinality is bounded by
-    * the document's OWN size, so no global hot key exists; the coverage
-    * union is an INTERVAL MERGE over each (doc, n)'s sorted duplicate
-    * start array (all intervals share length n, so one pass suffices),
-    * folded against the doc's own token array — doc-bounded rows, no
-    * per-position fan-out; everything then collapses back to
-    * one row per doc. All statistics are exact integers until ONE pinned
+    * Scale shape: pure per-row work — ONE native compiled kernel call
+    * per document ([[graft.functions.GopherRepStats]], round 19) inside
+    * WholeStageCodegen, zero joins, zero shuffles; cost is linear in
+    * each document's own size (hash n-gram counts + a one-pass interval
+    * merge over ascending duplicate starts, all intervals sharing
+    * length n). All statistics are exact integers until ONE pinned
     * double division each — bit-identical on every engine and
     * partitioning. The keep flag compares the UNROUNDED divisions. */
   def gopherRepetition(docs: DataFrame): DataFrame = {
     val nsDup = 5 to 10
-    // The ENTIRE battery is per-row expression work riding the scan —
-    // zero joins, zero shuffles (the q154 run-length recipe, extended
-    // with struct-sort duplicate detection and interval-merge union
-    // coverage). Each statistic sorts a doc-bounded array and folds over
-    // it; ANY total order groups identical values adjacently, so the
-    // binary string sort is only an equality-grouping device and never
-    // leaks into the reported integers.
-    var df = docs
-      .withColumn("ls", split(col("text"), "\n", -1))
-      .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-      // duplicate-line chars: run lengths over the SORTED line array
-      // (ls always has ≥ 1 element, so no degenerate-range guard needed);
-      // runs of 1 contribute (1 − 1)·len = 0, so no ≥ 2 filter either
-      .withColumn("sl", expr("array_sort(ls)"))
-      .withColumn("lbd", expr(
-        "filter(sequence(1, size(sl)), " +
-          "k -> k = 1 OR element_at(sl, k) <> element_at(sl, k - 1))"))
-      .withColumn("dup_line_chars", expr(
-        "aggregate(sequence(1, size(lbd)), 0L, (a, j) -> a + " +
-          "CAST(coalesce(try_element_at(lbd, j + 1), size(sl) + 1) " +
-            "- element_at(lbd, j) - 1 AS BIGINT) " +
-          "* length(element_at(sl, element_at(lbd, j))))"))
-    // top n-gram (n = 2..4): sorted n-gram strings → run lengths; the
-    // ascending fold keeps the STRICTLY greater count, so ties resolve
-    // to the lexicographically smallest n-gram — the old min(struct(
-    // -cnt, ng)) order, without the (doc, n, ngram) shuffle
-    for (n <- 2 to 4) {
-      df = df
-        .withColumn(s"sg$n", expr(
-          s"CASE WHEN size(t) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
-            s"array_sort(transform(sequence(1, size(t) - $n + 1), " +
-            s"i -> concat_ws(' ', slice(t, i, $n)))) END"))
-        .withColumn(s"bd$n", expr(
-          s"CASE WHEN size(sg$n) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
-            s"filter(sequence(1, size(sg$n)), " +
-            s"k -> k = 1 OR element_at(sg$n, k) <> element_at(sg$n, k - 1)) END"))
-        .withColumn(s"top${n}_chars", expr(
-          s"CASE WHEN size(bd$n) < 1 THEN 0L ELSE aggregate(" +
-            s"sequence(1, size(bd$n)), named_struct('c', 0L, 'g', ''), " +
-            s"(b, j) -> CASE WHEN CAST(coalesce(try_element_at(bd$n, j + 1), " +
-              s"size(sg$n) + 1) - element_at(bd$n, j) AS BIGINT) > b.c " +
-            s"THEN named_struct('c', CAST(coalesce(try_element_at(bd$n, j + 1), " +
-              s"size(sg$n) + 1) - element_at(bd$n, j) AS BIGINT), " +
-              s"'g', element_at(sg$n, element_at(bd$n, j))) ELSE b END, " +
-            s"b -> b.c * CAST(length(b.g) - ${n - 1} AS BIGINT)) END"))
-    }
-    // duplicate n-grams (n = 5..10), union coverage by INTERVAL MERGE:
-    // sort (ngram, start) structs so identical n-grams sit adjacent; a
-    // position is a duplicate start iff its neighbor shares the n-gram;
-    // the SORTED start array then merges into disjoint ranges
-    // [s_k, min(s_k + n − 1, s_{k+1} − 1)] — every interval shares
-    // length n, so the union is one pass over sorted starts (starts are
-    // distinct: one n-gram per position) — and covered chars fold
-    // length(t[p]) straight off the token array. Total inner-fold work
-    // is exactly the covered-position count, ≤ doc length. (The old
-    // shape — positional explode → dup-key join → per-position explode →
-    // corpus-keyed distinct → token-length join — was 13.5% of the whole
-    // 176-gate sweep.)
-    for (n <- nsDup) {
-      df = df
-        .withColumn(s"sp$n", expr(
-          s"CASE WHEN size(t) < $n " +
-            s"THEN CAST(array() AS ARRAY<STRUCT<ng: STRING, i: INT>>) ELSE " +
-            s"array_sort(transform(sequence(1, size(t) - $n + 1), " +
-            s"i -> named_struct('ng', concat_ws(' ', slice(t, i, $n)), 'i', i))) END"))
-        .withColumn(s"ds$n", expr(
-          s"CASE WHEN size(sp$n) < 1 THEN CAST(array() AS ARRAY<INT>) ELSE " +
-            s"array_sort(transform(filter(sequence(1, size(sp$n)), " +
-            s"k -> (k > 1 AND element_at(sp$n, k).ng = element_at(sp$n, k - 1).ng) " +
-            s"OR (k < size(sp$n) AND element_at(sp$n, k).ng = element_at(sp$n, k + 1).ng)), " +
-            s"k -> element_at(sp$n, k).i)) END"))
-        .withColumn(s"dup${n}_chars", expr(
-          s"CASE WHEN size(ds$n) < 1 THEN 0L ELSE " +
-            s"aggregate(sequence(1, size(ds$n)), 0L, (acc, k) -> acc + " +
-            s"aggregate(sequence(element_at(ds$n, k), " +
-              s"least(element_at(ds$n, k) + $n - 1, " +
-                s"coalesce(try_element_at(ds$n, k + 1) - 1, " +
-                  s"element_at(ds$n, k) + $n - 1))), " +
-              s"0L, (a, p) -> a + length(element_at(t, p)))) END"))
-    }
+    // Round 19 — the ENTIRE battery is ONE native kernel call riding the
+    // scan ([[graft.functions.GopherRepStats]]): the former formulation
+    // was nine interpreted array_sort/aggregate HOF folds per row — the
+    // top steady non-profile cost of the whole sweep (2.29 s clean
+    // window) — because higher-order functions evaluate as interpreted
+    // lambda trees outside codegen. The kernel walks the line hash
+    // counts, the per-n n-gram hash counts with the SQL sort's
+    // strictly-greater/UTF8-binary tie-break, and the ascending
+    // duplicate-starts interval merge as compiled primitive loops, with
+    // identical integer outputs (spec- and oracle-hash-asserted at every
+    // SF). Zero joins, zero shuffles, one projection in WholeStageCodegen.
+    val df = docs
+      .withColumn("r", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.GopherRepStats(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("text")))))
+      .withColumn("n_lines", col("r.n_lines"))
+      .withColumn("n_dup_lines", col("r.n_dup_lines"))
+      .withColumn("dup_line_chars", col("r.dup_line_chars"))
+      .withColumn("line_chars", col("r.line_chars"))
+      .withColumn("tot_chars", col("r.tot_chars"))
+      .withColumn("top2_chars", col("r.top2_chars"))
+      .withColumn("top3_chars", col("r.top3_chars"))
+      .withColumn("top4_chars", col("r.top4_chars"))
+      .withColumn("dup5_chars", col("r.dup5_chars"))
+      .withColumn("dup6_chars", col("r.dup6_chars"))
+      .withColumn("dup7_chars", col("r.dup7_chars"))
+      .withColumn("dup8_chars", col("r.dup8_chars"))
+      .withColumn("dup9_chars", col("r.dup9_chars"))
+      .withColumn("dup10_chars", col("r.dup10_chars"))
     def frac(num: Column, den: Column): Column =
       when(den > 0L, num.cast(DoubleType) / den).otherwise(lit(0.0))
     val joined = df
-      .withColumn("n_lines", size(col("ls")).cast(LongType))
-      .withColumn("n_dup_lines",
-        (size(col("ls")) - size(array_distinct(col("ls")))).cast(LongType))
-      .withColumn("line_chars",
-        expr("aggregate(ls, 0L, (acc, x) -> acc + length(x))"))
-      .withColumn("tot_chars",
-        expr("aggregate(t, 0L, (acc, x) -> acc + length(x))"))
       .withColumn("dup_line_frac_raw",
         frac(col("n_dup_lines"), col("n_lines")))
       .withColumn("dup_line_char_frac_raw",

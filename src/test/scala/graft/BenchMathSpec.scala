@@ -148,6 +148,55 @@ class BenchMathSpec extends AnyFunSuite {
     assert(!TimeProbe.dispersed(Seq(1.0)))
   }
 
+  test("resume manifest: save/load round-trip, key mismatch starts fresh, garbage tolerated") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_manifest").toFile
+    val path = new java.io.File(dir, "BENCH_MANIFEST.txt").getPath
+    val entries = Seq(
+      "q01_agg" -> Bench.ManifestEntry(Vector(0.11, 0.10, 0.12), 0.11, "interleaved", clean = true),
+      "q34_ngram_jaccard" -> Bench.ManifestEntry(Vector(0.52), 0.52, "isolated", clean = false),
+      "q99_vocab" -> Bench.ManifestEntry(Vector.empty, -1.0, "interleaved", clean = false))
+    Bench.saveManifest(path, "abc123", entries)
+    // same key: full round-trip (empty run vectors included)
+    assert(Bench.loadManifest(path, "abc123") == entries.toMap)
+    // different key (code or config changed): every entry is invalidated
+    assert(Bench.loadManifest(path, "def456").isEmpty)
+    // nokey (unreadable tree) disables both reuse and writes
+    assert(Bench.loadManifest(path, "nokey").isEmpty)
+    Bench.saveManifest(new java.io.File(dir, "nk.txt").getPath, "nokey", entries)
+    assert(!new java.io.File(dir, "nk.txt").exists())
+    // absent file and corrupt lines degrade to empty/partial, never throw
+    assert(Bench.loadManifest(new java.io.File(dir, "missing.txt").getPath, "abc123").isEmpty)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "KEY abc123\nQ ok 1.500 interleaved true 1.4,1.5,1.6\ngarbage line\nQ bad notanumber x y z\n"
+        .getBytes("UTF-8"))
+    val m = Bench.loadManifest(path, "abc123")
+    assert(m.keySet == Set("ok") && m("ok").published == 1.5 && m("ok").clean)
+  }
+
+  test("resume manifest key: deterministic over the tree, sensitive to config and code") {
+    val tree = java.nio.file.Files.createTempDirectory("bench_key")
+    java.nio.file.Files.write(tree.resolve("A.scala"), "object A".getBytes("UTF-8"))
+    val k1 = Bench.sourceKey("sf0.1|32|3", tree)
+    assert(k1 == Bench.sourceKey("sf0.1|32|3", tree), "same tree+config must agree")
+    assert(k1 != Bench.sourceKey("sf0.01|32|3", tree), "config must be part of the key")
+    java.nio.file.Files.write(tree.resolve("A.scala"), "object A2".getBytes("UTF-8"))
+    assert(k1 != Bench.sourceKey("sf0.1|32|3", tree), "a source edit must invalidate")
+    // no scala files / missing dir -> nokey (reuse disabled, no crash)
+    assert(Bench.sourceKey("x", java.nio.file.Paths.get("/nonexistent_dir_xyz")) == "nokey")
+  }
+
+  test("compactContractLine: excluded/resumed counts publish beside the total") {
+    val queries = (1 to 20).map(i => f"q$i%02d_op" -> (if (i <= 3) -1.0 else 0.3)).toVector
+    val (line, _, _) = Bench.compactContractLine(5.1, "sf", queries, Seq.empty,
+      nExcluded = 3, nResumed = 12)
+    assert(line.contains(""""queries_excluded":3"""), line)
+    assert(line.contains(""""queries_resumed":12"""), line)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // zero counts carry no marker
+    val (clean, _, _) = Bench.compactContractLine(5.1, "sf", queries, Seq.empty)
+    assert(!clean.contains("queries_excluded") && !clean.contains("queries_resumed"))
+  }
+
   test("host meters read this box: busy/iowait jiffies and procs_blocked are live") {
     // on Linux all three read nonnegative; elsewhere they degrade to -1
     // without throwing (the meters must never take the bench down)

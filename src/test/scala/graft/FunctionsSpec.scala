@@ -368,4 +368,53 @@ class FunctionsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(native == hof, s"ngram multiset mismatch")
   }
+
+  test("gopherRep kernel: parity with an independent reference on edge corpora") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reimplementation in idiomatic collections — shares no
+    // code shape with the kernel's primitive loops
+    def ref(text: String): Seq[Long] = {
+      def cp(x: String) = x.codePointCount(0, x.length).toLong
+      val lines = text.split("\n", -1).toSeq
+      val toks = text.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+      def grams(n: Int) =
+        toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toVector
+      def top(n: Int): Long = {
+        val g = grams(n)
+        if (g.isEmpty) 0L else {
+          val cnt = g.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          // test corpora keep count ties between ASCII n-grams only, so
+          // String order here equals the kernel's UTF8-binary order
+          val (ng, c) = cnt.toSeq.minBy { case (s, c0) => (-c0, s) }
+          c * (cp(ng) - (n - 1))
+        }
+      }
+      def dup(n: Int): Long = {
+        val g = grams(n)
+        if (g.isEmpty) 0L else {
+          val cnt = g.groupBy(identity).view.mapValues(_.size).toMap
+          g.zipWithIndex.collect { case (ng, i) if cnt(ng) >= 2 => i until i + n }
+            .flatten.toSet.toSeq.map((p: Int) => cp(toks(p))).sum
+        }
+      }
+      Seq(lines.size.toLong, (lines.size - lines.distinct.size).toLong,
+        lines.groupBy(identity).map { case (l, o) => (o.size - 1) * cp(l) }.sum,
+        lines.map(cp).sum, toks.map(cp).sum, top(2), top(3), top(4)) ++
+        (5 to 10).map(dup)
+    }
+    val cases = Seq(
+      "", " ", "\n\n", "a",
+      "héllo wörld héllo wörld héllo wörld x y z",
+      "a b c a b c a b c x",
+      "tab\tsep  multi   space\r\nline mix line mix line mix end",
+      ("w1 w2 w3 w4 w5 " * 4) + "tail",
+      "x\ny\nx\nzz\n\n\n",
+      "😀 emoji 😀 emoji 😀 emoji p1 p2 p3 p4 p5 p6")
+    for (c <- cases) {
+      val got = graft.functions.TextKernels.gopherRep(UTF8String.fromString(c))
+      val want = ref(c)
+      (0 until 14).foreach(i => assert(got.getLong(i) == want(i),
+        s"field $i of '${c.take(30)}': got ${got.getLong(i)} want ${want(i)}"))
+    }
+  }
 }

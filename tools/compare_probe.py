@@ -28,6 +28,10 @@ n_iso = sum(1 for v in provenance.values() if v == "isolated")
 if n_iso:
     print(f"note: {n_iso} medians published from isolated-steady re-measure "
           f"(marked [isolated] below)")
+n_man = sum(1 for v in provenance.values() if v == "manifest")
+if n_man:
+    print(f"note: {n_man} medians served from the resume manifest "
+          f"(measured by an earlier same-code invocation; marked [manifest])")
 probes = {}
 for line in open(probe_path):
     m = re.search(r"PROBE (\S+) ([0-9. ]+)$", line.strip())
@@ -49,7 +53,8 @@ for name in sorted(set(medians) & set(probes)):
         bad.append((name, med, steady))
 for name, med, steady in bad:
     ratio = med / steady
-    tag = " [isolated]" if provenance.get(name) == "isolated" else ""
+    src = provenance.get(name)
+    tag = f" [{src}]" if src in ("isolated", "manifest") else ""
     print(f"PHANTOM? {name}: bench median {med:.2f}s vs probe steady {steady:.2f}s "
           f"({ratio:.1f}x){tag}")
 print(f"{len(set(medians) & set(probes))} compared, {len(bad)} over the {bar}x bar")

@@ -93,7 +93,7 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" SPARK_GRAFT_BIG=1 \
 # until someone committed by hand. `git add` here, commit with the round's
 # closing commit; round end must show a clean `git status`.
 git add -- PROBE_r*.txt PROBE_EPOCH BENCH_DETAIL.json BENCH_BIG_r*.json \
-  CORRECTNESS_sf1.json 2>/dev/null
+  CORRECTNESS_sf1.json BENCH_MANIFEST.txt 2>/dev/null
 ls BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json COPYCHECK.json 2>/dev/null \
   | xargs -r git add --
 git status --short
