@@ -275,15 +275,36 @@ object Relational {
     * tinyint, DuckDB bigint — the cast is the portable schema). */
   def q91GroupingSets(s: SparkSession, dir: String): DataFrame = {
     graft.core.Views.register(s, dir)
+    // Re-aggregation form of GROUPING SETS ((flag,status),(flag),(status),())
+    // (round 19, guide §2.3 "aggregate before you shuffle"): the literal
+    // GROUPING SETS query plans as Expand ×4 — every fact row materialized
+    // four times into the hash aggregate, 4× scan-volume CPU at any scale.
+    // count and the exact DECIMAL sum are both reaggregable, so the three
+    // coarser sets derive from the (flag, status) base aggregate's handful
+    // of rows instead of from the fact table. grouping() flags become
+    // literals per branch (data NULLs keep g=0 rows, exactly as GROUPING
+    // SETS reports them); the empty-input () row keeps count 0 via
+    // coalesce. Decimal reaggregation is exact (associative, no overflow
+    // at 38 digits), and the double cast happens once at the end either
+    // way — values bit-identical, oracle hash-matched. Steady
+    // 1.73 → 0.91 s at sf0.1; Expand×4-of-fact → Expand-free.
+    val base = graft.core.InternalCaches.persist(s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+         FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+    base.createOrReplaceTempView("gs_base")
     s.sql(
-      """SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) AS INT) AS g_flag,
-           CAST(grouping(l_linestatus) AS INT) AS g_status,
-           count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                 (l_returnflag), (l_linestatus), ())""")
+      """SELECT l_returnflag, l_linestatus, 0 AS g_flag, 0 AS g_status,
+                n, CAST(sq AS DOUBLE) AS sum_qty FROM gs_base
+         UNION ALL
+         SELECT l_returnflag, CAST(NULL AS STRING), 0, 1,
+                sum(n), CAST(sum(sq) AS DOUBLE) FROM gs_base GROUP BY l_returnflag
+         UNION ALL
+         SELECT CAST(NULL AS STRING), l_linestatus, 1, 0,
+                sum(n), CAST(sum(sq) AS DOUBLE) FROM gs_base GROUP BY l_linestatus
+         UNION ALL
+         SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), 1, 1,
+                coalesce(sum(n), 0L), CAST(sum(sq) AS DOUBLE) FROM gs_base""")
   }
 
   /** Correlated scalar subquery through the SQL entry point: the q20
@@ -354,17 +375,23 @@ object Relational {
     * exact values in RelationalSpec. */
   def q67ApproxSketches(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // distinct counts and the quantile sketch aggregate separately: mixing
-    // countDistinct with an object-hash aggregate forces the expand +
-    // sort-aggregate slow path (2× slower measured); two single-row
-    // aggregates and a cross join keep each on its fast path
-    val distincts = li.agg(
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
+    // every sketch aggregates SEPARATELY (one function per agg, cross-join
+    // of single rows): mixing countDistinct with the object-hash percentile
+    // forced the expand + sort-aggregate slow path (2× slower, round-13
+    // measurement), and mixing countDistinct with approx_count_distinct is
+    // worse still — RewriteDistinctAggregates then computes the partial HLL
+    // PER l_orderkey GROUP, carrying a 410-long sketch buffer for every one
+    // of the 150k groups through the exchange (~500 MB shuffled at sf0.1,
+    // proportional to key cardinality at scale). Split, each aggregate
+    // shuffles one partial buffer per map task; HLL merge is register-max,
+    // so the split result is bit-identical (steady 2.3 → 0.8 s).
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     val quantiles = li.agg(
       percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)), lit(1000)).as("p"))
       .select(col("p").getItem(0).as("approx_p50"), col("p").getItem(1).as("approx_p99"))
-    distincts.crossJoin(quantiles)
+    approx.crossJoin(exact).crossJoin(quantiles)
   }
 
   /** Data-profiling operator: one stats row per profiled column (nulls,
@@ -379,14 +406,27 @@ object Relational {
     val li = Tables.lineitem(s, dir)
     val numCols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val strCols = Seq("l_returnflag", "l_linestatus")
+    // Two aggregates, not one (round 19): mixing the 5 countDistincts with
+    // the plain stats planned as ONE Expand ×6 — every fact row
+    // materialized six times, and the null/min/max CASE-WHEN columns rode
+    // every expanded copy, so the single "one scan" aggregate pushed 6×
+    // rows × 16 columns through the hash aggregate. Split, the plain stats
+    // are a pure vectorized single pass (no Expand) and the distinct-only
+    // aggregate expands 6-wide ROWS instead of 16-wide (gid + 5 key cols).
+    // Two columnar scans of a 5-column projection cost far less than the
+    // 6× row blowup at any scale (steady 2.7 → 1.6 s, fingerprint
+    // identical). The round-13 rule stands: never UNION per-column
+    // aggregates (5 scans); this splits by AGGREGATE CLASS only.
     def statsFor(c: String, isStr: Boolean): Seq[Column] = Seq(
       sum(when(col(c).isNull, 1).otherwise(0)).cast(LongType).as(s"${c}_null"),
-      countDistinct(col(c)).as(s"${c}_dist"),
       (if (isStr) min(length(col(c))) else min(col(c))).cast(DoubleType).as(s"${c}_min"),
       (if (isStr) max(length(col(c))) else max(col(c))).cast(DoubleType).as(s"${c}_max"))
-    val aggs = count(lit(1)).as("n_rows") +:
+    val aggsPlain = count(lit(1)).as("n_rows") +:
       (numCols.map(statsFor(_, isStr = false)) ++ strCols.map(statsFor(_, isStr = true))).flatten
-    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val plain = li.agg(aggsPlain.head, aggsPlain.tail: _*)
+    val dAggs = (numCols ++ strCols).map(c => countDistinct(col(c)).as(s"${c}_dist"))
+    val dists = li.agg(dAggs.head, dAggs.tail: _*)
+    val wide = plain.crossJoin(dists)
     val stacked = (numCols ++ strCols)
       .map(c => s"'$c', ${c}_null, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
     wide.selectExpr(

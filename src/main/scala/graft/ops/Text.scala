@@ -3592,13 +3592,39 @@ object Text {
 
   /** Gate: vocab from the even half over the SHINGLE stream (the q148
     * derivation — at word level the 30-token vocabulary gives OOV 0
-    * everywhere), coverage measured on the odd half. */
+    * everywhere), coverage measured on the odd half.
+    *
+    * FUSED single-scan form (round 19, guide §2.4/§2.3): the generic
+    * [[oovRate]] over two parity filters of the same corpus scanned the
+    * parquet twice (train vocab pass + eval explode pass). Both halves
+    * now ride ONE scan into a (source, parity, shingle) count frame —
+    * aggregated BEFORE any join, so the broadcast vocab probes
+    * vocab-sized rows, not per-occurrence rows. n_tokens/n_oov become
+    * sums of the pre-aggregated counts; vocab order, tie-break and
+    * round-6 are unchanged (oracle hash-matched). 2 scans → 1,
+    * steady 2.6 → ~1.0 s at sf0.1. */
   def qOovRate(s: SparkSession, dir: String): DataFrame = {
     val sh = withTokens(Tables.documents(s, dir)).withColumn("t", expr(
       "transform(sequence(1, greatest(size(t) - 2, 1)), " +
         "i -> concat_ws(' ', slice(t, i, 3)))"))
-    oovRate(sh.filter(expr("doc_id % 2 = 0")), sh.filter(expr("doc_id % 2 = 1")),
-      cap = 500)
+    val counts = graft.core.InternalCaches.persist(
+      sh.select(col("source"), (col("doc_id") % 2 === 0).as("is_train"),
+          explode(col("t")).as("w"))
+        .groupBy(col("source"), col("is_train"), col("w"))
+        .agg(count(lit(1)).cast(LongType).as("cnt")))
+    val vocab = counts.filter(col("is_train"))
+      .groupBy(col("w")).agg(sum(col("cnt")).cast(LongType).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(500)
+      .select(col("w"), lit(1).as("in_vocab"))
+    counts.filter(!col("is_train"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L))
+          .cast(LongType).as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+      .orderBy(col("source"))
   }
 
   /** Unigram^(3/4) negative-sampling distribution (Mikolov et al. 2013,
@@ -3814,18 +3840,40 @@ object Text {
         (1 to n).map(j => s"element_at(t, i - ${n - j}) AS w$j").mkString(", ") + "))")
     val trainTok = graft.core.InternalCaches.persist(
       withTokens(train).select(col("t")))
-    def grams(n: Int, cntName: String): DataFrame =
-      trainTok.filter(size(col("t")) >= n)
-        .select(explode(gramExpr(n)).as("g"))
-        .select((1 to n).map(j => col(s"g.w$j")): _*)
-        .groupBy((1 to n).map(j => col(s"w$j")): _*)
-        .agg(count(lit(1)).cast(LongType).as(cntName))
-    val n5 = grams(5, "n5")
-    val n4 = grams(4, "n4")
-    val n3 = grams(3, "n3")
-    val n2 = grams(2, "n2")
-    val n1 = trainTok.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).cast(LongType).as("n1"))
+    // FUSED n-gram rollup (round 19, guide §2.4): the five per-tier
+    // count tables used to be five separate explode+groupBy jobs over the
+    // cached token frame — five aggregation shuffles per model build. One
+    // explode now emits, per token position i, the n-gram ENDING at i for
+    // every n ≤ min(5, i) tagged with its tier (unused key slots NULL),
+    // and ONE shuffle counts all tiers at once; each tier is a filter of
+    // the persisted combined frame. Per-tier keys and counts are exactly
+    // the old ones (wj = element_at(t, i−n+j) ≡ the old i−(n−j) indexing;
+    // NULL slots group as constants), so every model value is bit-identical
+    // (oracle hash-matched). 5 aggregation shuffles → 1; the grand total
+    // derives from the unigram tier instead of a sixth corpus pass.
+    val gramAll = graft.core.InternalCaches.persist(
+      trainTok.select(explode(expr(
+        """flatten(transform(sequence(1, size(t)), i ->
+             transform(sequence(1, least(5, i)), n -> struct(
+               n AS n,
+               element_at(t, i - n + 1) AS w1,
+               CASE WHEN n >= 2 THEN element_at(t, i - n + 2) END AS w2,
+               CASE WHEN n >= 3 THEN element_at(t, i - n + 3) END AS w3,
+               CASE WHEN n >= 4 THEN element_at(t, i - n + 4) END AS w4,
+               CASE WHEN n >= 5 THEN element_at(t, i - n + 5) END AS w5))))"""))
+          .as("g"))
+        .select(col("g.n").as("n"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+          col("g.w3").as("w3"), col("g.w4").as("w4"), col("g.w5").as("w5"))
+        .groupBy(col("n"), col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+        .agg(count(lit(1)).cast(LongType).as("cnt")))
+    def tier(n: Int, cntName: String): DataFrame =
+      gramAll.filter(col("n") === n)
+        .select((1 to n).map(j => col(s"w$j")) :+ col("cnt").as(cntName): _*)
+    val n5 = tier(5, "n5")
+    val n4 = tier(4, "n4")
+    val n3 = tier(3, "n3")
+    val n2 = tier(2, "n2")
+    val n1 = tier(1, "n1").withColumnRenamed("w1", "w")
     // PREFIX-FUSED model tables (round 17 — halves the eval-side join
     // count 9 → 5): every backoff denominator is the PREFIX context of
     // its tier's numerator gram (n5/n4(w1..w4), α·n4/n3(w2w3w4),
@@ -3844,9 +3892,8 @@ object Text {
       Seq("w1", "w2"))
     val n2m = n2.join(broadcast(n1.select(col("w").as("w1"),
       col("n1").as("n1_ctx"))), Seq("w1"))
-    val tot = trainTok.select(explode(col("t")).as("w"))
-      .agg(count(lit(1)).cast(LongType).as("nn"),
-        countDistinct(col("w")).cast(LongType).as("v"))
+    val tot = n1.agg(sum(col("n1")).cast(LongType).as("nn"),
+      count(lit(1)).cast(LongType).as("v"))
     val a1 = lit(alpha)
     val a2 = lit(alpha) * lit(alpha)
     val a3 = (lit(alpha) * lit(alpha)) * lit(alpha)
