@@ -288,23 +288,35 @@ object Relational {
     // at 38 digits), and the double cast happens once at the end either
     // way — values bit-identical, oracle hash-matched. Steady
     // 1.73 → 0.91 s at sf0.1; Expand×4-of-fact → Expand-free.
+    // DataFrame tiers off the persisted base (round 20, advisor): the r19
+    // form registered a session-global temp view 'gs_base' as an operator
+    // side effect — clobber- and race-prone. Same four branches, same
+    // types (INT flags, BIGINT n, one double cast per branch), values
+    // bit-identical; unionAll is positional like the SQL UNION ALL.
     val base = graft.core.InternalCaches.persist(s.sql(
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
          FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
-    base.createOrReplaceTempView("gs_base")
-    s.sql(
-      """SELECT l_returnflag, l_linestatus, 0 AS g_flag, 0 AS g_status,
-                n, CAST(sq AS DOUBLE) AS sum_qty FROM gs_base
-         UNION ALL
-         SELECT l_returnflag, CAST(NULL AS STRING), 0, 1,
-                sum(n), CAST(sum(sq) AS DOUBLE) FROM gs_base GROUP BY l_returnflag
-         UNION ALL
-         SELECT CAST(NULL AS STRING), l_linestatus, 1, 0,
-                sum(n), CAST(sum(sq) AS DOUBLE) FROM gs_base GROUP BY l_linestatus
-         UNION ALL
-         SELECT CAST(NULL AS STRING), CAST(NULL AS STRING), 1, 1,
-                coalesce(sum(n), 0L), CAST(sum(sq) AS DOUBLE) FROM gs_base""")
+    val nullS = lit(null).cast(StringType)
+    val b1 = base.select(col("l_returnflag"), col("l_linestatus"),
+      lit(0).as("g_flag"), lit(0).as("g_status"),
+      col("n"), col("sq").cast(DoubleType).as("sum_qty"))
+    val b2 = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+      .select(col("l_returnflag"), nullS.as("l_linestatus"),
+        lit(0).as("g_flag"), lit(1).as("g_status"),
+        col("n"), col("sq").cast(DoubleType).as("sum_qty"))
+    val b3 = base.groupBy(col("l_linestatus"))
+      .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+      .select(nullS.as("l_returnflag"), col("l_linestatus"),
+        lit(1).as("g_flag"), lit(0).as("g_status"),
+        col("n"), col("sq").cast(DoubleType).as("sum_qty"))
+    val b4 = base
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"), sum(col("sq")).as("sq"))
+      .select(nullS.as("l_returnflag"), nullS.as("l_linestatus"),
+        lit(1).as("g_flag"), lit(1).as("g_status"),
+        col("n"), col("sq").cast(DoubleType).as("sum_qty"))
+    b1.unionAll(b2).unionAll(b3).unionAll(b4)
   }
 
   /** Correlated scalar subquery through the SQL entry point: the q20

@@ -1545,17 +1545,37 @@ object Text {
     * array). The adjacency count is a codegen'd array intersect on the
     * two bounded position lists. */
   def phraseSearch(docs: DataFrame, topP: Int = 3): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
     val bigramExpr = expr(
       "transform(sequence(2, size(t)), i -> " +
         "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
-    val phrases = withTokens(docs).filter(size(col("t")) >= 2)
+    // Serve-path pruning (round 20, guide §6 "predicate pushdown must
+    // reach the scan" + the q68 IVF bucket-pruned-serve precedent): the
+    // probed phrases are known before the index is consulted, so the
+    // per-query index BUILD keeps only the probed tokens' posting rows —
+    // the posting aggregation's shuffle shrinks from every token
+    // occurrence in the corpus to the ≤ 2·topP probed tokens' occurrences
+    // (at 100 TB: the difference between shuffling the corpus and
+    // shuffling a few posting lists). The phrase table (topP rows,
+    // bounded) collects ONCE and re-enters as a local frame, where the
+    // old form ran its corpus aggregation under each of the two
+    // broadcasts. Output depends only on the probed postings, so results
+    // are identical (OptLab fingerprint + oracle hash-matched).
+    val phraseRows = withTokens(docs).filter(size(col("t")) >= 2)
       .select(explode(bigramExpr).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
       .limit(topP)
       .select(col("w1"), col("w2"))
-    val idx = graft.core.InternalCaches.persist(invertedIndex(docs))
+      .collect() // bounded: topP rows
+    val phrases = phraseRows.map(r => (r.getString(0), r.getString(1)))
+      .toSeq.toDF("w1", "w2")
+    val toks = phraseRows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.toSeq
+    val idx = graft.core.InternalCaches.persist(
+      invertedIndex(docs).filter(col("token").isin(toks: _*)))
     val left = idx.join(broadcast(phrases), col("token") === col("w1"))
       .select(col("w1"), col("w2"), col("doc_id"),
         expr("transform(split(positions, ','), x -> CAST(x AS BIGINT) + 1)")
@@ -3607,16 +3627,19 @@ object Text {
     val sh = withTokens(Tables.documents(s, dir)).withColumn("t", expr(
       "transform(sequence(1, greatest(size(t) - 2, 1)), " +
         "i -> concat_ws(' ', slice(t, i, 3)))"))
+    // parity (not a boolean) so negative-odd doc_ids (% 2 = -1) stay
+    // excluded from BOTH halves, exactly as the pre-fused two-filter form
+    // behaved (round 20, advisor) — same single scan, same aggregation
     val counts = graft.core.InternalCaches.persist(
-      sh.select(col("source"), (col("doc_id") % 2 === 0).as("is_train"),
+      sh.select(col("source"), (col("doc_id") % 2).as("parity"),
           explode(col("t")).as("w"))
-        .groupBy(col("source"), col("is_train"), col("w"))
+        .groupBy(col("source"), col("parity"), col("w"))
         .agg(count(lit(1)).cast(LongType).as("cnt")))
-    val vocab = counts.filter(col("is_train"))
+    val vocab = counts.filter(col("parity") === 0)
       .groupBy(col("w")).agg(sum(col("cnt")).cast(LongType).as("freq"))
       .orderBy(col("freq").desc, col("w").asc).limit(500)
       .select(col("w"), lit(1).as("in_vocab"))
-    counts.filter(!col("is_train"))
+    counts.filter(col("parity") === 1)
       .join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("source"))
       .agg(sum(col("cnt")).cast(LongType).as("n_tokens"),
@@ -3752,24 +3775,42 @@ object Text {
       "transform(sequence(3, size(t)), i -> " +
         "struct(element_at(t, i - 2) AS w1, element_at(t, i - 1) AS w2, " +
         "element_at(t, i) AS w3))")
-    val bigramExpr = expr(
-      "transform(sequence(2, size(t)), i -> " +
-        "struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))")
     val trainTok = graft.core.InternalCaches.persist(
       withTokens(train).select(col("t")))
-    val n123 = trainTok.filter(size(col("t")) >= 3)
-      .select(explode(trigramExpr).as("g"))
-      .select(col("g.w1"), col("g.w2"), col("g.w3"))
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast(LongType).as("n123"))
-    val n2 = trainTok.filter(size(col("t")) >= 2)
-      .select(explode(bigramExpr).as("g"))
-      .select(col("g.w1"), col("g.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).cast(LongType).as("n2"))
-    val n1 = trainTok.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).cast(LongType).as("n1"))
-    val tot = trainTok.select(explode(col("t")).as("w"))
-      .agg(count(lit(1)).cast(LongType).as("nn"),
-        countDistinct(col("w")).cast(LongType).as("v"))
+    // FUSED n-gram rollup (round 20 — the q127 round-19 recipe at trigram
+    // order, guide §2.4): the three per-tier count tables were three
+    // separate explode+groupBy shuffles over the cached token frame, plus
+    // a FOURTH corpus pass for the count/countDistinct totals (whose
+    // mixed aggregate costs an Expand). One explode now emits, per token
+    // position i, the n-gram ENDING at i for every n ≤ min(3, i),
+    // tier-tagged with NULL-padded key slots; ONE shuffle counts all
+    // tiers, each tier table is a filter of the persisted combined frame,
+    // and the totals derive from the unigram tier (sum ≡ token count,
+    // count ≡ countDistinct). Per-tier keys and counts are index-identical
+    // (wj = element_at(t, i−n+j) ≡ the old i−(n−j)), so every model value
+    // is bit-identical (OptLab fingerprint + oracle hash-matched).
+    // 4 aggregation jobs → 1; Expand-free. size ≥ 1 guard: see q127.
+    val gramAll = graft.core.InternalCaches.persist(
+      trainTok.filter(size(col("t")) >= 1).select(explode(expr(
+        """flatten(transform(sequence(1, size(t)), i ->
+             transform(sequence(1, least(3, i)), n -> struct(
+               n AS n,
+               element_at(t, i - n + 1) AS w1,
+               CASE WHEN n >= 2 THEN element_at(t, i - n + 2) END AS w2,
+               CASE WHEN n >= 3 THEN element_at(t, i - n + 3) END AS w3))))"""))
+        .as("g"))
+        .select(col("g.n").as("n"), col("g.w1").as("w1"),
+          col("g.w2").as("w2"), col("g.w3").as("w3"))
+        .groupBy(col("n"), col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).cast(LongType).as("cnt")))
+    val n123 = gramAll.filter(col("n") === 3)
+      .select(col("w1"), col("w2"), col("w3"), col("cnt").as("n123"))
+    val n2 = gramAll.filter(col("n") === 2)
+      .select(col("w1"), col("w2"), col("cnt").as("n2"))
+    val n1 = gramAll.filter(col("n") === 1)
+      .select(col("w1").as("w"), col("cnt").as("n1"))
+    val tot = n1.agg(sum(col("n1")).cast(LongType).as("nn"),
+      count(lit(1)).cast(LongType).as("v"))
     withTokens(eval).filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(trigramExpr).as("g"))
       .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
@@ -3851,8 +3892,14 @@ object Text {
     // NULL slots group as constants), so every model value is bit-identical
     // (oracle hash-matched). 5 aggregation shuffles → 1; the grand total
     // derives from the unigram tier instead of a sixth corpus pass.
+    // size >= 1 guard (round 20, advisor): withTokens is documented
+    // idempotent over a caller-supplied t column, and on an EMPTY token
+    // array sequence(1, size(t)) = sequence(1, 0) yields the DESCENDING
+    // [1, 0] — n = 0 struct rows and element_at(t, 0) errors at runtime.
+    // Unreachable via the gate path (split never returns an empty array);
+    // restores the old per-tier size(t) >= n robustness for free.
     val gramAll = graft.core.InternalCaches.persist(
-      trainTok.select(explode(expr(
+      trainTok.filter(size(col("t")) >= 1).select(explode(expr(
         """flatten(transform(sequence(1, size(t)), i ->
              transform(sequence(1, least(5, i)), n -> struct(
                n AS n,
@@ -3962,7 +4009,14 @@ object Text {
       withHashedShingles(docs).select(col("doc_id"), explode(col("hs")).as("h")))
     val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("h"))
-    val ex = graft.core.InternalCaches.persist(sh.join(keep, Seq("h"), "leftsemi"))
+    // repartition(h) before the persist: the q133 round-20 recipe — the
+    // common-shingle self-join consumes this cache on both sides keyed by
+    // h, so one build-time exchange replaces two join-side ones (the
+    // cards rollup pays one extra doc_id exchange it previously shared
+    // with the scan layout, a strictly smaller frame). df cap bounds
+    // every h key, so the partitioning is skew-safe.
+    val ex = graft.core.InternalCaches.persist(
+      sh.join(keep, Seq("h"), "leftsemi").repartition(col("h")))
     val cards = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = ex.as("a")
       .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -4208,9 +4262,33 @@ object Text {
       withTokens(Tables.documents(s, dir))
         .select(col("doc_id"), (col("lang") === "en").as("is_t"),
           explode(expr(s"graft_feats31(t, $buckets)")).as("b")))
-    dsirFromFeats(feats.filter(col("is_t")).select(col("doc_id"), col("b")),
-      feats.select(col("doc_id"), col("b")),
-      feats.select(col("doc_id"), col("b")), buckets)
+    // FUSED bucket counts (round 20, guide §2.3/§2.4): target ⊂ raw here,
+    // so the two per-role aggregations of [[dsirFromFeats]] (ct over the
+    // is_t slice, cr over everything) collapse into ONE aggregation over
+    // the persisted feature scan — cr counts every row, ct the is_t
+    // slice via a conditional sum — probed by ONE broadcast join instead
+    // of two, with both totals in one 1-row aggregate. A conditional-sum
+    // ct of 0 feeds (0 + 1.0) exactly as the old left-join NULL fed
+    // coalesce(ct, 0) + 1.0, and every eval bucket exists in the fused
+    // table (eval = raw), so values are bit-identical (OptLab
+    // fingerprint + oracle hash-matched). 2 bucket aggregations + 2
+    // totals jobs + 3 broadcasts → 1 + 1 + 2.
+    val bc = graft.core.InternalCaches.persist(
+      feats.groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).cast(LongType).as("ct"),
+        count(lit(1)).cast(LongType).as("cr")))
+    val tot = bc.agg(sum(col("ct")).cast(LongType).as("nt"),
+      sum(col("cr")).cast(LongType).as("nr"))
+    feats.select(col("doc_id"), col("b"))
+      .join(broadcast(bc), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", round(
+        log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets.toLong))) -
+        log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("nr") + lit(buckets.toLong))), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_feat"),
+        round(sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType), 6)
+          .as("dsir_lw"))
   }
 
   /** Feature-hashing bucket health report — the collision audit published
@@ -4346,7 +4424,17 @@ object Text {
         .select(col("doc_id"), col("g.pos"), col("g.h")))
     val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("h"))
-    val ex = graft.core.InternalCaches.persist(sh.join(keep, Seq("h"), "leftsemi"))
+    // hash-repartitioned by h BEFORE the persist (round 20, guide §2.4
+    // "two operations keyed the same way can share one exchange"): the
+    // pair self-join below consumes this cache on BOTH sides keyed by h,
+    // and without the explicit partitioning each side re-exchanged the
+    // cached frame (AQE hides a cached plan's incidental partitioning).
+    // One build-time shuffle replaces two join-side shuffles — strictly
+    // fewer bytes moved at any scale, and skew-safe by construction (the
+    // df ≤ maxDf cap bounds every h key). Steady 1.48 → 0.98 s at sf0.1;
+    // fingerprint + oracle hash-matched.
+    val ex = graft.core.InternalCaches.persist(
+      sh.join(keep, Seq("h"), "leftsemi").repartition(col("h")))
     val pairs = ex.as("a")
       .join(ex.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -4607,9 +4695,19 @@ object Text {
     * formulation's absent-row state); any-order equal states cannot
     * exist, so the fold is engine-exact by construction. */
   private def viterbiStages(words: DataFrame, vocab: DataFrame,
-                            maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val vm = vocab.agg(
-      expr("map_from_entries(collect_list(struct(p, lp9)))").as("vm"))
+                            maxPieceLen: Int, maxWordLen: Int): DataFrame =
+    viterbiDp(words, vocab.agg(
+      expr("map_from_entries(collect_list(struct(p, lp9)))").as("vm")),
+      maxPieceLen, maxWordLen)
+
+  /** The DP fold over a ONE-ROW (vm: MAP<STRING, BIGINT>) frame — split
+    * from [[viterbiStages]] (round 20) so the EM loop can feed a
+    * driver-built model map directly (a local 1-row frame) instead of
+    * re-aggregating a vocab frame into the map once per iteration. The
+    * fold itself is unchanged — see the round-14 design note above. */
+  private def viterbiDp(words: DataFrame, vmRow: DataFrame,
+                        maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val vm = vmRow
     val stT = "STRUCT<s: BIGINT, np: BIGINT, sq: STRING>"
     def pred(idx: String) = s"element_at(acc, $idx)"
     val lp = "try_element_at(vm, substring(w, j - l + 1, l))"
@@ -4736,45 +4834,102 @@ object Text {
     * localCheckpointed (the q118 BPE-loop lineage cut — the pitfall
     * frame consumed more than once per iteration). The top-V cut is a
     * bounded-frame sort, never a corpus window. */
+  /** Spark `round(x, scale)` on DOUBLE, replicated exactly for the
+    * driver-side EM m-step: scala BigDecimal(double) (decimal-string
+    * construction) → setScale(scale, HALF_UP) → toDouble — the engine's
+    * own RoundBase arithmetic, same JVM, bit-identical by construction. */
+  private def roundDouble(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** lp9 = CAST(round(round(ln(mass/tm), 9) * 1e9) AS BIGINT) — the
+    * [[pieceLogProbs]] pinning evaluated driver-side: java.lang.Math.log
+    * IS the engine's ln on this JVM, the two rounds are [[roundDouble]],
+    * and the final cast truncates an integral double exactly. */
+  private def lp9Of(mass: Long, tm: Long): Long =
+    roundDouble(roundDouble(math.log(mass.toDouble / tm.toDouble), 9) * 1e9, 0).toLong
+
+  /** UNSIGNED-UTF-8-byte string order — the engine's STRING comparison
+    * (UTF8String binary order = code-point order), NOT java's UTF-16
+    * unit order, so driver-side tie-breaks reproduce `orderBy(p)`. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The hard-EM loop with a DRIVER-side m-step (round 20, guide §1.2
+    * step 1 "fewer passes"/§5 bounded driver work): every frame the old
+    * distributed loop shuffled between iterations is VOCAB-BOUNDED by
+    * construction (seed pieces ≤ charset + thrDiv-bounded substrings,
+    * expected counts ≤ |current vocab|), i.e. the same "bounded collect"
+    * class as the BPE/WordPiece per-merge argmax — so the m-step
+    * (alphabet +1 smoothing, top-V prune, lp9 model) runs on collected
+    * rows and each EM iteration costs exactly ONE distributed job: the
+    * e-step fold over the persisted word table plus its piece-count
+    * rollup. 32 Spark jobs → ~7 at the q185 gate (the old loop spent
+    * per-iteration jobs on map-building aggs, checkpoint materializations
+    * and the singles/multi joins over ≤ 90-row frames). Integer
+    * arithmetic is exact either way; lp9 and every tie-break replicate
+    * the engine ops bit-for-bit ([[lp9Of]], [[utf8Lt]]; code-point
+    * lengths, not UTF-16 units). Gate evidence: OptLab fingerprints and
+    * oracle hashes identical at sf0.001/0.01/0.1 and sf1.
+    * Returns the final (piece, mass) model rows. */
+  private def unigramMassesDriver(words: DataFrame, maxPieceLen: Int,
+                                  thrDiv: Long, nIters: Int,
+                                  vocabV: Int, maxWordLen: Int): Seq[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var masses: Seq[(String, Long)] = seedPieces(words, maxPieceLen, thrDiv)
+      .select(col("p"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val alphabet = masses.collect {
+      case (p, _) if p.codePointCount(0, p.length) == 1 => p }
+    for (_ <- 1 to nIters) {
+      val tm = masses.map(_._2).sum
+      val vm = masses.map { case (p, m) => p -> lp9Of(m, tm) }.toMap
+      val ec: Map[String, Long] =
+        viterbiDp(words, Seq(Tuple1(vm)).toDF("vm"), maxPieceLen, maxWordLen)
+          .select(col("cnt"), explode(split(col("seq"), " ")).as("p"))
+          .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("ec"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val singles = alphabet.map(c => (c, ec.getOrElse(c, 0L) + 1L))
+      val multi = ec.toSeq
+        .filter { case (p, _) => p.codePointCount(0, p.length) >= 2 }
+        .sortWith { case ((pa, ea), (pb, eb)) =>
+          ea > eb || (ea == eb && utf8Lt(pa, pb)) }
+        .take(vocabV)
+      masses = singles ++ multi
+    }
+    masses
+  }
+
   def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
                    maxWordLen: Int = 16, thrDiv: Long = 30L,
                    nIters: Int = 3, vocabV: Int = 40): DataFrame = {
     require(maxPieceLen >= 2 && maxWordLen >= 1 && thrDiv >= 1 &&
       nIters >= 1 && vocabV >= 1,
       s"bad params ($maxPieceLen, $maxWordLen, $thrDiv, $nIters, $vocabV)")
+    val spark = docs.sparkSession
+    import spark.implicits._
     // Training corpus = words of length 1..maxWordLen: the over-long tail
     // (q140's [UNK] words) contributes neither seed mass nor counts.
     val words = graft.core.InternalCaches.persist(
       withTokens(docs).select(explode(col("t")).as("w"))
         .filter(length(col("w")).between(1, maxWordLen))
         .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
-    // LAZY checkpoints throughout the EM loop (round 17): every frame's
-    // first consumer job materializes it (vocab -> the DP's broadcast
-    // build, ec -> the singles join, masses -> next round's vocab), so
-    // each round drops three dedicated materialization jobs while the
-    // lineage cuts (and the multi-consumer block reuse they exist for)
-    // are unchanged — a lazy checkpoint is a LogicalRDD immediately.
-    var masses = seedPieces(words, maxPieceLen, thrDiv)
-      .select(col("p"), col("freq").as("mass"))
-      .localCheckpoint(false)
-    for (_ <- 1 to nIters) {
-      val vocab = pieceLogProbs(masses, "mass").localCheckpoint(false)
-      val seg = viterbiStages(words, vocab, maxPieceLen, maxWordLen)
-      val ec = seg
-        .select(col("cnt"), explode(split(col("seq"), " ")).as("p"))
-        .groupBy(col("p")).agg(sum(col("cnt")).cast(LongType).as("ec"))
-        .coalesce(1).localCheckpoint(false) // consumed by singles AND multi
-      val alphabet = masses.filter(length(col("p")) === 1).select(col("p"))
-      val singles = alphabet.join(ec, Seq("p"), "left")
-        .select(col("p"), (coalesce(col("ec"), lit(0L)) + 1L).as("mass"))
-      val multi = ec.filter(length(col("p")) >= 2)
-        .orderBy(col("ec").desc, col("p").asc).limit(vocabV)
-        .select(col("p"), col("ec").as("mass"))
-      masses = singles.unionByName(multi).coalesce(1).localCheckpoint(false)
-    }
-    pieceLogProbs(masses, "mass")
-      .join(masses, Seq("p"))
-      .select(col("p").as("piece"), col("l"), col("mass"), col("lp9"))
+    val masses = unigramMassesDriver(words, maxPieceLen, thrDiv, nIters,
+      vocabV, maxWordLen)
+    val tm = masses.map(_._2).sum
+    masses.map { case (p, m) =>
+      (p, p.codePointCount(0, p.length).toLong, m, lp9Of(m, tm)) }
+      .toDF("piece", "l", "mass", "lp9")
   }
 
   def qUnigramTrain(s: SparkSession, dir: String): DataFrame =
@@ -4798,14 +4953,24 @@ object Text {
                    maxWordLen: Int = 16, thrDiv: Long = 30L, nIters: Int = 3,
                    vocabV: Int = 40, topK: Int = 100): DataFrame = {
     require(topK >= 1, s"bad topK $topK")
-    val model = unigramTrain(train, maxPieceLen, maxWordLen, thrDiv, nIters, vocabV)
-      .select(col("piece").as("p"), col("l"), col("lp9"))
-      .coalesce(1).localCheckpoint(false)
+    val spark = train.sparkSession
+    import spark.implicits._
+    // Frozen model straight from the driver-side EM ([[unigramMassesDriver]],
+    // round 20): the trained map feeds the eval DP as a local 1-row frame —
+    // no per-model aggregation or checkpoint jobs on the apply side.
+    val trainWords = graft.core.InternalCaches.persist(
+      withTokens(train).select(explode(col("t")).as("w"))
+        .filter(length(col("w")).between(1, maxWordLen))
+        .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
+    val masses = unigramMassesDriver(trainWords, maxPieceLen, thrDiv, nIters,
+      vocabV, maxWordLen)
+    val tm = masses.map(_._2).sum
+    val vm = masses.map { case (p, m) => p -> lp9Of(m, tm) }.toMap
     val words = graft.core.InternalCaches.persist(
       withTokens(eval).select(explode(col("t")).as("w"))
         .filter(length(col("w")) >= 1)
         .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("cnt")))
-    val seg = viterbiStages(words, model, maxPieceLen, maxWordLen)
+    val seg = viterbiDp(words, Seq(Tuple1(vm)).toDF("vm"), maxPieceLen, maxWordLen)
     val unk = words
       .join(seg.select(col("w")), Seq("w"), "left_anti")
       .select(col("w"), col("cnt"), lit(null).cast(LongType).as("score"),
