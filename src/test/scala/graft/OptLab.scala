@@ -292,7 +292,80 @@ object OptLab {
         .filter(col("max_span_tokens") >= minSpanTokens)
     }
 
+    // ---------------------------------------------------------------
+    // q187 candidate 2: both per-merge count tables are BOUNDED
+    // (symbols ≤ charset + nMerges, pairs ≤ symbols²), so collect the
+    // fused tier counts and run the likelihood argmax driver-side —
+    // ONE distributed job per merge instead of three scans + joins.
+    // ---------------------------------------------------------------
+    def q187Driver(docs: DataFrame, nMerges: Int): DataFrame = {
+      import spark.implicits._
+      def utf8Lt(a: String, b: String): Boolean = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      val words = graft.core.InternalCaches.persist(
+        graft.ops.Text.withTokens(docs).select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("freq"))
+          .withColumn("s", concat(lit(" "),
+            expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '  ')"),
+            lit(" ")))
+          .coalesce(4))
+      var cur = words.select(col("freq"), col("s"))
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+      var exhausted = false
+      val e18 = BigInt("1000000000000000000")
+      for (it <- 1 to nMerges if !exhausted) {
+        val counts = cur
+          .select(col("freq"), expr("split(trim(s), '  ')").as("sy"))
+          .select(col("freq"), explode(expr(
+            """concat(
+                 transform(sy, x -> struct(1 AS tier, x AS a, CAST(NULL AS STRING) AS b)),
+                 CASE WHEN size(sy) >= 2 THEN
+                   transform(sequence(1, size(sy) - 1), i ->
+                     struct(2 AS tier, element_at(sy, i) AS a, element_at(sy, i + 1) AS b))
+                 ELSE CAST(array() AS ARRAY<STRUCT<tier: INT, a: STRING, b: STRING>>) END)"""))
+            .as("g"))
+          .groupBy(col("g.tier").as("tier"), col("g.a").as("a"), col("g.b").as("b"))
+          .agg(sum(col("freq")).cast(LongType).as("c"))
+          .collect()
+        val uni = counts.filter(_.getInt(0) == 1)
+          .map(r => r.getString(1) -> r.getLong(3)).toMap
+        val pairs = counts.filter(_.getInt(0) == 2)
+        if (pairs.isEmpty) exhausted = true
+        else {
+          var ba: String = null; var bb: String = null
+          var bc = 0L; var bs = 0L
+          for (r <- pairs) {
+            val (a, b, cnt) = (r.getString(1), r.getString(2), r.getLong(3))
+            val s18 = ((BigInt(cnt) * e18) / (BigInt(uni(a)) * BigInt(uni(b)))).toLong
+            if (ba == null || s18 > bs ||
+                (s18 == bs && (utf8Lt(a, ba) || (a == ba && utf8Lt(b, bb))))) {
+              ba = a; bb = b; bc = cnt; bs = s18
+            }
+          }
+          merges += ((it.toLong, ba, bb, ba + bb, bc, bs))
+          cur = cur.withColumn("s",
+              replace(col("s"), lit(s" $ba  $bb "), lit(s" ${ba + bb} ")))
+            .localCheckpoint(false)
+        }
+      }
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt", "score18")
+    }
+
     val variants: Map[String, () => DataFrame] = Map(
+      "q187_driver" -> (() => q187Driver(
+        graft.core.Tables.documents(spark, dir), 8)),
+      "q188_base" -> (() => SparkEntry.queries("q188_wordpiece_inference")(spark, dir)),
       "q122_base" -> (() => SparkEntry.queries("q122_trigram_score")(spark, dir)),
       "q122_fused" -> (() => q122Fused()),
       "q130_base" -> (() => SparkEntry.queries("q130_dsir_weights")(spark, dir)),

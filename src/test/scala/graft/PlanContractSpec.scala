@@ -494,18 +494,24 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("q130: DSIR models broadcast — candidate rows never shuffle") {
-    // the q120/q122 LM contract at DSIR shape: both bucket-count model
-    // tables (<= B rows by construction) broadcast onto the candidate
+    // the q120/q122 LM contract at DSIR shape: the bucket-count model
+    // table (<= B rows by construction) broadcasts onto the candidate
     // side's feature explode; the only non-hash join is the 1-row totals
-    // crossJoin chain. A SortMergeJoin means candidate features started
+    // crossJoin. A SortMergeJoin means candidate features started
     // shuffling by bucket — the shape that dies on a 100 TB crawl.
+    // Round 20: target and raw counts are FUSED into one bucket table
+    // (ct conditional-sum + cr count in a single aggregation), so the
+    // contract is exactly ONE broadcast model join — a second one means
+    // the per-role aggregations came back.
     try {
       val p = plan("q130_dsir_weights")
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
         s"q130 shuffles candidate rows:\n$p")
       assert(!p.contains("CartesianProduct"), s"q130 planned a cartesian:\n$p")
-      assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
-        s"q130 expected the two broadcast model joins:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+        s"q130 expected ONE fused broadcast model join:\n$p")
+      assert("Expand".r.findAllIn(p).isEmpty,
+        s"q130 fused ct/cr aggregation must not Expand:\n$p")
     } finally graft.core.InternalCaches.release(spark)
   }
 
@@ -755,6 +761,45 @@ class PlanContractSpec extends SparkSpec {
         s"q175 planned a nested loop:\n$p175")
       assert(p175.contains("Scan ExistingRDD"),
         s"q175 per-peel lineage cut not live:\n$p175")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q145: phrase search served from a PRUNED index build (round 20)") {
+    // the q68 bucket-pruned-serve contract at inverted-index shape: the
+    // probed-token IN filter must sit BELOW the posting aggregation (the
+    // shuffle carries only the probed tokens' occurrences, never the
+    // whole corpus index), and the bounded phrase table re-enters as a
+    // local frame — losing either re-inflates the per-query build to a
+    // full corpus index at 100 TB.
+    try {
+      val p = plan("q145_phrase_search")
+      assert(p.contains(" IN ("),
+        s"q145 lost the probed-token pushdown filter:\n$p")
+      assert(p.contains("LocalTableScan"),
+        s"q145 phrase table no longer a collected local frame:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"q145 serve join degenerated:\n$p")
+    } finally graft.core.InternalCaches.release(spark)
+  }
+
+  test("q185/q186: driver-side EM — trained model is bounded local data (round 20)") {
+    // the EM m-step runs on vocab-bounded collected rows: q185's output
+    // plan must be a LocalTableScan with NO exchange (every distributed
+    // job already ran as the bounded e-step collects during
+    // construction), and q186's eval side must consume the frozen model
+    // as a broadcast local frame — a HashAggregate-fed map build or a
+    // checkpoint scan here means the per-iteration job cascade came back.
+    try {
+      val p185 = plan("q185_unigram_train")
+      assert(p185.contains("LocalTableScan") && !p185.contains("Exchange"),
+        s"q185 trained model no longer bounded local rows:\n$p185")
+      val p186 = plan("q186_unigram_apply")
+      assert(p186.contains("LocalTableScan"),
+        s"q186 frozen model not a local frame:\n$p186")
+      assert(p186.contains("TakeOrderedAndProject"),
+        s"q186 top-K not a bounded heap:\n$p186")
+      assert(!p186.contains("map_from_entries"),
+        s"q186 rebuilt the model map distributively:\n$p186")
     } finally graft.core.InternalCaches.release(spark)
   }
 
